@@ -1,0 +1,38 @@
+"""searchlite-tpu — a TPU-native embedded full-text search engine.
+
+A from-scratch rebuild of the capabilities of davidkelley/searchlite
+(an embedded, SQLite-flavored search engine) designed TPU-first:
+
+- The on-disk inverted index is loaded into an HBM-resident layout:
+  postings padded into fixed-width ``[n_blocks, 128]`` doc-id/tf blocks
+  with per-block max-score sidecars.
+- BM25 scoring runs as batched block kernels on the VPU with on-device
+  top-k instead of a per-posting heap.
+- Fast-field filters are vectorized columnar predicates producing doc
+  masks fused into the scoring pass.
+- Vector search is exact brute-force distance on the MXU.
+- Multi-chip scale-out shards postings blocks across a
+  ``jax.sharding.Mesh`` with top-k merged over ICI collectives.
+
+The durable host-side format (WAL, manifest, segments) mirrors the
+reference's crash-safety semantics (single writer, atomic manifest
+swaps, WAL replay).
+"""
+
+__version__ = "0.1.0"
+
+
+def __getattr__(name):  # lazy top-level exports to keep import light
+    if name in ("IndexOptions", "SearchRequest", "StorageType"):
+        from searchlite_tpu.api import types
+
+        return getattr(types, name)
+    if name == "Index":
+        from searchlite_tpu.index import Index
+
+        return Index
+    if name == "IndexBuilder":
+        from searchlite_tpu.api.builder import IndexBuilder
+
+        return IndexBuilder
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
