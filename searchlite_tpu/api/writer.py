@@ -1,0 +1,147 @@
+"""IndexWriter: WAL-first upserts/deletes with atomic commits.
+
+Parity with searchlite-core `api/writer.rs`:
+
+- Every add/delete is appended + flushed to the WAL *before* being
+  buffered (`writer.rs:74-104`); the constructor replays pending WAL
+  ops so an uncommitted batch survives a crash (`writer.rs:37-72`).
+- ``commit()`` under the global writer lock: reload the live-doc map
+  if the manifest generation moved, fold ops last-write-wins into new
+  docs + tombstones, write one new segment for the batch, merge
+  tombstones into SegmentMeta.deleted_docs, store the manifest, append
+  a WAL Commit marker, then truncate the WAL — rolling back manifest /
+  WAL / new segment files on failure (`writer.rs:106-239`).
+- ``rollback()`` clears pending ops + truncates the WAL.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from searchlite_tpu.errors import SearchliteError
+from searchlite_tpu.index import Index
+from searchlite_tpu.index.manifest import Manifest
+from searchlite_tpu.index.segment import SegmentWriter
+from searchlite_tpu.index.wal import ADD_DOC, DELETE_DOC_ID, Wal
+
+
+class IndexWriter:
+    def __init__(self, index: Index):
+        self.index = index
+        self.wal = Wal(index.storage)
+        # op list preserving order: ("add", doc) | ("delete", doc_id)
+        self._ops: list[tuple[str, object]] = []
+        self._generation = index.manifest.generation
+        # crash replay: uncommitted WAL ops become pending again
+        for entry_type, payload in Wal.last_pending_ops(index.storage):
+            if entry_type == ADD_DOC:
+                self._ops.append(("add", payload))
+            elif entry_type == DELETE_DOC_ID:
+                self._ops.append(("delete", payload))
+
+    # -- buffered operations -------------------------------------------------
+
+    def add_document(self, doc: dict) -> None:
+        self.index.schema.validate_document(doc)
+        self.wal.append_add_doc(doc)
+        self._ops.append(("add", doc))
+
+    def add_documents(self, docs: list[dict]) -> None:
+        for doc in docs:
+            self.add_document(doc)
+
+    def delete_document(self, doc_id: str) -> None:
+        self.wal.append_delete_doc_id(doc_id)
+        self._ops.append(("delete", doc_id))
+
+    def delete_documents(self, doc_ids: list[str]) -> None:
+        for doc_id in doc_ids:
+            self.delete_document(doc_id)
+
+    def rollback(self) -> None:
+        self._ops.clear()
+        self.wal.truncate()
+
+    @property
+    def pending_ops(self) -> int:
+        return len(self._ops)
+
+    # -- commit ----------------------------------------------------------------
+
+    def commit(self) -> None:
+        if not self._ops:
+            return
+        with self.index.writer_lock:
+            manifest = self.index.reload_manifest()
+
+            # Fold ops: last-write-wins per doc id.
+            pending_new: dict[str, dict] = {}
+            tombstones: set[str] = set()
+            for op, payload in self._ops:
+                if op == "add":
+                    doc_id = payload.get(manifest.schema.doc_id_field)
+                    pending_new[doc_id] = payload
+                    tombstones.discard(doc_id)
+                else:
+                    tombstones.add(payload)
+                    pending_new.pop(payload, None)
+
+            # Locate prior versions of upserted/deleted ids across segments.
+            ids_to_remove = set(pending_new) | tombstones
+            new_deleted: dict[str, set[int]] = {}
+            if ids_to_remove:
+                from searchlite_tpu.index.segment import SegmentReader
+
+                for seg_meta in manifest.segments:
+                    reader = SegmentReader(
+                        seg_meta, self.index.storage, verify_checksums=False)
+                    existing = set(seg_meta.deleted_docs)
+                    for ordinal, doc_id in enumerate(reader.doc_ids):
+                        if ordinal in existing:
+                            continue
+                        if doc_id in ids_to_remove:
+                            new_deleted.setdefault(
+                                seg_meta.id, set()).add(ordinal)
+
+            new_segment = None
+            if pending_new:
+                writer = SegmentWriter(
+                    manifest.schema, self.index.storage,
+                    enable_positions=self.index.options.enable_positions,
+                    compress=self.index.options.compress_docstore)
+                next_gen = max(
+                    (s.generation for s in manifest.segments), default=0) + 1
+                new_segment = writer.write_segment(
+                    list(pending_new.values()), next_gen)
+
+            old_manifest_json = manifest.to_json()
+            for seg_meta in manifest.segments:
+                extra = new_deleted.get(seg_meta.id)
+                if extra:
+                    seg_meta.deleted_docs = sorted(
+                        set(seg_meta.deleted_docs) | extra)
+            if new_segment is not None:
+                manifest.segments.append(new_segment)
+            manifest.generation += 1
+
+            try:
+                manifest.store(self.index.storage)
+                self.wal.append_commit()
+                self.wal.truncate()
+            except Exception as e:
+                # roll back: restore old manifest, drop new segment files
+                try:
+                    import json as _json
+
+                    self.index.storage.atomic_write(
+                        "MANIFEST.json",
+                        _json.dumps(old_manifest_json, indent=2).encode())
+                except Exception:  # noqa: BLE001
+                    pass
+                if new_segment is not None:
+                    self.index.cleanup_segments([new_segment.id])
+                raise SearchliteError(f"commit failed: {e}") from e
+
+            self.index.set_manifest(manifest)
+            self._ops.clear()
+            self._generation = manifest.generation

@@ -1,0 +1,604 @@
+"""Segment writer/reader: one immutable chunk of indexed documents.
+
+Ingest semantics mirror searchlite-core `index/segment.rs`:
+
+- ``collect_document`` splits a doc into text/keyword/i64/f64/stored/
+  nested/vector buckets (`segment.rs:514-564`).
+- Text values are analyzed per field with cross-value position offsets;
+  per-doc token counts land in the ``_len:{field}`` fast column
+  (`segment.rs:655-698`).
+- Keywords are lowercased + deduped per doc for indexing, original-case
+  values go to fast columns (`segment.rs:700-723`).
+- Nested objects record counts, parent lineage, and per-object fast
+  values (`segment.rs:749-813`).
+- Cosine vectors are L2-normalized at ingest (`segment.rs:508-511`).
+- Every output file's crc32 goes into the SegmentMeta and is verified
+  at open (`segment.rs:908-932`, `:1239-1249`).
+
+The on-disk postings/fast formats are the TPU block-native layouts from
+``postings.py`` / ``fastfields.py`` rather than the reference's byte
+streams.
+"""
+
+from __future__ import annotations
+
+import json
+import uuid as uuid_mod
+from dataclasses import dataclass
+from typing import Any, Iterable, Optional
+
+import numpy as np
+
+from searchlite_tpu.errors import SchemaError, StorageError
+from searchlite_tpu.index import directory
+from searchlite_tpu.index.docstore import DocStoreReader, DocStoreWriter
+from searchlite_tpu.index.fastfields import (
+    FastFields,
+    FastFieldsWriter,
+    doc_length_key,
+)
+from searchlite_tpu.index.manifest import (
+    NestedField,
+    ResolvedField,
+    Schema,
+    SegmentMeta,
+)
+from searchlite_tpu.index.postings import InvertedIndexBuilder, PostingsData
+from searchlite_tpu.index.terms import TermsDict, read_terms, write_terms
+from searchlite_tpu.storage import Storage
+from searchlite_tpu.utils.checksum import crc32
+
+
+# ---------------------------------------------------------------------------
+# Document collection
+# ---------------------------------------------------------------------------
+
+class CollectedDocument:
+    def __init__(self):
+        self.doc_id: Optional[str] = None
+        self.text: dict[str, list[str]] = {}
+        self.keywords: dict[str, list[str]] = {}
+        self.i64s: dict[str, list[int]] = {}
+        self.f64s: dict[str, list[float]] = {}
+        self.stored: dict[str, list[Any]] = {}
+        self.nested_keywords: dict[str, list[list[str]]] = {}
+        self.nested_i64s: dict[str, list[list[int]]] = {}
+        self.nested_f64s: dict[str, list[list[float]]] = {}
+        self.nested_counts: dict[str, int] = {}
+        self.nested_parents: dict[str, list[int]] = {}
+        self.nested_stored: dict[str, Any] = {}
+        self.vectors: dict[str, Optional[list[float]]] = {}
+
+    def push_stored(self, path: str, values: Iterable[Any]) -> None:
+        self.stored.setdefault(path, []).extend(values)
+
+    def finalize_stored(self) -> dict[str, Any]:
+        out: dict[str, Any] = {}
+        for k, vals in self.stored.items():
+            out[k] = vals[0] if len(vals) == 1 else vals
+        out.update(self.nested_stored)
+        return out
+
+
+def _collect_strings(value) -> list[str]:
+    if isinstance(value, str):
+        return [value]
+    if isinstance(value, list):
+        return [v for v in value if isinstance(v, str)]
+    return []
+
+
+def _collect_i64s(value) -> list[int]:
+    if isinstance(value, bool):
+        return []
+    if isinstance(value, int):
+        return [value]
+    if isinstance(value, list):
+        return [v for v in value if isinstance(v, int) and not isinstance(v, bool)]
+    return []
+
+
+def _collect_f64s(value) -> list[float]:
+    if isinstance(value, bool):
+        return []
+    if isinstance(value, (int, float)):
+        return [float(value)]
+    if isinstance(value, list):
+        return [float(v) for v in value
+                if isinstance(v, (int, float)) and not isinstance(v, bool)]
+    return []
+
+
+def _handle_field(meta: ResolvedField, value, collected: CollectedDocument,
+                  store_value: bool) -> None:
+    if meta.kind == "text":
+        vals = _collect_strings(value)
+        if meta.indexed and vals:
+            collected.text.setdefault(meta.path, []).extend(vals)
+        if meta.stored and store_value:
+            collected.push_stored(meta.path, vals)
+    elif meta.kind == "keyword":
+        vals = _collect_strings(value)
+        if vals:
+            collected.keywords.setdefault(meta.path, []).extend(vals)
+        if meta.stored and store_value:
+            collected.push_stored(meta.path, vals)
+    elif meta.kind == "numeric":
+        if meta.numeric_i64:
+            ivals = _collect_i64s(value)
+            if ivals:
+                collected.i64s.setdefault(meta.path, []).extend(ivals)
+            if meta.stored and store_value:
+                collected.push_stored(meta.path, ivals)
+        else:
+            fvals = _collect_f64s(value)
+            if fvals:
+                collected.f64s.setdefault(meta.path, []).extend(fvals)
+            if meta.stored and store_value:
+                collected.push_stored(meta.path, fvals)
+
+
+def _stored_nested_value(nested: NestedField, value):
+    if isinstance(value, list):
+        filtered = [v2 for v in value
+                    if (v2 := _stored_nested_value(nested, v)) is not None]
+        return filtered or None
+    if isinstance(value, dict):
+        out = {}
+        for prop in nested.fields:
+            raw = value.get(prop.name)
+            if raw is None:
+                continue
+            if prop.kind == "object":
+                child = _stored_nested_value(prop.inner, raw)
+                if child is not None:
+                    out[prop.name] = child
+            elif prop.inner.stored:
+                out[prop.name] = raw
+        return out or None
+    return None
+
+
+def _collect_nested(schema: Schema, nested: NestedField, value, prefix: str,
+                    collected: CollectedDocument,
+                    resolved: dict[str, ResolvedField], store_value: bool,
+                    parent_idx: Optional[int]) -> None:
+    if value is None:
+        if nested.nullable:
+            return
+        raise SchemaError(f"nested field {prefix} cannot be null")
+    if isinstance(value, list):
+        collected.nested_counts[prefix] = len(value)
+        entry = collected.nested_parents.setdefault(
+            prefix, [-1] * len(value))
+        if len(entry) < len(value):
+            entry.extend([-1] * (len(value) - len(entry)))
+        if parent_idx is not None:
+            for i in range(len(value)):
+                entry[i] = parent_idx
+        for idx, v in enumerate(value):
+            if v is None:
+                if nested.nullable:
+                    continue
+                raise SchemaError(f"nested field {prefix} cannot be null")
+            if not isinstance(v, dict):
+                raise SchemaError(
+                    f"nested field {prefix} must contain objects")
+            _collect_nested_object(schema, nested, v, prefix, idx,
+                                   collected, resolved)
+    elif isinstance(value, dict):
+        collected.nested_counts[prefix] = 1
+        collected.nested_parents.setdefault(
+            prefix, [parent_idx if parent_idx is not None else -1])
+        _collect_nested_object(schema, nested, value, prefix, 0,
+                               collected, resolved)
+    else:
+        raise SchemaError(f"nested field {prefix} must be object or array")
+    if store_value:
+        filtered = _stored_nested_value(nested, value)
+        if filtered is not None:
+            collected.nested_stored[prefix] = filtered
+
+
+def _record_nested(bucket: dict, field: str, object_count: int,
+                   object_idx: int, values: list) -> None:
+    entry = bucket.setdefault(field, [[] for _ in range(object_count)])
+    while len(entry) < object_count:
+        entry.append([])
+    if object_idx < len(entry):
+        entry[object_idx].extend(values)
+
+
+def _collect_nested_object(schema: Schema, nested: NestedField, obj: dict,
+                           prefix: str, object_idx: int,
+                           collected: CollectedDocument,
+                           resolved: dict[str, ResolvedField]) -> None:
+    object_count = collected.nested_counts.get(prefix, 0)
+    for k, v in obj.items():
+        prop = next((p for p in nested.fields if p.name == k), None)
+        if prop is None:
+            raise SchemaError(f"unknown nested field {prefix}.{k}")
+        if prop.kind == "object":
+            next_prefix = f"{prefix}.{prop.inner.name}"
+            if v is None:
+                if prop.inner.nullable:
+                    continue
+                raise SchemaError(
+                    f"nested field {next_prefix} cannot be null")
+            _collect_nested(schema, prop.inner, v, next_prefix, collected,
+                            resolved, False, object_idx)
+            continue
+        full_path = f"{prefix}.{k}"
+        meta = resolved.get(full_path)
+        if meta is None:
+            raise SchemaError(f"unknown nested field {prefix}.{k}")
+        _handle_field(meta, v, collected, False)
+        if meta.fast:
+            if meta.kind == "keyword":
+                vals = _collect_strings(v)
+                if vals:
+                    _record_nested(collected.nested_keywords, full_path,
+                                   object_count, object_idx, vals)
+            elif meta.kind == "numeric":
+                if meta.numeric_i64:
+                    ivals = _collect_i64s(v)
+                    if ivals:
+                        _record_nested(collected.nested_i64s, full_path,
+                                       object_count, object_idx, ivals)
+                else:
+                    fvals = _collect_f64s(v)
+                    if fvals:
+                        _record_nested(collected.nested_f64s, full_path,
+                                       object_count, object_idx, fvals)
+    for prop in nested.fields:
+        if prop.name in obj or prop.is_nullable():
+            continue
+        raise SchemaError(
+            f"missing required nested field {prefix}.{prop.name}")
+
+
+def collect_document(schema: Schema, doc: dict,
+                     resolved: dict[str, ResolvedField]) -> CollectedDocument:
+    collected = CollectedDocument()
+    doc_id = doc.get(schema.doc_id_field)
+    collected.doc_id = doc_id
+    collected.push_stored(schema.doc_id_field, [doc_id])
+    for field, value in doc.items():
+        if field == schema.doc_id_field:
+            continue
+        if any(vf.name == field for vf in schema.vector_fields):
+            collected.vectors[field] = _collect_vector_value(
+                schema, field, value)
+            continue
+        meta = resolved.get(field)
+        if meta is not None:
+            _handle_field(meta, value, collected, True)
+            continue
+        nested = next(
+            (n for n in schema.nested_fields if n.name == field), None)
+        if nested is not None:
+            if value is None:
+                if nested.nullable:
+                    continue
+                raise SchemaError(
+                    f"nested field {nested.name} cannot be null")
+            _collect_nested(schema, nested, value, nested.name, collected,
+                            resolved, True, None)
+            continue
+        raise SchemaError(f"unknown field {field}")
+    return collected
+
+
+def _collect_vector_value(schema: Schema, field: str, value
+                          ) -> Optional[list[float]]:
+    vf = schema.vector_field(field)
+    if vf is None:
+        raise SchemaError(f"unknown vector field {field}")
+    if value is None:
+        return None
+    if not isinstance(value, list):
+        raise SchemaError(f"vector field {field} must be an array")
+    try:
+        vals = [float(v) for v in value]
+    except (TypeError, ValueError) as e:
+        raise SchemaError(f"vector field {field} must contain numbers") from e
+    if len(vals) != vf.dim:
+        raise SchemaError(
+            f"vector field {field} expected dimension {vf.dim}, "
+            f"got {len(vals)}")
+    if vf.metric == "cosine":
+        norm = float(np.linalg.norm(vals))
+        if norm > 0:
+            vals = [v / norm for v in vals]
+    return vals
+
+
+# ---------------------------------------------------------------------------
+# Writer
+# ---------------------------------------------------------------------------
+
+class SegmentWriter:
+    def __init__(self, schema: Schema, storage: Storage,
+                 enable_positions: bool = True, compress: bool = False):
+        self.schema = schema
+        self.storage = storage
+        self.enable_positions = enable_positions
+        self.compress = compress
+
+    def write_segment(self, docs: Iterable[dict],
+                      generation: int) -> SegmentMeta:
+        seg_id = uuid_mod.uuid4().hex
+        paths = directory.segment_paths(seg_id)
+        analyzers = self.schema.build_analyzers()
+        resolved = {f.path: f for f in self.schema.resolved_fields()}
+        keyword_fast = {f.path for f in resolved.values()
+                        if f.kind == "keyword" and f.fast}
+        numeric_info = {f.path: (bool(f.numeric_i64), f.fast)
+                        for f in resolved.values() if f.kind == "numeric"}
+
+        postings_builder = InvertedIndexBuilder(self.enable_positions)
+        fast_writer = FastFieldsWriter()
+        total_doc_lengths: dict[str, int] = {}
+        doc_ids: list[str] = []
+        vector_buckets: dict[str, list[Optional[list[float]]]] = {
+            vf.name: [] for vf in self.schema.vector_fields}
+
+        doc_file = self.storage.open_write(paths.docstore)
+        doc_writer = DocStoreWriter(doc_file, self.compress)
+        try:
+            for doc in docs:
+                doc_ord = len(doc_ids)
+                self.schema.validate_document(doc)
+                collected = collect_document(self.schema, doc, resolved)
+                doc_key = collected.doc_id
+                doc_ids.append(doc_key)
+                fast_writer.set_str(self.schema.doc_id_field, doc_ord, doc_key)
+
+                for field, values in collected.text.items():
+                    meta = resolved.get(field)
+                    if meta is not None and not meta.indexed:
+                        continue
+                    analyzer = analyzers.index_analyzer(field)
+                    if analyzer is None:
+                        raise SchemaError(
+                            f"no analyzer configured for field `{field}`")
+                    position_offset = 0
+                    doc_len = 0
+                    for text in values:
+                        tokens = analyzer.analyze(text)
+                        doc_len += len(tokens)
+                        total_doc_lengths[field] = (
+                            total_doc_lengths.get(field, 0) + len(tokens))
+                        for tok in tokens:
+                            postings_builder.add_term(
+                                f"{field}:{tok.text}", doc_ord,
+                                position_offset + tok.position)
+                        if tokens:
+                            position_offset += max(
+                                t.position for t in tokens) + 1
+                        else:
+                            # keep a gap between values even when filters
+                            # drop every token (parity: segment.rs:690-692)
+                            position_offset += 1
+                    fast_writer.set_i64(
+                        doc_length_key(field), doc_ord, doc_len)
+
+                for field, values in collected.keywords.items():
+                    meta = resolved.get(field)
+                    indexed = meta.indexed if meta is not None else True
+                    is_nested_field = "." in field
+                    if indexed:
+                        seen: set[str] = set()
+                        for value in values:
+                            lower = value.lower()
+                            if lower not in seen:
+                                seen.add(lower)
+                                postings_builder.add_term(
+                                    f"{field}:{lower}", doc_ord, 0,
+                                    with_positions=False)
+                    if field in keyword_fast and not is_nested_field and values:
+                        fast_writer.set_str(field, doc_ord, values)
+
+                for field, ivalues in collected.i64s.items():
+                    info = numeric_info.get(field)
+                    if info and info[1] and "." not in field and ivalues:
+                        fast_writer.set_i64(field, doc_ord, ivalues)
+
+                for field, fvalues in collected.f64s.items():
+                    info = numeric_info.get(field)
+                    if info and info[1] and "." not in field and fvalues:
+                        fast_writer.set_f64(field, doc_ord, fvalues)
+
+                for path, count in collected.nested_counts.items():
+                    fast_writer.set_nested_count(path, doc_ord, count)
+                for path, parents in collected.nested_parents.items():
+                    for object_idx, parent in enumerate(parents):
+                        fast_writer.set_nested_parent(
+                            path, doc_ord, object_idx, parent)
+                for field, objects in collected.nested_keywords.items():
+                    for object_idx, vals in enumerate(objects):
+                        if vals:
+                            fast_writer.set_str(
+                                field, doc_ord, vals, object_idx=object_idx)
+                for field, objects in collected.nested_i64s.items():
+                    for object_idx, ivals in enumerate(objects):
+                        if ivals:
+                            fast_writer.set_i64(
+                                field, doc_ord, ivals, object_idx=object_idx)
+                for field, objects in collected.nested_f64s.items():
+                    for object_idx, fvals in enumerate(objects):
+                        if fvals:
+                            fast_writer.set_f64(
+                                field, doc_ord, fvals, object_idx=object_idx)
+
+                for vf in self.schema.vector_fields:
+                    vector_buckets[vf.name].append(
+                        collected.vectors.get(vf.name))
+
+                doc_writer.add_document(collected.finalize_stored())
+        finally:
+            doc_file.close()
+
+        total_docs = len(doc_ids)
+
+        postings = postings_builder.build()
+        self.storage.write_all(paths.terms, write_terms(postings.terms))
+        self.storage.write_all(paths.postings, postings.to_bytes())
+        fast = fast_writer.build(total_docs)
+        self.storage.write_all(paths.fast, fast.to_bytes())
+
+        avg_field_lengths = {
+            field: (total / total_docs if total_docs else 0.0)
+            for field, total in total_doc_lengths.items()
+        }
+
+        has_vectors = False
+        vector_meta: dict[str, dict] = {}
+        for vf in self.schema.vector_fields:
+            bucket = vector_buckets[vf.name]
+            vectors = np.zeros((total_docs, vf.dim), dtype=np.float32)
+            present = np.zeros(total_docs, dtype=bool)
+            for i, vec in enumerate(bucket):
+                if vec is not None:
+                    vectors[i] = vec
+                    present[i] = True
+            import io as _io
+            buf = _io.BytesIO()
+            np.savez(buf, vectors=vectors, present=present)
+            self.storage.write_all(
+                directory.vector_paths(paths, vf.name), buf.getvalue())
+            vector_meta[vf.name] = {
+                "dim": vf.dim, "metric": vf.metric,
+                "vectors": int(present.sum()),
+            }
+            has_vectors = True
+
+        seg_file_meta = {
+            "doc_offsets": [],  # docstore offsets (filled below)
+            "doc_ids": doc_ids,
+            "avg_field_lengths": avg_field_lengths,
+            "vector_fields": vector_meta,
+            "compress": self.compress,
+            "enable_positions": self.enable_positions,
+        }
+        seg_file_meta["doc_offsets"] = doc_writer.offsets
+        self.storage.write_all(
+            paths.meta, json.dumps(seg_file_meta).encode())
+
+        checksums = {}
+        for key, path in (("terms", paths.terms), ("postings", paths.postings),
+                          ("docstore", paths.docstore), ("fast", paths.fast),
+                          ("meta", paths.meta)):
+            checksums[key] = crc32(self.storage.read_to_end(path))
+        for vf_name in vector_meta:
+            vec_path = directory.vector_paths(paths, vf_name)
+            checksums[f"vector_{vf_name}"] = crc32(
+                self.storage.read_to_end(vec_path))
+
+        return SegmentMeta(
+            id=seg_id,
+            generation=generation,
+            doc_count=total_docs,
+            max_doc_id=max(total_docs - 1, 0),
+            blockmax=True,
+            deleted_docs=[],
+            avg_field_lengths=avg_field_lengths,
+            checksums=checksums,
+            has_vectors=has_vectors,
+        )
+
+
+# ---------------------------------------------------------------------------
+# Reader
+# ---------------------------------------------------------------------------
+
+@dataclass
+class VectorData:
+    dim: int
+    metric: str
+    vectors: np.ndarray   # [n_docs, dim] f32 (cosine: pre-normalized)
+    present: np.ndarray   # [n_docs] bool
+
+
+class SegmentReader:
+    def __init__(self, meta: SegmentMeta, storage: Storage,
+                 verify_checksums: bool = True):
+        self.meta = meta
+        paths = directory.segment_paths(meta.id)
+        self.paths = paths
+
+        file_map = {"terms": paths.terms, "postings": paths.postings,
+                    "docstore": paths.docstore, "fast": paths.fast,
+                    "meta": paths.meta}
+        raw: dict[str, bytes] = {}
+        for key, path in file_map.items():
+            data = storage.read_to_end(path)
+            if verify_checksums and key in meta.checksums:
+                if crc32(data) != meta.checksums[key]:
+                    raise StorageError(
+                        f"segment {meta.id}: checksum mismatch for {key}")
+            raw[key] = data
+
+        seg_file_meta = json.loads(raw["meta"])
+        self.doc_ids: list[str] = seg_file_meta["doc_ids"]
+        self.avg_field_lengths: dict[str, float] = dict(
+            seg_file_meta.get("avg_field_lengths", {}))
+        self.compress = bool(seg_file_meta.get("compress", False))
+        self.enable_positions = bool(
+            seg_file_meta.get("enable_positions", True))
+
+        terms_list = read_terms(raw["terms"])
+        self.terms = TermsDict(terms_list)
+        self.postings = PostingsData.from_bytes(raw["postings"], terms_list)
+        self.fast = FastFields.from_bytes(raw["fast"])
+        self.docstore = DocStoreReader(
+            raw["docstore"], seg_file_meta["doc_offsets"], self.compress)
+
+        self.deleted: set[int] = set(meta.deleted_docs)
+
+        self.vectors: dict[str, VectorData] = {}
+        for field, vmeta in seg_file_meta.get("vector_fields", {}).items():
+            vec_path = directory.vector_paths(paths, field)
+            data = storage.read_to_end(vec_path)
+            key = f"vector_{field}"
+            if verify_checksums and key in meta.checksums:
+                if crc32(data) != meta.checksums[key]:
+                    raise StorageError(
+                        f"segment {meta.id}: checksum mismatch for {key}")
+            import io as _io
+            npz = np.load(_io.BytesIO(data), allow_pickle=False)
+            self.vectors[field] = VectorData(
+                dim=int(vmeta["dim"]), metric=vmeta["metric"],
+                vectors=npz["vectors"], present=npz["present"])
+
+    @property
+    def doc_count(self) -> int:
+        return len(self.doc_ids)
+
+    def is_deleted(self, ordinal: int) -> bool:
+        return ordinal in self.deleted
+
+    def live_docs(self) -> list[int]:
+        return [i for i in range(self.doc_count) if i not in self.deleted]
+
+    def get_doc(self, ordinal: int) -> dict:
+        return self.docstore.get(ordinal)
+
+    def doc_id(self, ordinal: int) -> str:
+        return self.doc_ids[ordinal]
+
+    def term_id(self, term: str) -> Optional[int]:
+        return self.terms.get(term)
+
+    def doc_freq(self, term: str) -> int:
+        tid = self.terms.get(term)
+        return int(self.postings.term_df[tid]) if tid is not None else 0
+
+    def avg_field_length(self, field: str) -> float:
+        return self.avg_field_lengths.get(field, 0.0)
+
+    def postings_for(self, term: str):
+        tid = self.terms.get(term)
+        if tid is None:
+            return None
+        return self.postings.term_postings(tid)
