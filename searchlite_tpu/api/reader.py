@@ -1,0 +1,1131 @@
+"""IndexReader: the search orchestrator.
+
+Functional parity with searchlite-core `api/reader.rs`, re-architected
+around dense device execution:
+
+- The reference walks postings doc-at-a-time per segment
+  (`api/reader.rs:2908-3128` + `query/wand.rs`); here each segment's
+  postings live in HBM (``device/index.py``) and a ``CompiledQuery``
+  (``ops/score.py``) scores/masks/top-ks the whole segment in one
+  traced program.
+- Term-group expansion (exact / fuzzy Levenshtein≤2 with prefix lock and
+  1/0.4/0.2 distance weights / prefix / wildcard / regex, per-segment
+  dictionary, max_expansions caps) stays host-side
+  (`api/reader.rs:977-1465`).
+- Phrase verification runs host-side over position sidecars and enters
+  the device program as dense masks.
+- Cursors carry manifest generation + sort-plan hash + last sort key and
+  are rejected when stale (`api/reader.rs:622-902`).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import time
+from dataclasses import dataclass
+from typing import Any, Optional
+
+import numpy as np
+
+from searchlite_tpu.api.types import (
+    Filter,
+    FuzzyOptions,
+    Hit,
+    SearchRequest,
+    SearchResult,
+)
+from searchlite_tpu.device.index import DeviceSegment
+from searchlite_tpu.errors import CursorError, QueryError
+from searchlite_tpu.index.highlight import (
+    HighlightOptions,
+    highlight_fragments,
+    make_snippet,
+)
+from searchlite_tpu.index.segment import SegmentReader
+from searchlite_tpu.models.bm25 import idf as bm25_idf
+from searchlite_tpu.ops.score import CompiledQuery, next_pow2
+from searchlite_tpu.query.filters import (
+    compute_filters_mask,
+    validate_filter,
+)
+from searchlite_tpu.query.phrase import matches_phrase
+from searchlite_tpu.query.planner import QueryPlan, build_query_plan
+from searchlite_tpu.query.sort import SortKey, SortPlan
+
+MAX_CANDIDATE_SIZE = 20_000
+MAX_CURSOR_ADVANCE = 50_000
+DEFAULT_SUGGEST_SCAN = 64
+MAX_SUGGEST_CANDIDATES = 256
+CURSOR_VERSION = 3
+
+
+@dataclass
+class QualifiedTerm:
+    field: str
+    term: str
+    key: str
+    weight: float
+    leaf: int
+
+
+@dataclass
+class RankedHit:
+    key: SortKey
+    score: float
+    vector_score: Optional[float] = None
+    explanation: Optional[dict] = None
+
+
+def distance_weight(distance: int) -> float:
+    return 1.0 / (distance + 1.0)
+
+
+def bounded_levenshtein(a: str, b: str, max_edits: int) -> Optional[int]:
+    la, lb = len(a), len(b)
+    if abs(la - lb) > max_edits:
+        return None
+    if la == 0:
+        return lb if lb <= max_edits else None
+    if lb == 0:
+        return la if la <= max_edits else None
+    prev = list(range(lb + 1))
+    for i, ca in enumerate(a):
+        curr = [i + 1] + [0] * lb
+        row_min = curr[0]
+        for j, cb in enumerate(b):
+            cost = 0 if ca == cb else 1
+            val = min(prev[j + 1] + 1, curr[j] + 1, prev[j] + cost)
+            curr[j + 1] = val
+            row_min = min(row_min, val)
+        if row_min > max_edits:
+            return None
+        prev = curr
+    return prev[lb] if prev[lb] <= max_edits else None
+
+
+def build_wildcard_regex(pattern: str) -> re.Pattern:
+    buf = "^"
+    for ch in pattern:
+        if ch == "*":
+            buf += ".*"
+        elif ch == "?":
+            buf += "."
+        else:
+            buf += re.escape(ch)
+    buf += "$"
+    try:
+        return re.compile(buf)
+    except re.error as e:
+        raise QueryError(f"invalid wildcard `{pattern}`: {e}") from e
+
+
+def wildcard_literal_prefix(pattern: str) -> str:
+    return re.split(r"[*?]", pattern, maxsplit=1)[0]
+
+
+def regex_literal_prefix(pattern: str) -> str:
+    prefix = []
+    escaped = False
+    for i, ch in enumerate(pattern):
+        if escaped:
+            if ch == "\\":
+                prefix.append(ch)
+                escaped = False
+                continue
+            if ch in "dDwWsSbBpP":
+                break
+            prefix.append(ch)
+            escaped = False
+            continue
+        if ch == "\\":
+            escaped = True
+        elif ch == "^" and not prefix:
+            continue
+        elif ch in ".*+?()[]{}|$":
+            break
+        else:
+            prefix.append(ch)
+    return "".join(prefix)
+
+
+def ensure_keyword_fast(schema, field: str, context: str) -> None:
+    meta = schema.field_meta(field)
+    if meta is None or meta.kind != "keyword" or not meta.fast:
+        raise QueryError(
+            f"{context} field `{field}` must be a fast keyword field")
+
+
+# ---------------------------------------------------------------------------
+# Cursors
+# ---------------------------------------------------------------------------
+
+def encode_cursor(generation: int, returned: int, key: SortKey,
+                  sort_plan: SortPlan, fast: bool) -> str:
+    payload = {
+        "v": CURSOR_VERSION,
+        "gen": generation,
+        "ret": returned,
+        "hash": sort_plan.hash,
+        "fast": fast,
+        "key": key.to_json(),
+    }
+    return json.dumps(payload, separators=(",", ":")).encode().hex()
+
+
+def decode_cursor(raw: str, generation: int, sort_plan: SortPlan,
+                  fast: bool) -> dict:
+    try:
+        payload = json.loads(bytes.fromhex(raw))
+    except (ValueError, json.JSONDecodeError) as e:
+        raise CursorError("invalid cursor") from e
+    if not isinstance(payload, dict) or payload.get("v") != CURSOR_VERSION:
+        raise CursorError("invalid cursor version")
+    if payload.get("gen") != generation:
+        raise CursorError("cursor is stale: index has changed")
+    if payload.get("hash") != sort_plan.hash:
+        raise CursorError("cursor does not match the requested sort")
+    if bool(payload.get("fast")) != fast:
+        raise CursorError("cursor does not match the requested sort")
+    try:
+        key = SortKey.from_json(payload["key"], sort_plan.orders)
+    except (KeyError, TypeError, ValueError) as e:
+        raise CursorError("invalid cursor") from e
+    returned = int(payload.get("ret", 0))
+    if returned > MAX_CURSOR_ADVANCE:
+        raise CursorError("cursor advanced past the pagination limit")
+    return {"key": key, "returned": returned}
+
+
+# ---------------------------------------------------------------------------
+# Reader
+# ---------------------------------------------------------------------------
+
+class IndexReader:
+    def __init__(self, index):
+        self.index = index
+        self.manifest = index.manifest  # snapshot
+        self.schema = self.manifest.schema
+        self.options = index.options
+        self.analysis = self.schema.build_analyzers()
+        self.segments: list[SegmentReader] = [
+            SegmentReader(meta, index.storage)
+            for meta in self.manifest.segments
+        ]
+        self.device_segments: list[DeviceSegment] = [
+            DeviceSegment(seg, i) for i, seg in enumerate(self.segments)
+        ]
+        self.generation = max(
+            (s.generation for s in self.manifest.segments), default=0)
+        self._compiled_cache: dict[str, CompiledQuery] = {}
+
+    # -- term expansion (host, over per-segment dictionaries) ----------------
+
+    def _expand_term_groups(self, groups, fuzzy: Optional[FuzzyOptions]
+                            ) -> tuple[list[QualifiedTerm], list[list[str]]]:
+        qualified: list[QualifiedTerm] = []
+        group_keys: list[list[str]] = []
+        for group in groups:
+            keys: list[str] = []
+            seen_keys: set[str] = set()
+            for fspec in group.fields:
+                target_leaf = (fspec.leaf if fspec.leaf is not None
+                               else group.leaf)
+                weight = group.boost * fspec.boost
+                kind = self.schema.field_kind(fspec.field)
+                if kind == "text":
+                    analyzer = self.analysis.search_analyzer(fspec.field)
+                    if analyzer is None:
+                        continue
+                    if group.expansion == "exact":
+                        tokens = [t.text for t in analyzer.analyze(group.term)]
+                    else:
+                        tokens = [t.text for t in analyzer.analyze(group.term)]
+                        if not tokens:
+                            tokens = [analyzer.normalize_pattern(group.term)]
+                        elif len(tokens) > 1:
+                            # patterns split by analysis fall back to the
+                            # normalized raw pattern
+                            tokens = [analyzer.normalize_pattern(group.term)]
+                    seen_tokens: set[str] = set()
+                    for token in tokens:
+                        if token in seen_tokens:
+                            continue
+                        seen_tokens.add(token)
+                        scored, expanded = self._expand_term_for_group(
+                            fspec.field, token, weight, group.score,
+                            target_leaf, fuzzy, group.expansion,
+                            group.max_expansions)
+                        if group.score:
+                            qualified.extend(scored)
+                        for key in expanded:
+                            if key not in seen_keys:
+                                seen_keys.add(key)
+                                keys.append(key)
+                elif kind == "keyword":
+                    term = group.term.lower()
+                    scored, expanded = self._expand_term_for_group(
+                        fspec.field, term, weight, group.score, target_leaf,
+                        fuzzy, group.expansion, group.max_expansions)
+                    if group.score:
+                        qualified.extend(scored)
+                    for key in expanded:
+                        if key not in seen_keys:
+                            seen_keys.add(key)
+                            keys.append(key)
+            group_keys.append(keys)
+        return qualified, group_keys
+
+    def _terms_with_prefix(self, prefix_key: str):
+        for seg in self.segments:
+            for term, _tid in seg.terms.iter_prefix(prefix_key):
+                yield term
+
+    def _expand_term_for_group(self, field, term, boost, score, leaf, fuzzy,
+                               expansion, max_expansions):
+        key = f"{field}:{term}"
+        leaf_val = leaf if leaf is not None else 0
+        if expansion == "exact":
+            if not score or leaf is None:
+                return [], [key]
+            if fuzzy is None or min(fuzzy.max_edits, 2) == 0:
+                return ([QualifiedTerm(field, term, key, boost, leaf_val)],
+                        [key])
+            return self._expand_fuzzy(field, term, boost, leaf_val, fuzzy)
+        if max_expansions == 0:
+            return [], []
+        if expansion == "prefix":
+            matcher = None
+            literal = term
+        elif expansion == "wildcard":
+            matcher = build_wildcard_regex(term)
+            literal = wildcard_literal_prefix(term)
+        else:  # regex
+            try:
+                matcher = re.compile(f"^(?:{term})$")
+            except re.error as e:
+                raise QueryError(f"invalid regex `{term}`: {e}") from e
+            literal = regex_literal_prefix(term)
+        prefix_key = f"{field}:{literal}"
+        field_prefix_len = len(field) + 1
+        qualified, keys = [], []
+        seen: set[str] = set()
+        for seg in self.segments:
+            expanded = 0
+            for seg_key, _tid in seg.terms.iter_prefix(prefix_key):
+                if expanded >= max_expansions:
+                    break
+                if len(seg_key) <= field_prefix_len:
+                    continue
+                token = seg_key[field_prefix_len:]
+                if matcher is not None and not matcher.match(token):
+                    continue
+                if seg_key in seen:
+                    continue
+                seen.add(seg_key)
+                if score and leaf is not None:
+                    qualified.append(QualifiedTerm(
+                        field, token, seg_key, boost, leaf_val))
+                keys.append(seg_key)
+                expanded += 1
+        return qualified, keys
+
+    def _expand_fuzzy(self, field, term, boost, leaf, fuzzy: FuzzyOptions):
+        exact_key = f"{field}:{term}"
+        qualified = [QualifiedTerm(field, term, exact_key,
+                                   boost * distance_weight(0), leaf)]
+        keys = [exact_key]
+        term_len = len(term)
+        if term_len < fuzzy.min_length or fuzzy.max_expansions == 0:
+            return qualified, keys
+        max_edits = min(fuzzy.max_edits, 2)
+        prefix_len = min(fuzzy.prefix_length, term_len)
+        prefix_key = f"{field}:{term[:prefix_len]}"
+        field_prefix_len = len(field) + 1
+        seen = {exact_key}
+        expansions = 0
+        for seg in self.segments:
+            if expansions >= fuzzy.max_expansions:
+                break
+            for seg_key, _tid in seg.terms.iter_prefix(prefix_key):
+                if expansions >= fuzzy.max_expansions:
+                    break
+                if len(seg_key) <= field_prefix_len:
+                    continue
+                candidate = seg_key[field_prefix_len:]
+                if candidate == term:
+                    continue
+                if abs(len(candidate) - term_len) > max_edits:
+                    continue
+                distance = bounded_levenshtein(term, candidate, max_edits)
+                if distance is None or distance == 0:
+                    continue
+                if seg_key not in seen:
+                    seen.add(seg_key)
+                    qualified.append(QualifiedTerm(
+                        field, candidate, seg_key,
+                        boost * distance_weight(distance), leaf))
+                    keys.append(seg_key)
+                    expansions += 1
+        return qualified, keys
+
+    # -- per-segment dense inputs ---------------------------------------------
+
+    def _segment_query_args(self, dseg: DeviceSegment,
+                            qualified: list[QualifiedTerm],
+                            group_keys: list[list[str]], k1: float, b: float):
+        seg = dseg.reader
+        postings = seg.postings
+        live = float(max(dseg.live_docs, 0))
+
+        merged: dict[tuple[str, int], tuple[str, float]] = {}
+        for qt in qualified:
+            prev = merged.get((qt.key, qt.leaf))
+            merged[(qt.key, qt.leaf)] = (
+                qt.field, (prev[1] if prev else 0.0) + qt.weight)
+
+        q_idx, q_weight, q_leaf, q_field = [], [], [], []
+        postings_touched = 0
+        for (key, leaf), (field, weight) in merged.items():
+            tid = seg.terms.get(key)
+            if tid is None:
+                continue
+            df = float(postings.term_df[tid])
+            idf_w = bm25_idf(df, live) * weight
+            start = int(postings.term_block_start[tid])
+            count = int(postings.term_block_count[tid])
+            fid = dseg.field_id(field)
+            postings_touched += int(df)
+            for blk in range(start, start + count):
+                q_idx.append(blk)
+                q_weight.append(idf_w)
+                q_leaf.append(leaf)
+                q_field.append(fid)
+
+        g_idx, g_group = [], []
+        for g, keys in enumerate(group_keys):
+            for key in keys:
+                tid = seg.terms.get(key)
+                if tid is None:
+                    continue
+                start = int(postings.term_block_start[tid])
+                count = int(postings.term_block_count[tid])
+                for blk in range(start, start + count):
+                    g_idx.append(blk)
+                    g_group.append(g)
+
+        def pad(arr, size, fill, dtype):
+            out = np.full(size, fill, dtype=dtype)
+            out[:len(arr)] = arr
+            return out
+
+        qb = next_pow2(max(len(q_idx), 1))
+        gb = next_pow2(max(len(g_idx), 1))
+        q_valid = np.zeros(qb, dtype=bool)
+        q_valid[:len(q_idx)] = True
+        g_valid = np.zeros(gb, dtype=bool)
+        g_valid[:len(g_idx)] = True
+        return {
+            "q_idx": pad(q_idx, qb, 0, np.int32),
+            "q_weight": pad(q_weight, qb, 0.0, np.float32),
+            "q_leaf": pad(q_leaf, qb, 0, np.int32),
+            "q_field": pad(q_field, qb, 0, np.int32),
+            "q_valid": q_valid,
+            "g_idx": pad(g_idx, gb, 0, np.int32),
+            "g_group": pad(g_group, gb, 0, np.int32),
+            "g_valid": g_valid,
+            "n_scored": len(q_idx),
+            "postings_touched": postings_touched,
+        }
+
+    def _segment_phrase_masks(self, seg: SegmentReader, phrase_specs
+                              ) -> np.ndarray:
+        n1 = seg.doc_count + 1
+        masks = np.zeros((max(len(phrase_specs), 1), n1), dtype=bool)
+        for p_idx, spec in enumerate(phrase_specs):
+            for field in spec.fields:
+                if self.schema.field_kind(field) != "text":
+                    continue
+                analyzer = self.analysis.search_analyzer(field)
+                if analyzer is None:
+                    continue
+                tokens = analyzer.analyze(" ".join(spec.terms))
+                if not tokens:
+                    continue
+                # variants per position (synonyms share a position)
+                by_pos: dict[int, list[str]] = {}
+                for tok in tokens:
+                    by_pos.setdefault(tok.position, []).append(tok.text)
+                positions = [by_pos[p] for p in sorted(by_pos)]
+                # per position: doc -> merged sorted position array
+                per_pos_docs: list[dict[int, np.ndarray]] = []
+                ok = True
+                for variants in positions:
+                    docs_map: dict[int, list[np.ndarray]] = {}
+                    for text in variants:
+                        tid = seg.terms.get(f"{field}:{text}")
+                        if tid is None:
+                            continue
+                        docs, _tfs = seg.postings.term_postings(tid)
+                        for posting_idx, doc in enumerate(docs.tolist()):
+                            pos = seg.postings.positions(tid, posting_idx)
+                            docs_map.setdefault(doc, []).append(pos)
+                    if not docs_map:
+                        ok = False
+                        break
+                    per_pos_docs.append({
+                        doc: np.sort(np.concatenate(lists))
+                        for doc, lists in docs_map.items()
+                    })
+                if not ok or not per_pos_docs:
+                    continue
+                candidates = set(per_pos_docs[0])
+                for m in per_pos_docs[1:]:
+                    candidates &= set(m)
+                for doc in candidates:
+                    plists = [m[doc] for m in per_pos_docs]
+                    if matches_phrase(plists, spec.slop):
+                        masks[p_idx, doc] = True
+        return masks
+
+    def _segment_filter_masks(self, seg: SegmentReader, filter_slots
+                              ) -> np.ndarray:
+        n1 = seg.doc_count + 1
+        masks = np.zeros((max(len(filter_slots), 1), n1), dtype=bool)
+        for i, filters in enumerate(filter_slots):
+            masks[i, :seg.doc_count] = compute_filters_mask(
+                seg.fast, list(filters))
+        return masks
+
+    def _segment_columns(self, seg: SegmentReader, columns: list[str]):
+        n1 = seg.doc_count + 1
+        vals = np.zeros((max(len(columns), 1), n1), dtype=np.float32)
+        has = np.zeros((max(len(columns), 1), n1), dtype=bool)
+        for i, field in enumerate(columns):
+            col = seg.fast.column(field)
+            if col is None:
+                continue
+            present = np.diff(col.offsets) > 0
+            first_idx = col.offsets[:-1][present]
+            vals[i, :seg.doc_count][present] = \
+                col.values[first_idx].astype(np.float32)
+            has[i, :seg.doc_count] = present
+        return vals, has
+
+    # -- main entry --------------------------------------------------------------
+
+    def search(self, req) -> SearchResult:
+        if isinstance(req, dict):
+            req = SearchRequest.from_json(req)
+        if req.limit <= 0:
+            raise QueryError("search request must set limit > 0")
+        if not req.return_hits and req.cursor is not None:
+            raise QueryError(
+                "cursor is not supported when return_hits is false")
+        if req.collapse is not None:
+            ensure_keyword_fast(self.schema, req.collapse.field, "collapse")
+        if req.filter is not None:
+            validate_filter(self.schema, req.filter)
+
+        sort_plan = SortPlan.from_request(self.schema, req.sort)
+        score_fast_path = (sort_plan.is_score_only()
+                           and sort_plan.primary_order() == "desc")
+        cursor_state = None
+        if req.cursor is not None:
+            cursor_state = decode_cursor(
+                req.cursor, self.generation, sort_plan, score_fast_path)
+        cursor_key = cursor_state["key"] if cursor_state else None
+        cursor_returned = cursor_state["returned"] if cursor_state else 0
+
+        default_fields = (req.fields if req.fields is not None
+                          else [f.name for f in self.schema.text_fields])
+
+        base_candidate = min(
+            max(req.candidate_size or req.limit, req.limit),
+            MAX_CANDIDATE_SIZE)
+        effective_limit = base_candidate
+        top_k = (effective_limit + 1) if req.return_hits else 0
+
+        plan = build_query_plan(
+            req.query, default_fields)
+        k1, b = self.options.bm25_k1, self.options.bm25_b
+        compiled = self._compile(plan, k1, b)
+
+        qualified, group_keys = self._expand_term_groups(
+            plan.term_groups, req.fuzzy)
+        highlight_terms: list[str] = []
+        seen_hl: set[str] = set()
+        for qt in qualified:
+            if qt.term not in seen_hl:
+                seen_hl.add(qt.term)
+                highlight_terms.append(qt.term)
+        highlight_phrases = self._phrase_term_map(plan.phrase_specs)
+
+        need_scores = sort_plan.uses_score() or compiled.needs_hook \
+            or req.explain
+        has_scored = bool(qualified)
+
+        from searchlite_tpu.query.aggs import (
+            AggregationPipeline,
+            validate_aggregations,
+        )
+
+        validate_aggregations(self.schema, req.aggs)
+        agg_pipeline = (AggregationPipeline(req.aggs, highlight_terms,
+                                            self.schema)
+                        if req.aggs else None)
+
+        start_time = time.monotonic()
+        all_hits: list[RankedHit] = []
+        total_matches = 0
+        saw_cursor = cursor_state is None
+        agg_results = []
+        stats = {"scored_docs": 0, "candidates_examined": 0,
+                 "postings_advanced": 0}
+
+        import jax.numpy as jnp
+
+        for dseg in self.device_segments:
+            seg = dseg.reader
+            if seg.doc_count == 0:
+                if agg_pipeline is not None:
+                    agg_results.append(agg_pipeline.empty_intermediate())
+                continue
+            qargs = self._segment_query_args(dseg, qualified, group_keys,
+                                             k1, b)
+            phrase_masks = self._segment_phrase_masks(seg, plan.phrase_specs)
+            filter_masks = self._segment_filter_masks(
+                seg, compiled.filter_slots)
+            col_vals, col_has = self._segment_columns(seg, compiled.columns)
+            root_mask = np.ones(dseg.n1, dtype=bool)
+            if req.filter is not None:
+                root_mask[:seg.doc_count] = compute_filters_mask(
+                    seg.fast, [req.filter])
+                root_mask[seg.doc_count] = False
+
+            use_cursor = (cursor_key is not None and score_fast_path)
+            if use_cursor:
+                cs = float(cursor_key.parts[0])
+                if dseg.ord < cursor_key.segment_ord:
+                    eq_mode, cdoc = 0, 0
+                elif dseg.ord == cursor_key.segment_ord:
+                    eq_mode, cdoc = 1, cursor_key.doc_id
+                else:
+                    eq_mode, cdoc = 2, 0
+            else:
+                cs, eq_mode, cdoc = 0.0, 2, 0
+
+            k = min(max(top_k, 1), dseg.n1)
+            run = compiled.executor()
+            (top_scores, top_idx, match_count, final_mask, adjusted,
+             cursor_seen) = run(
+                dseg.block_docs, dseg.block_tfs, dseg.doc_len, dseg.avgdl,
+                dseg.deleted,
+                jnp.asarray(qargs["q_idx"]), jnp.asarray(qargs["q_weight"]),
+                jnp.asarray(qargs["q_leaf"]), jnp.asarray(qargs["q_field"]),
+                jnp.asarray(qargs["q_valid"]),
+                jnp.asarray(qargs["g_idx"]), jnp.asarray(qargs["g_group"]),
+                jnp.asarray(qargs["g_valid"]),
+                jnp.asarray(phrase_masks), jnp.asarray(filter_masks),
+                jnp.asarray(col_vals), jnp.asarray(col_has),
+                jnp.asarray(root_mask),
+                jnp.float32(cs), jnp.int32(eq_mode), jnp.int32(cdoc),
+                k=k, has_scored_terms=has_scored, need_scores=need_scores,
+                use_cursor=use_cursor)
+
+            stats["postings_advanced"] += qargs["postings_touched"]
+
+            needs_mask_host = (agg_pipeline is not None
+                               or not score_fast_path
+                               or req.collapse is not None)
+            mask_np = None
+            if needs_mask_host:
+                mask_np = np.array(final_mask)[:seg.doc_count]
+
+            if use_cursor and bool(cursor_seen):
+                saw_cursor = True
+
+            if score_fast_path:
+                total_matches += int(match_count)
+                stats["scored_docs"] += int(match_count)
+                stats["candidates_examined"] += int(match_count)
+                if req.return_hits:
+                    scores_np = np.asarray(top_scores)
+                    idx_np = np.asarray(top_idx)
+                    valid = scores_np > -np.inf
+                    for score, doc in zip(scores_np[valid].tolist(),
+                                          idx_np[valid].tolist()):
+                        key = SortKey([float(score)], sort_plan.orders,
+                                      dseg.ord, int(doc))
+                        all_hits.append(RankedHit(key=key,
+                                                  score=float(score)))
+            else:
+                # general path: build keys for all matched docs host-side
+                matched = np.flatnonzero(mask_np)
+                scores_np = None
+                if need_scores:
+                    scores_np = np.asarray(adjusted)
+                seg_hits: list[RankedHit] = []
+                for doc in matched.tolist():
+                    score = float(scores_np[doc]) if scores_np is not None \
+                        else 0.0
+                    key = sort_plan.build_key(seg.fast, doc, score, dseg.ord)
+                    if cursor_key is not None:
+                        cmp = key._cmp(cursor_key)
+                        if cmp == 0:
+                            saw_cursor = True
+                        if cmp <= 0:
+                            mask_np[doc] = False
+                            continue
+                    total_matches += 1
+                    if req.return_hits:
+                        seg_hits.append(RankedHit(key=key, score=score))
+                stats["scored_docs"] += len(matched)
+                stats["candidates_examined"] += len(matched)
+                all_hits.extend(seg_hits)
+
+            if agg_pipeline is not None:
+                agg_results.append(agg_pipeline.collect_segment(
+                    seg, dseg.ord, np.flatnonzero(mask_np)))
+
+        if not saw_cursor:
+            raise CursorError("stale or invalid cursor for this result set")
+
+        hits = all_hits
+        if req.return_hits:
+            hits.sort(key=lambda h: _KeyWrap(h.key))
+        search_ms = (time.monotonic() - start_time) * 1000.0
+
+        timings: dict[str, float] = {}
+        rescore_stats = {"scored_docs": 0, "candidates_examined": 0,
+                         "postings_advanced": 0}
+        if req.return_hits and req.rescore is not None:
+            t0 = time.monotonic()
+            self._rescore_hits(hits, req.rescore, default_fields, sort_plan,
+                               req, rescore_stats)
+            timings["rescore_ms"] = (time.monotonic() - t0) * 1000.0
+
+        if req.explain:
+            for h in hits:
+                if h.explanation is None:
+                    h.explanation = {
+                        "base_score": h.score,
+                        "functions": [],
+                        "rescore": None,
+                        "final_score": h.score,
+                    }
+                else:
+                    h.explanation["final_score"] = h.score
+
+        total_hits_value = total_matches + cursor_returned
+        total_groups = None
+        group_inner: list[list[RankedHit]] = []
+        if req.return_hits and req.collapse is not None:
+            groups = self._collapse_hits(hits, req.collapse, sort_plan)
+            total_groups = len(groups)
+            group_inner = [inner for _top, inner in groups]
+            hits = [top for top, _inner in groups]
+
+        next_cursor = None
+        out_hits: list[Hit] = []
+        if req.return_hits:
+            if len(hits) > req.limit:
+                last = hits[req.limit - 1]
+                returned = cursor_returned + req.limit
+                next_cursor = encode_cursor(
+                    self.generation, returned, last.key, sort_plan,
+                    score_fast_path)
+                hits = hits[:req.limit]
+                group_inner = group_inner[:req.limit]
+            for i, h in enumerate(hits):
+                hit = self._materialize_hit(h, req, highlight_terms,
+                                            highlight_phrases)
+                if hit is None:
+                    continue
+                if group_inner and i < len(group_inner) and group_inner[i]:
+                    inner_hits = [
+                        ih for rh in group_inner[i]
+                        if (ih := self._materialize_hit(
+                            rh, req, highlight_terms,
+                            highlight_phrases)) is not None
+                    ]
+                    if inner_hits:
+                        hit.inner_hits = inner_hits
+                out_hits.append(hit)
+
+        aggregations = {}
+        if agg_pipeline is not None:
+            aggregations = agg_pipeline.merge_and_finalize(agg_results)
+
+        suggest = {}
+        if req.suggest:
+            suggest = self._execute_suggest(req.suggest)
+
+        profile = None
+        if req.profile:
+            timings["search_ms"] = search_ms
+            profile = {
+                "execution": dict(stats),
+                "rescore": dict(rescore_stats) if req.rescore else None,
+                "timings": timings,
+            }
+
+        return SearchResult(
+            total_hits_estimate=total_hits_value,
+            total_groups=total_groups,
+            hits=out_hits,
+            next_cursor=next_cursor,
+            aggregations=aggregations,
+            suggest=suggest,
+            profile=profile,
+        )
+
+    def _compile(self, plan: QueryPlan, k1: float, b: float) -> CompiledQuery:
+        # cache by structural identity of the plan; plans are rebuilt per
+        # request, so key on a structural signature
+        sig = repr((_plan_sig(plan), k1, b))
+        cq = self._compiled_cache.get(sig)
+        if cq is None:
+            cq = CompiledQuery(plan, self.schema, k1, b)
+            self._compiled_cache[sig] = cq
+        return cq
+
+    def _phrase_term_map(self, phrase_specs) -> dict[str, list[list[str]]]:
+        out: dict[str, list[list[str]]] = {}
+        for spec in phrase_specs:
+            for field in spec.fields:
+                out.setdefault(field, []).append(list(spec.terms))
+        return out
+
+    # -- rescore ------------------------------------------------------------------
+
+    def _rescore_hits(self, hits: list[RankedHit], rescore_req,
+                      default_fields, sort_plan, req, stats) -> None:
+        if not hits or rescore_req.window_size == 0:
+            return
+        window = min(rescore_req.window_size, len(hits))
+        plan = build_query_plan(rescore_req.query, default_fields)
+        compiled = self._compile(plan, self.options.bm25_k1,
+                                 self.options.bm25_b)
+        qualified, group_keys = self._expand_term_groups(
+            plan.term_groups, req.fuzzy)
+        has_scored = bool(qualified)
+
+        import jax.numpy as jnp
+
+        # run the rescore query per involved segment; gather scores+masks
+        seg_scores: dict[int, np.ndarray] = {}
+        seg_masks: dict[int, np.ndarray] = {}
+        involved = {h.key.segment_ord for h in hits[:window]}
+        for dseg in self.device_segments:
+            if dseg.ord not in involved or dseg.reader.doc_count == 0:
+                continue
+            seg = dseg.reader
+            qargs = self._segment_query_args(
+                dseg, qualified, group_keys,
+                self.options.bm25_k1, self.options.bm25_b)
+            phrase_masks = self._segment_phrase_masks(seg, plan.phrase_specs)
+            filter_masks = self._segment_filter_masks(
+                seg, compiled.filter_slots)
+            col_vals, col_has = self._segment_columns(seg, compiled.columns)
+            root_mask = np.ones(dseg.n1, dtype=bool)
+            run = compiled.executor()
+            (_ts, _ti, _mc, final_mask, adjusted, _cs) = run(
+                dseg.block_docs, dseg.block_tfs, dseg.doc_len, dseg.avgdl,
+                dseg.deleted,
+                jnp.asarray(qargs["q_idx"]), jnp.asarray(qargs["q_weight"]),
+                jnp.asarray(qargs["q_leaf"]), jnp.asarray(qargs["q_field"]),
+                jnp.asarray(qargs["q_valid"]),
+                jnp.asarray(qargs["g_idx"]), jnp.asarray(qargs["g_group"]),
+                jnp.asarray(qargs["g_valid"]),
+                jnp.asarray(phrase_masks), jnp.asarray(filter_masks),
+                jnp.asarray(col_vals), jnp.asarray(col_has),
+                jnp.asarray(root_mask),
+                jnp.float32(0.0), jnp.int32(2), jnp.int32(0),
+                k=1, has_scored_terms=has_scored, need_scores=True,
+                use_cursor=False)
+            seg_scores[dseg.ord] = np.asarray(adjusted)
+            seg_masks[dseg.ord] = np.asarray(final_mask)
+            stats["postings_advanced"] += qargs["postings_touched"]
+
+        mode = rescore_req.score_mode
+        for h in hits[:window]:
+            ord_, doc = h.key.segment_ord, h.key.doc_id
+            mask = seg_masks.get(ord_)
+            if mask is None or not mask[doc]:
+                continue
+            rescore_score = float(seg_scores[ord_][doc])
+            stats["scored_docs"] += 1
+            orig = h.score
+            if mode in ("total", "sum"):
+                combined = orig + rescore_score
+            elif mode == "multiply":
+                combined = orig * rescore_score
+            elif mode == "max":
+                combined = max(orig, rescore_score)
+            else:
+                combined = min(orig, rescore_score)
+            h.score = combined
+            if h.explanation is not None:
+                h.explanation["rescore"] = {
+                    "rescore_score": rescore_score,
+                    "combined_score": combined,
+                }
+            elif req.explain:
+                h.explanation = {
+                    "base_score": orig,
+                    "functions": [],
+                    "rescore": {"rescore_score": rescore_score,
+                                "combined_score": combined},
+                    "final_score": combined,
+                }
+            # update score-part of the key so re-sorting reflects rescore
+            if sort_plan.uses_score():
+                parts = list(h.key.parts)
+                for i, f in enumerate(sort_plan.fields):
+                    if f.kind == "score":
+                        parts[i] = combined
+                h.key = SortKey(parts, h.key.orders, h.key.segment_ord,
+                                h.key.doc_id)
+        hits[:window] = sorted(hits[:window], key=lambda h: _KeyWrap(h.key))
+
+    # -- collapse -----------------------------------------------------------------
+
+    def _collapse_hits(self, hits: list[RankedHit], collapse, sort_plan
+                       ) -> list[tuple[RankedHit, list[RankedHit]]]:
+        field = collapse.field
+        groups: dict[Any, tuple[RankedHit, list[RankedHit]]] = {}
+        order: list[Any] = []
+        for h in hits:
+            seg = self.segments[h.key.segment_ord]
+            col = seg.fast.column(field)
+            if col is not None and col.is_list:
+                raise QueryError(
+                    f"collapse field `{field}` must be single-valued")
+            values = seg.fast.str_values(field, h.key.doc_id)
+            group_key = values[0] if values else None
+            if group_key not in groups:
+                groups[group_key] = (h, [])
+                order.append(group_key)
+            else:
+                groups[group_key][1].append(h)
+        out = []
+        for group_key in order:
+            top, inner = groups[group_key]
+            if collapse.inner_hits is not None:
+                ih = collapse.inner_hits
+                if ih.sort:
+                    inner_plan = SortPlan.from_request(self.schema, ih.sort)
+                    rekeyed = [
+                        RankedHit(
+                            key=inner_plan.build_key(
+                                self.segments[x.key.segment_ord].fast,
+                                x.key.doc_id, x.score, x.key.segment_ord),
+                            score=x.score, explanation=x.explanation)
+                        for x in inner
+                    ]
+                    rekeyed.sort(key=lambda h: _KeyWrap(h.key))
+                    inner = rekeyed
+                start = ih.from_
+                size = ih.size if ih.size is not None else 3
+                inner = inner[start:start + size]
+            else:
+                inner = []
+            out.append((top, inner))
+        return out
+
+    # -- suggest ------------------------------------------------------------------
+
+    def _execute_suggest(self, suggest_reqs) -> dict:
+        out = {}
+        for name, sreq in suggest_reqs.items():
+            if self.schema.field_kind(sreq.field) not in ("text", "keyword"):
+                raise QueryError(
+                    f"suggest field `{sreq.field}` must be text or keyword")
+            analyzer = self.analysis.search_analyzer(sreq.field)
+            prefix = sreq.prefix
+            if analyzer is not None:
+                prefix = analyzer.normalize_pattern(prefix)
+            else:
+                prefix = prefix.lower()
+            candidates: dict[str, float] = {}
+            doc_freqs: dict[str, int] = {}
+            field_prefix_len = len(sreq.field) + 1
+
+            def consider(term: str, seg, tid):
+                _docs, tfs = seg.postings.term_postings(tid)
+                score = float(tfs.sum())
+                candidates[term] = candidates.get(term, 0.0) + score
+                doc_freqs[term] = doc_freqs.get(term, 0) + \
+                    int(seg.postings.term_df[tid])
+
+            for seg in self.segments:
+                scanned = 0
+                for key, tid in seg.terms.iter_prefix(
+                        f"{sreq.field}:{prefix}"):
+                    if scanned >= MAX_SUGGEST_CANDIDATES:
+                        break
+                    term = key[field_prefix_len:]
+                    consider(term, seg, tid)
+                    scanned += 1
+            if sreq.fuzzy is not None and len(candidates) < sreq.size:
+                max_edits = min(sreq.fuzzy.max_edits, 2)
+                plen = min(sreq.fuzzy.prefix_length, len(prefix))
+                for seg in self.segments:
+                    scanned = 0
+                    for key, tid in seg.terms.iter_prefix(
+                            f"{sreq.field}:{prefix[:plen]}"):
+                        if scanned >= MAX_SUGGEST_CANDIDATES:
+                            break
+                        term = key[field_prefix_len:]
+                        scanned += 1
+                        if term in candidates:
+                            continue
+                        candidate_prefix = term[:len(prefix)]
+                        if bounded_levenshtein(
+                                prefix, candidate_prefix,
+                                max_edits) is not None:
+                            consider(term, seg, tid)
+            ranked = sorted(candidates.items(),
+                            key=lambda kv: (-kv[1], kv[0]))[:sreq.size]
+            out[name] = {
+                "options": [
+                    {"text": term, "score": score,
+                     "doc_freq": doc_freqs.get(term, 0)}
+                    for term, score in ranked
+                ]
+            }
+        return out
+
+    # -- hit materialization --------------------------------------------------------
+
+    def _materialize_hit(self, ranked: RankedHit, req,
+                         highlight_terms: list[str],
+                         phrase_terms: dict) -> Optional[Hit]:
+        seg = self.segments[ranked.key.segment_ord]
+        doc = ranked.key.doc_id
+        if doc >= seg.doc_count:
+            return None
+        doc_id_str = seg.doc_id(doc)
+        need_doc = (req.return_stored or req.highlight_field is not None
+                    or req.highlight is not None)
+        doc_cache = None
+        if need_doc:
+            try:
+                doc_cache = seg.get_doc(doc)
+            except Exception:  # noqa: BLE001
+                doc_cache = None
+
+        snippet = None
+        if req.highlight_field is not None and doc_cache is not None:
+            text_val = doc_cache.get(req.highlight_field)
+            if isinstance(text_val, str):
+                phrases = self._normalize_phrases(
+                    phrase_terms.get(req.highlight_field, []),
+                    req.highlight_field)
+                snippet = make_snippet(text_val, highlight_terms, phrases)
+
+        highlights = None
+        if req.highlight is not None and doc_cache is not None:
+            highlights = {}
+            for field, opts in req.highlight.fields.items():
+                text_val = doc_cache.get(field)
+                if not isinstance(text_val, str):
+                    continue
+                analyzer = self.analysis.search_analyzer(field)
+                if analyzer is not None:
+                    seen = set()
+                    terms = []
+                    for term in highlight_terms:
+                        for tok in analyzer.analyze(term):
+                            if tok.text not in seen:
+                                seen.add(tok.text)
+                                terms.append(tok.text)
+                else:
+                    terms = list(highlight_terms)
+                phrases = self._normalize_phrases(
+                    phrase_terms.get(field, []), field)
+                frags = highlight_fragments(
+                    text_val, terms, phrases,
+                    HighlightOptions(opts.pre_tag, opts.post_tag,
+                                     opts.fragment_size,
+                                     opts.number_of_fragments))
+                if frags:
+                    highlights[field] = frags
+            if not highlights:
+                highlights = None
+
+        return Hit(
+            doc_id=doc_id_str,
+            score=ranked.score,
+            vector_score=ranked.vector_score,
+            fields=doc_cache if req.return_stored else None,
+            snippet=snippet,
+            explanation=ranked.explanation,
+            highlights=highlights,
+        )
+
+    def _normalize_phrases(self, phrases: list[list[str]],
+                           field: str) -> list[list[str]]:
+        analyzer = self.analysis.search_analyzer(field)
+        if analyzer is None:
+            return phrases
+        out = []
+        for phrase in phrases:
+            tokens = analyzer.analyze(" ".join(phrase))
+            if tokens:
+                out.append([t.text for t in tokens])
+        return out
+
+
+class _KeyWrap:
+    """functools-friendly comparison wrapper around SortKey."""
+
+    __slots__ = ("key",)
+
+    def __init__(self, key: SortKey):
+        self.key = key
+
+    def __lt__(self, other):
+        return self.key._cmp(other.key) < 0
+
+
+def _plan_sig(plan: QueryPlan) -> str:
+    def matcher_sig(m) -> str:
+        if m.kind in ("term", "phrase"):
+            return f"{m.kind}{m.payload}"
+        if m.kind == "match_all":
+            return "all"
+        if m.kind == "query_string":
+            p = m.payload
+            return (f"qs({p['term_groups']},{p['phrase_groups']},"
+                    f"{p['not_term_groups']},{p['minimum_should_match']})")
+        if m.kind == "dis_max":
+            return "dm(" + ",".join(matcher_sig(c) for c in m.payload) + ")"
+        p = m.payload
+        return ("bool(" + ",".join(matcher_sig(c) for c in p["must"]) + ";"
+                + ",".join(matcher_sig(c) for c in p["should"]) + ";"
+                + ",".join(matcher_sig(c) for c in p["must_not"]) + ";"
+                + json.dumps([f.to_json() for f in p["filter"]],
+                             sort_keys=True)
+                + f";{p['minimum_should_match']})")
+
+    def node_sig(n) -> str:
+        base = f"{n.kind}[{n.expr.signature() if n.expr else ''}]"
+        if n.params:
+            safe = {k: v for k, v in n.params.items()
+                    if k not in ("matcher", "base")}
+            try:
+                base += json.dumps(safe, sort_keys=True, default=repr)
+            except TypeError:
+                base += repr(sorted(safe))
+            if "matcher" in n.params:
+                base += matcher_sig(n.params["matcher"])
+            if "base" in n.params:
+                base += node_sig(n.params["base"])
+        return base + "(" + ",".join(node_sig(c) for c in n.children) + ")"
+
+    scorer_sig = plan.scorer.signature() if plan.scorer else "-"
+    return (f"{matcher_sig(plan.matcher)}|{scorer_sig}|"
+            f"{node_sig(plan.score_tree)}|{plan.leaf_count}|"
+            f"{len(plan.term_groups)}|{len(plan.phrase_specs)}")

@@ -416,34 +416,36 @@ class SearchRequest:
 @dataclass
 class Hit:
     doc_id: str
-    score: Optional[float]
+    score: float
+    vector_score: Optional[float] = None
     fields: Optional[dict] = None
     snippet: Optional[str] = None
-    highlights: Optional[dict[str, list[str]]] = None
-    sort: Optional[list] = None
-    inner_hits: Optional[list] = None
     explanation: Optional[dict] = None
+    highlights: Optional[dict[str, list[str]]] = None
+    inner_hits: Optional[list] = None
 
     def to_json(self) -> dict:
-        out: dict[str, Any] = {"doc_id": self.doc_id, "score": self.score}
-        if self.fields is not None:
-            out["fields"] = self.fields
-        if self.snippet is not None:
-            out["snippet"] = self.snippet
-        if self.highlights is not None:
-            out["highlights"] = self.highlights
-        if self.sort is not None:
-            out["sort"] = self.sort
-        if self.inner_hits is not None:
-            out["inner_hits"] = self.inner_hits
+        out: dict[str, Any] = {
+            "doc_id": self.doc_id,
+            "score": self.score,
+            "fields": self.fields,
+            "snippet": self.snippet,
+        }
+        if self.vector_score is not None:
+            out["vector_score"] = self.vector_score
         if self.explanation is not None:
             out["explanation"] = self.explanation
+        if self.highlights is not None:
+            out["highlights"] = self.highlights
+        if self.inner_hits is not None:
+            out["inner_hits"] = [h.to_json() for h in self.inner_hits]
         return out
 
 
 @dataclass
 class SearchResult:
-    total_hits: int
+    total_hits_estimate: int
+    total_groups: Optional[int] = None
     hits: list[Hit] = dc_field(default_factory=list)
     next_cursor: Optional[str] = None
     aggregations: dict[str, Any] = dc_field(default_factory=dict)
@@ -452,9 +454,11 @@ class SearchResult:
 
     def to_json(self) -> dict:
         out: dict[str, Any] = {
-            "total_hits": self.total_hits,
+            "total_hits_estimate": self.total_hits_estimate,
             "hits": [h.to_json() for h in self.hits],
         }
+        if self.total_groups is not None:
+            out["total_groups"] = self.total_groups
         if self.next_cursor is not None:
             out["next_cursor"] = self.next_cursor
         if self.aggregations:

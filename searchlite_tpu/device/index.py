@@ -1,0 +1,76 @@
+"""DeviceSegment: one segment's postings resident in HBM.
+
+The TPU-side mirror of a ``SegmentReader``. Each segment uploads once at
+reader open (segments are immutable, so commits only upload the new
+segment — the incremental-write story mirrors the reference's segment
+model):
+
+- ``block_docs [B,128] int32`` — doc ordinals; padding remapped from -1
+  to the sentinel ordinal ``n_docs`` so scatters land in a dead slot of
+  the ``n_docs+1``-wide score arrays.
+- ``block_tfs [B,128] float32``
+- ``doc_len [n_len_fields, n_docs+1] float32`` — per-field BM25 doc
+  lengths (from the ``_len:{field}`` fast columns).
+- ``avgdl [n_len_fields]``, ``deleted [n_docs+1] bool``.
+
+Scoring gathers query-term block ranges out of these arrays and
+scatter-adds BM25 partials into dense per-leaf score rows (see
+``ops/score.py``). Scoring uses segment-local df / live-doc count /
+avgdl, matching the reference's per-segment semantics
+(`api/reader.rs:2985-3002`).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from searchlite_tpu.index.segment import SegmentReader
+
+
+class DeviceSegment:
+    def __init__(self, reader: SegmentReader, segment_ord: int, jnp=None):
+        if jnp is None:
+            import jax.numpy as jnp  # noqa: PLC0415
+        self.reader = reader
+        self.ord = segment_ord
+        self.n_docs = reader.doc_count
+        self.n1 = self.n_docs + 1  # +1 sentinel slot
+
+        postings = reader.postings
+        bd = postings.block_docs
+        if bd.shape[0] == 0:
+            bd = np.full((1, 128), -1, dtype=np.int32)
+            bt = np.zeros((1, 128), dtype=np.float32)
+        else:
+            bt = postings.block_tfs
+        self.block_docs = jnp.asarray(
+            np.where(bd < 0, self.n_docs, bd).astype(np.int32))
+        self.block_tfs = jnp.asarray(bt)
+
+        # doc-length matrix over fields that have _len columns
+        len_fields = sorted(
+            name[len("_len:"):] for name in reader.fast.columns
+            if name.startswith("_len:"))
+        self.len_field_ids = {f: i for i, f in enumerate(len_fields)}
+        n_fields = max(len(len_fields), 1)
+        doc_len = np.zeros((n_fields, self.n1), dtype=np.float32)
+        avgdl = np.zeros(n_fields, dtype=np.float32)
+        for field, fid in self.len_field_ids.items():
+            col = reader.fast.column(f"_len:{field}")
+            if col is not None and len(col.values):
+                doc_len[fid, col.row_ids] = col.values.astype(np.float32)
+            avgdl[fid] = np.float32(reader.avg_field_length(field))
+        self.doc_len = jnp.asarray(doc_len)
+        self.avgdl = jnp.asarray(avgdl)
+
+        deleted = np.zeros(self.n1, dtype=bool)
+        deleted[self.n1 - 1] = True  # sentinel slot never matches
+        for d in reader.deleted:
+            if 0 <= d < self.n_docs:
+                deleted[d] = True
+        self.deleted = jnp.asarray(deleted)
+        self.deleted_np = deleted
+        self.live_docs = int(self.n_docs - len(reader.deleted))
+
+    def field_id(self, field: str) -> int:
+        return self.len_field_ids.get(field, 0)

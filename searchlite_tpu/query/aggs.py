@@ -1,0 +1,1312 @@
+"""Aggregations: bucket/metric/pipeline collectors over fast fields.
+
+Functional parity targets searchlite-core `query/aggs/mod.rs` (3.6k LoC).
+Execution model mirrors the reference: per-segment collection over the
+matched-doc set → per-segment intermediates → cross-segment merge →
+finalize → pipeline aggs applied on the final bucket tree
+(`aggs/mod.rs:377-444, 2049-2814`). Collection here is vectorized where
+possible (numpy over the matched-ordinal array + CSR columns); the
+cross-shard merge of intermediates is the semantic contract the future
+ICI psum path must preserve.
+
+Response wire shapes match `api/types.rs::AggregationResponse`
+(internally tagged with ``type``).
+
+Implemented: terms, significant_terms, rare_terms, range, histogram,
+filter, stats, extended_stats, value_count, cardinality, percentiles,
+percentile_ranks, top_hits, date_range, date_histogram, composite,
+bucket pipelines (bucket_sort, avg_bucket, sum_bucket, derivative,
+moving_avg, bucket_script), sampling.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from dataclasses import dataclass, field as dc_field
+from typing import Any, Optional
+
+import numpy as np
+
+from searchlite_tpu.api.types import Filter
+from searchlite_tpu.errors import QueryError
+from searchlite_tpu.query import datetime_util as dtu
+from searchlite_tpu.query.filters import passes_filter
+
+BUCKET_AGGS = frozenset((
+    "terms", "significant_terms", "rare_terms", "range", "date_range",
+    "histogram", "date_histogram", "filter", "composite",
+))
+METRIC_AGGS = frozenset((
+    "stats", "extended_stats", "value_count", "cardinality", "percentiles",
+    "percentile_ranks", "top_hits",
+))
+PIPELINE_AGGS = frozenset((
+    "bucket_sort", "avg_bucket", "sum_bucket", "derivative", "moving_avg",
+    "bucket_script",
+))
+
+
+def agg_kind(spec: dict) -> str:
+    kind = spec.get("type")
+    if kind not in BUCKET_AGGS | METRIC_AGGS | PIPELINE_AGGS:
+        raise QueryError(f"unknown aggregation type `{kind}`")
+    return kind
+
+
+def validate_aggregations(schema, aggs: dict) -> None:
+    for name, spec in (aggs or {}).items():
+        if not isinstance(spec, dict):
+            raise QueryError(f"aggregation `{name}` must be an object")
+        kind = agg_kind(spec)
+        field = spec.get("field")
+        if kind in ("stats", "extended_stats", "percentiles",
+                    "percentile_ranks", "histogram", "date_histogram"):
+            meta = schema.field_meta(field) if field else None
+            if meta is None or meta.kind != "numeric" or not meta.fast:
+                if kind == "date_histogram" and meta is not None \
+                        and meta.kind == "keyword" and meta.fast:
+                    pass  # date strings in keyword fast fields are allowed
+                else:
+                    raise QueryError(
+                        f"aggregation `{name}` field `{field}` must be a "
+                        "numeric fast field")
+        elif kind in ("terms", "significant_terms", "rare_terms",
+                      "cardinality"):
+            meta = schema.field_meta(field) if field else None
+            if meta is None or not meta.fast:
+                raise QueryError(
+                    f"aggregation `{name}` field `{field}` must be a fast "
+                    "field")
+        elif kind in ("range", "date_range"):
+            meta = schema.field_meta(field) if field else None
+            if kind == "range" and (meta is None or meta.kind != "numeric"
+                                    or not meta.fast):
+                raise QueryError(
+                    f"aggregation `{name}` field `{field}` must be a "
+                    "numeric fast field")
+        elif kind == "value_count":
+            meta = schema.field_meta(field) if field else None
+            if meta is None or not meta.fast:
+                raise QueryError(
+                    f"aggregation `{name}` field `{field}` must be a fast "
+                    "field")
+        elif kind == "composite":
+            for src in spec.get("sources", []):
+                if src.get("type") not in ("terms", "histogram"):
+                    raise QueryError(
+                        "composite sources must be terms or histogram")
+        if kind in BUCKET_AGGS:
+            validate_aggregations(schema, spec.get("aggs", {}))
+
+
+def _doc_values(fast, field: str, doc: int) -> list:
+    col = fast.column(field)
+    if col is None:
+        return []
+    return col.doc_values(doc)
+
+
+def _numeric_doc_values(fast, field: str, doc: int) -> list[float]:
+    col = fast.column(field)
+    if col is None or col.kind == "str":
+        return []
+    return [float(v) for v in col.doc_values(doc)]
+
+
+def _sample_docs(docs: np.ndarray, sampling: Optional[dict], seg_id: str
+                 ) -> tuple[np.ndarray, bool]:
+    """Deterministic sampling (size or probability + seed)."""
+    if not sampling:
+        return docs, False
+    seed = int(sampling.get("seed", 0))
+    digest = hashlib.sha256(f"{seg_id}:{seed}".encode()).digest()
+    rng = np.random.default_rng(int.from_bytes(digest[:8], "little"))
+    if sampling.get("probability") is not None:
+        prob = float(sampling["probability"])
+        keep = rng.random(len(docs)) < prob
+        return docs[keep], True
+    if sampling.get("size") is not None:
+        size = int(sampling["size"])
+        if len(docs) <= size:
+            return docs, True
+        idx = rng.choice(len(docs), size=size, replace=False)
+        return docs[np.sort(idx)], True
+    return docs, False
+
+
+# ---------------------------------------------------------------------------
+# Intermediates
+# ---------------------------------------------------------------------------
+
+@dataclass
+class BucketIntermediate:
+    doc_count: int = 0
+    sub: dict[str, Any] = dc_field(default_factory=dict)
+    # for significant_terms
+    bg_count: int = 0
+
+
+@dataclass
+class Intermediate:
+    kind: str
+    data: dict[str, Any] = dc_field(default_factory=dict)
+    sampled: bool = False
+
+
+class AggregationPipeline:
+    def __init__(self, aggs: dict, highlight_terms: list[str], schema):
+        self.aggs = aggs or {}
+        self.highlight_terms = highlight_terms
+        self.schema = schema
+
+    def empty_intermediate(self) -> dict[str, Intermediate]:
+        return {}
+
+    def collect_segment(self, seg, segment_ord: int,
+                        matched: np.ndarray) -> dict[str, Intermediate]:
+        out: dict[str, Intermediate] = {}
+        for name, spec in self.aggs.items():
+            kind = agg_kind(spec)
+            if kind in PIPELINE_AGGS:
+                continue
+            out[name] = _collect(seg, segment_ord, matched, spec, kind)
+        return out
+
+    def merge_and_finalize(self, per_segment: list[dict]) -> dict:
+        merged: dict[str, Intermediate] = {}
+        for seg_result in per_segment:
+            for name, inter in seg_result.items():
+                if name not in merged:
+                    merged[name] = inter
+                else:
+                    _merge_in_place(merged[name], inter)
+        response: dict[str, Any] = {}
+        for name, spec in self.aggs.items():
+            kind = agg_kind(spec)
+            if kind in PIPELINE_AGGS:
+                continue
+            inter = merged.get(name)
+            response[name] = _finalize(inter, spec, kind)
+        # pipelines operate on sibling responses
+        for name, spec in self.aggs.items():
+            kind = agg_kind(spec)
+            if kind in PIPELINE_AGGS:
+                response[name] = _apply_pipeline(response, spec, kind)
+        # bucket_sort mutates sibling buckets rather than producing output
+        for name, spec in self.aggs.items():
+            if agg_kind(spec) == "bucket_sort":
+                _apply_bucket_sort(response, spec)
+                response[name] = {"type": "bucket_sort",
+                                  "from": int(spec.get("from", 0)),
+                                  "size": spec.get("size")}
+        return response
+
+
+# ---------------------------------------------------------------------------
+# Collection
+# ---------------------------------------------------------------------------
+
+def _collect(seg, segment_ord: int, matched: np.ndarray, spec: dict,
+             kind: str) -> Intermediate:
+    handler = _COLLECTORS.get(kind)
+    if handler is None:
+        raise QueryError(f"aggregation type `{kind}` is not supported")
+    return handler(seg, segment_ord, matched, spec)
+
+
+def _collect_subaggs(seg, segment_ord, docs: np.ndarray,
+                     sub_specs: dict) -> dict[str, Intermediate]:
+    out = {}
+    for name, spec in (sub_specs or {}).items():
+        kind = agg_kind(spec)
+        if kind in PIPELINE_AGGS:
+            continue
+        out[name] = _collect(seg, segment_ord, docs, spec, kind)
+    return out
+
+
+def _collect_terms(seg, segment_ord, matched, spec) -> Intermediate:
+    docs, sampled = _sample_docs(matched, spec.get("sampling"), seg.meta.id)
+    field = spec["field"]
+    missing = spec.get("missing")
+    col = seg.fast.column(field)
+    buckets: dict[Any, BucketIntermediate] = {}
+    doc_lists: dict[Any, list[int]] = {}
+    has_sub = bool(spec.get("aggs"))
+    if col is not None and len(docs):
+        offsets = col.offsets
+        for doc in docs.tolist():
+            lo, hi = int(offsets[doc]), int(offsets[doc + 1])
+            if lo == hi:
+                keys = [missing] if missing is not None else []
+            else:
+                vals = col.values[lo:hi]
+                if col.kind == "str":
+                    keys = list({col.dictionary[c] for c in vals})
+                else:
+                    keys = list({v.item() for v in vals})
+            for key in keys:
+                b = buckets.get(key)
+                if b is None:
+                    b = BucketIntermediate()
+                    buckets[key] = b
+                b.doc_count += 1
+                if has_sub:
+                    doc_lists.setdefault(key, []).append(doc)
+    elif missing is not None and len(docs):
+        b = BucketIntermediate(doc_count=len(docs))
+        buckets[missing] = b
+        if has_sub:
+            doc_lists[missing] = docs.tolist()
+    if has_sub:
+        for key, b in buckets.items():
+            b.sub = _collect_subaggs(
+                seg, segment_ord,
+                np.asarray(doc_lists.get(key, []), dtype=np.int64),
+                spec.get("aggs"))
+    return Intermediate("terms", {"buckets": buckets}, sampled)
+
+
+def _collect_significant_terms(seg, segment_ord, matched, spec
+                               ) -> Intermediate:
+    inter = _collect_terms(seg, segment_ord, matched, spec)
+    inter.kind = "significant_terms"
+    # background counts: docs passing background_filter (or all live docs)
+    field = spec["field"]
+    col = seg.fast.column(field)
+    bg_filter = spec.get("background_filter")
+    live = np.asarray(
+        [d for d in range(seg.doc_count) if d not in seg.deleted],
+        dtype=np.int64)
+    if bg_filter is not None:
+        filt = Filter.from_json(bg_filter) if not isinstance(
+            bg_filter, Filter) else bg_filter
+        live = np.asarray(
+            [d for d in live.tolist() if passes_filter(seg.fast, d, filt)],
+            dtype=np.int64)
+    bg_counts: dict[Any, int] = {}
+    if col is not None:
+        for doc in live.tolist():
+            lo, hi = int(col.offsets[doc]), int(col.offsets[doc + 1])
+            vals = col.values[lo:hi]
+            if col.kind == "str":
+                keys = {col.dictionary[c] for c in vals}
+            else:
+                keys = {v.item() for v in vals}
+            for key in keys:
+                bg_counts[key] = bg_counts.get(key, 0) + 1
+    inter.data["bg_counts"] = bg_counts
+    inter.data["doc_count"] = len(matched)
+    inter.data["bg_total"] = len(live)
+    return inter
+
+
+def _collect_rare_terms(seg, segment_ord, matched, spec) -> Intermediate:
+    inter = _collect_terms(seg, segment_ord, matched, spec)
+    inter.kind = "rare_terms"
+    return inter
+
+
+def _collect_filter(seg, segment_ord, matched, spec) -> Intermediate:
+    docs, sampled = _sample_docs(matched, spec.get("sampling"), seg.meta.id)
+    filt = spec.get("filter")
+    filt = Filter.from_json(filt) if not isinstance(filt, Filter) else filt
+    from searchlite_tpu.query.filters import compute_filter_mask
+
+    mask = compute_filter_mask(seg.fast, filt)
+    passing = docs[mask[docs]] if len(docs) else docs
+    sub = _collect_subaggs(seg, segment_ord, passing, spec.get("aggs"))
+    return Intermediate(
+        "filter", {"doc_count": len(passing), "sub": sub}, sampled)
+
+
+def _collect_range(seg, segment_ord, matched, spec) -> Intermediate:
+    docs, sampled = _sample_docs(matched, spec.get("sampling"), seg.meta.id)
+    field = spec["field"]
+    missing = spec.get("missing")
+    ranges = spec.get("ranges", [])
+    buckets: list[BucketIntermediate] = [BucketIntermediate()
+                                         for _ in ranges]
+    doc_lists: list[list[int]] = [[] for _ in ranges]
+    has_sub = bool(spec.get("aggs"))
+    for doc in docs.tolist():
+        vals = _numeric_doc_values(seg.fast, field, doc)
+        if not vals and missing is not None:
+            vals = [float(missing)]
+        for i, r in enumerate(ranges):
+            lo = r.get("from")
+            hi = r.get("to")
+            if any((lo is None or v >= lo) and (hi is None or v < hi)
+                   for v in vals):
+                buckets[i].doc_count += 1
+                if has_sub:
+                    doc_lists[i].append(doc)
+    if has_sub:
+        for i, b in enumerate(buckets):
+            b.sub = _collect_subaggs(
+                seg, segment_ord, np.asarray(doc_lists[i], dtype=np.int64),
+                spec.get("aggs"))
+    return Intermediate("range", {"buckets": buckets}, sampled)
+
+
+def _collect_date_range(seg, segment_ord, matched, spec) -> Intermediate:
+    ranges = []
+    for r in spec.get("ranges", []):
+        ranges.append({
+            "key": r.get("key"),
+            "from": dtu.parse_datetime_millis(r["from"])
+            if r.get("from") is not None else None,
+            "to": dtu.parse_datetime_millis(r["to"])
+            if r.get("to") is not None else None,
+        })
+    shadow = dict(spec)
+    shadow["ranges"] = ranges
+    if spec.get("missing") is not None:
+        shadow["missing"] = dtu.parse_datetime_millis(spec["missing"])
+    inter = _collect_range(seg, segment_ord, matched, shadow)
+    inter.kind = "date_range"
+    return inter
+
+
+def _histogram_key(value: float, interval: float, offset: float) -> float:
+    return math.floor((value - offset) / interval) * interval + offset
+
+
+def _collect_histogram(seg, segment_ord, matched, spec) -> Intermediate:
+    docs, sampled = _sample_docs(matched, spec.get("sampling"), seg.meta.id)
+    field = spec["field"]
+    interval = float(spec["interval"])
+    if interval <= 0:
+        raise QueryError("histogram interval must be > 0")
+    offset = float(spec.get("offset") or 0.0)
+    missing = spec.get("missing")
+    hard = spec.get("hard_bounds")
+    buckets: dict[float, BucketIntermediate] = {}
+    doc_lists: dict[float, list[int]] = {}
+    has_sub = bool(spec.get("aggs"))
+    for doc in docs.tolist():
+        vals = _numeric_doc_values(seg.fast, field, doc)
+        if not vals and missing is not None:
+            vals = [float(missing)]
+        keys = set()
+        for v in vals:
+            if hard is not None and (v < hard["min"] or v > hard["max"]):
+                continue
+            keys.add(_histogram_key(v, interval, offset))
+        for key in keys:
+            b = buckets.get(key)
+            if b is None:
+                b = BucketIntermediate()
+                buckets[key] = b
+            b.doc_count += 1
+            if has_sub:
+                doc_lists.setdefault(key, []).append(doc)
+    if has_sub:
+        for key, b in buckets.items():
+            b.sub = _collect_subaggs(
+                seg, segment_ord,
+                np.asarray(doc_lists.get(key, []), dtype=np.int64),
+                spec.get("aggs"))
+    return Intermediate("histogram", {"buckets": buckets}, sampled)
+
+
+def _collect_date_histogram(seg, segment_ord, matched, spec) -> Intermediate:
+    docs, sampled = _sample_docs(matched, spec.get("sampling"), seg.meta.id)
+    field = spec["field"]
+    calendar = spec.get("calendar_interval")
+    fixed = spec.get("fixed_interval")
+    if calendar is None and fixed is None:
+        raise QueryError(
+            "date_histogram requires calendar_interval or fixed_interval")
+    offset_ms = dtu.parse_duration_millis(spec["offset"]) \
+        if spec.get("offset") else 0
+    missing_ms = dtu.parse_datetime_millis(spec["missing"]) \
+        if spec.get("missing") else None
+    hard = spec.get("hard_bounds")
+    hard_min = dtu.parse_datetime_millis(hard["min"]) if hard else None
+    hard_max = dtu.parse_datetime_millis(hard["max"]) if hard else None
+    buckets: dict[int, BucketIntermediate] = {}
+    doc_lists: dict[int, list[int]] = {}
+    has_sub = bool(spec.get("aggs"))
+
+    def doc_millis(doc: int) -> list[int]:
+        col = seg.fast.column(field)
+        if col is None:
+            return []
+        vals = col.doc_values(doc)
+        out = []
+        for v in vals:
+            if isinstance(v, str):
+                try:
+                    out.append(dtu.parse_datetime_millis(v))
+                except QueryError:
+                    continue
+            else:
+                out.append(int(v))
+        return out
+
+    for doc in docs.tolist():
+        vals = doc_millis(doc)
+        if not vals and missing_ms is not None:
+            vals = [missing_ms]
+        keys = set()
+        for v in vals:
+            if hard_min is not None and (v < hard_min or v > hard_max):
+                continue
+            if calendar is not None:
+                key = dtu.calendar_bucket(v, calendar)
+            else:
+                width = dtu.parse_duration_millis(fixed)
+                key = ((v - offset_ms) // width) * width + offset_ms
+            keys.add(key)
+        for key in keys:
+            b = buckets.get(key)
+            if b is None:
+                b = BucketIntermediate()
+                buckets[key] = b
+            b.doc_count += 1
+            if has_sub:
+                doc_lists.setdefault(key, []).append(doc)
+    if has_sub:
+        for key, b in buckets.items():
+            b.sub = _collect_subaggs(
+                seg, segment_ord,
+                np.asarray(doc_lists.get(key, []), dtype=np.int64),
+                spec.get("aggs"))
+    return Intermediate("date_histogram",
+                        {"buckets": buckets, "format": spec.get("format")},
+                        sampled)
+
+
+def _collect_composite(seg, segment_ord, matched, spec) -> Intermediate:
+    docs, sampled = _sample_docs(matched, spec.get("sampling"), seg.meta.id)
+    sources = spec.get("sources", [])
+    buckets: dict[tuple, BucketIntermediate] = {}
+    doc_lists: dict[tuple, list[int]] = {}
+    has_sub = bool(spec.get("aggs"))
+    for doc in docs.tolist():
+        per_source: list[list[Any]] = []
+        for src in sources:
+            if src["type"] == "terms":
+                vals = _doc_values(seg.fast, src["field"], doc)
+            else:
+                interval = float(src["interval"])
+                vals = [_histogram_key(v, interval, 0.0)
+                        for v in _numeric_doc_values(
+                            seg.fast, src["field"], doc)]
+            if not vals:
+                per_source = []
+                break
+            per_source.append(sorted(set(vals), key=_key_sort))
+        if not per_source:
+            continue
+        # cartesian product of per-source values
+        combos = [()]
+        for vals in per_source:
+            combos = [c + (v,) for c in combos for v in vals]
+        for combo in set(combos):
+            b = buckets.get(combo)
+            if b is None:
+                b = BucketIntermediate()
+                buckets[combo] = b
+            b.doc_count += 1
+            if has_sub:
+                doc_lists.setdefault(combo, []).append(doc)
+    if has_sub:
+        for key, b in buckets.items():
+            b.sub = _collect_subaggs(
+                seg, segment_ord,
+                np.asarray(doc_lists.get(key, []), dtype=np.int64),
+                spec.get("aggs"))
+    return Intermediate("composite", {"buckets": buckets}, sampled)
+
+
+def _key_sort(v):
+    return (0, float(v), "") if isinstance(v, (int, float)) \
+        else (1, 0.0, str(v))
+
+
+def _collect_stats(seg, segment_ord, matched, spec) -> Intermediate:
+    field = spec["field"]
+    missing = spec.get("missing")
+    count = 0
+    total = 0.0
+    total_sq = 0.0
+    vmin = math.inf
+    vmax = -math.inf
+    for doc in matched.tolist():
+        vals = _numeric_doc_values(seg.fast, field, doc)
+        if not vals and missing is not None:
+            vals = [float(missing)]
+        for v in vals:
+            count += 1
+            total += v
+            total_sq += v * v
+            vmin = min(vmin, v)
+            vmax = max(vmax, v)
+    return Intermediate("stats", {
+        "count": count, "sum": total, "sum_sq": total_sq,
+        "min": vmin, "max": vmax,
+    })
+
+
+def _collect_value_count(seg, segment_ord, matched, spec) -> Intermediate:
+    field = spec["field"]
+    missing = spec.get("missing")
+    count = 0
+    col = seg.fast.column(field)
+    if col is not None:
+        for doc in matched.tolist():
+            n = int(col.offsets[doc + 1] - col.offsets[doc])
+            if n == 0 and missing is not None:
+                n = 1
+            count += n
+    elif missing is not None:
+        count = len(matched)
+    return Intermediate("value_count", {"value": count})
+
+
+def _collect_cardinality(seg, segment_ord, matched, spec) -> Intermediate:
+    field = spec["field"]
+    missing = spec.get("missing")
+    values: set = set()
+    for doc in matched.tolist():
+        vals = _doc_values(seg.fast, field, doc)
+        if not vals and missing is not None:
+            vals = [missing]
+        for v in vals:
+            values.add(v if isinstance(v, str) else float(v))
+    return Intermediate("cardinality", {"values": values})
+
+
+def _collect_percentiles(seg, segment_ord, matched, spec) -> Intermediate:
+    field = spec["field"]
+    missing = spec.get("missing")
+    out: list[float] = []
+    for doc in matched.tolist():
+        vals = _numeric_doc_values(seg.fast, field, doc)
+        if not vals and missing is not None:
+            vals = [float(missing)]
+        out.extend(vals)
+    return Intermediate("percentiles", {"values": out, "spec": spec})
+
+
+def _collect_percentile_ranks(seg, segment_ord, matched, spec
+                              ) -> Intermediate:
+    inter = _collect_percentiles(seg, segment_ord, matched, spec)
+    inter.kind = "percentile_ranks"
+    return inter
+
+
+def _collect_top_hits(seg, segment_ord, matched, spec) -> Intermediate:
+    sort_specs = spec.get("sort", [])
+    hits = []
+    from searchlite_tpu.api.types import SortSpec
+    from searchlite_tpu.query.sort import SortPlan
+
+    # top_hits keeps per-bucket ranked hits; with no explicit sort the
+    # reference keeps document order within the bucket
+    plan = None
+    if sort_specs:
+        schema = getattr(seg, "_schema", None)
+        plan = _top_hits_plan(seg, sort_specs)
+    for doc in matched.tolist():
+        if plan is not None:
+            key = plan.build_key(seg.fast, doc, 0.0, segment_ord)
+        else:
+            key = None
+        hits.append((key, segment_ord, doc))
+    return Intermediate("top_hits", {"hits": hits, "spec": spec,
+                                     "segment": seg})
+
+
+def _top_hits_plan(seg, sort_specs):
+    from searchlite_tpu.api.types import SortSpec
+    from searchlite_tpu.query.sort import ResolvedSortField, SortPlan
+
+    fields = []
+    for s in sort_specs:
+        spec = SortSpec.from_json(s) if isinstance(s, (dict, str)) else s
+        order = spec.order or ("desc" if spec.field == "_score" else "asc")
+        col = seg.fast.column(spec.field)
+        kind = "score" if spec.field == "_score" else (
+            "str" if col is not None and col.kind == "str" else
+            "f64" if col is not None and col.kind == "f64" else "i64")
+        fields.append(ResolvedSortField(spec.field, kind, order))
+    return SortPlan(fields)
+
+
+_COLLECTORS = {
+    "terms": _collect_terms,
+    "significant_terms": _collect_significant_terms,
+    "rare_terms": _collect_rare_terms,
+    "filter": _collect_filter,
+    "range": _collect_range,
+    "date_range": _collect_date_range,
+    "histogram": _collect_histogram,
+    "date_histogram": _collect_date_histogram,
+    "composite": _collect_composite,
+    "stats": _collect_stats,
+    "extended_stats": _collect_stats,
+    "value_count": _collect_value_count,
+    "cardinality": _collect_cardinality,
+    "percentiles": _collect_percentiles,
+    "percentile_ranks": _collect_percentile_ranks,
+    "top_hits": _collect_top_hits,
+}
+
+
+# ---------------------------------------------------------------------------
+# Merge
+# ---------------------------------------------------------------------------
+
+def _merge_in_place(target: Intermediate, other: Intermediate) -> None:
+    target.sampled = target.sampled or other.sampled
+    kind = target.kind
+    if kind in ("terms", "significant_terms", "rare_terms", "histogram",
+                "date_histogram", "composite"):
+        buckets = target.data["buckets"]
+        for key, b in other.data["buckets"].items():
+            if key in buckets:
+                tb = buckets[key]
+                tb.doc_count += b.doc_count
+                for sub_name, sub_inter in b.sub.items():
+                    if sub_name in tb.sub:
+                        _merge_in_place(tb.sub[sub_name], sub_inter)
+                    else:
+                        tb.sub[sub_name] = sub_inter
+            else:
+                buckets[key] = b
+        if kind == "significant_terms":
+            bg = target.data.setdefault("bg_counts", {})
+            for key, c in other.data.get("bg_counts", {}).items():
+                bg[key] = bg.get(key, 0) + c
+            target.data["doc_count"] = target.data.get("doc_count", 0) + \
+                other.data.get("doc_count", 0)
+            target.data["bg_total"] = target.data.get("bg_total", 0) + \
+                other.data.get("bg_total", 0)
+    elif kind == "range" or kind == "date_range":
+        tb = target.data["buckets"]
+        ob = other.data["buckets"]
+        for i, b in enumerate(ob):
+            if i < len(tb):
+                tb[i].doc_count += b.doc_count
+                for sub_name, sub_inter in b.sub.items():
+                    if sub_name in tb[i].sub:
+                        _merge_in_place(tb[i].sub[sub_name], sub_inter)
+                    else:
+                        tb[i].sub[sub_name] = sub_inter
+            else:
+                tb.append(b)
+    elif kind == "filter":
+        target.data["doc_count"] += other.data["doc_count"]
+        for sub_name, sub_inter in other.data["sub"].items():
+            if sub_name in target.data["sub"]:
+                _merge_in_place(target.data["sub"][sub_name], sub_inter)
+            else:
+                target.data["sub"][sub_name] = sub_inter
+    elif kind == "stats":
+        target.data["count"] += other.data["count"]
+        target.data["sum"] += other.data["sum"]
+        target.data["sum_sq"] += other.data["sum_sq"]
+        target.data["min"] = min(target.data["min"], other.data["min"])
+        target.data["max"] = max(target.data["max"], other.data["max"])
+    elif kind == "value_count":
+        target.data["value"] += other.data["value"]
+    elif kind == "cardinality":
+        target.data["values"] |= other.data["values"]
+    elif kind in ("percentiles", "percentile_ranks"):
+        target.data["values"].extend(other.data["values"])
+    elif kind == "top_hits":
+        target.data["hits"].extend(other.data["hits"])
+        target.data.setdefault("segments", {})
+        # keep per-(segment_ord) readers for finalize
+    else:
+        raise QueryError(f"cannot merge aggregation `{kind}`")
+
+
+# ---------------------------------------------------------------------------
+# Finalize
+# ---------------------------------------------------------------------------
+
+def _finalize_sub(b: BucketIntermediate, spec: dict) -> dict:
+    out = {}
+    for name, sub_spec in (spec.get("aggs") or {}).items():
+        kind = agg_kind(sub_spec)
+        if kind in PIPELINE_AGGS:
+            continue
+        inter = b.sub.get(name)
+        out[name] = _finalize(inter, sub_spec, kind)
+    for name, sub_spec in (spec.get("aggs") or {}).items():
+        kind = agg_kind(sub_spec)
+        if kind in PIPELINE_AGGS and kind != "bucket_sort":
+            out[name] = _apply_pipeline(out, sub_spec, kind)
+    return out
+
+
+def _bucket_response(key, b: BucketIntermediate, spec: dict) -> dict:
+    out = {"key": key, "doc_count": b.doc_count}
+    subs = _finalize_sub(b, spec)
+    if subs:
+        out["aggregations"] = subs
+    return out
+
+
+def _finalize(inter: Optional[Intermediate], spec: dict, kind: str) -> dict:
+    if kind == "terms":
+        return _finalize_terms(inter, spec)
+    if kind == "significant_terms":
+        return _finalize_significant_terms(inter, spec)
+    if kind == "rare_terms":
+        return _finalize_rare_terms(inter, spec)
+    if kind == "filter":
+        if inter is None:
+            return {"type": "filter", "doc_count": 0}
+        out = {"type": "filter", "doc_count": inter.data["doc_count"]}
+        subs = {}
+        for name, sub_spec in (spec.get("aggs") or {}).items():
+            skind = agg_kind(sub_spec)
+            if skind in PIPELINE_AGGS:
+                continue
+            subs[name] = _finalize(inter.data["sub"].get(name), sub_spec,
+                                   skind)
+        if subs:
+            out["aggregations"] = subs
+        if inter.sampled:
+            out["sampled"] = True
+        return out
+    if kind in ("range", "date_range"):
+        buckets = []
+        ranges = spec.get("ranges", [])
+        inter_buckets = inter.data["buckets"] if inter else []
+        for i, r in enumerate(ranges):
+            b = inter_buckets[i] if i < len(inter_buckets) \
+                else BucketIntermediate()
+            key = r.get("key")
+            if key is None:
+                frm = r.get("from")
+                to = r.get("to")
+                key = f"{_fmt_bound(frm)}-{_fmt_bound(to)}"
+            resp = _bucket_response(key, b, spec)
+            if r.get("from") is not None:
+                resp["from"] = r["from"]
+            if r.get("to") is not None:
+                resp["to"] = r["to"]
+            buckets.append(resp)
+        out = {"type": kind, "buckets": buckets,
+               "keyed": bool(spec.get("keyed", False))}
+        if inter is not None and inter.sampled:
+            out["sampled"] = True
+        return out
+    if kind == "histogram":
+        return _finalize_histogram(inter, spec)
+    if kind == "date_histogram":
+        return _finalize_date_histogram(inter, spec)
+    if kind == "composite":
+        return _finalize_composite(inter, spec)
+    if kind == "stats":
+        d = inter.data if inter else {"count": 0, "sum": 0.0, "sum_sq": 0.0,
+                                      "min": math.inf, "max": -math.inf}
+        count = d["count"]
+        avg = d["sum"] / count if count else 0.0
+        return {"type": "stats", "count": count,
+                "min": d["min"] if count else 0.0,
+                "max": d["max"] if count else 0.0,
+                "sum": d["sum"], "avg": avg}
+    if kind == "extended_stats":
+        d = inter.data if inter else {"count": 0, "sum": 0.0, "sum_sq": 0.0,
+                                      "min": math.inf, "max": -math.inf}
+        count = d["count"]
+        avg = d["sum"] / count if count else 0.0
+        variance = (d["sum_sq"] / count - avg * avg) if count else 0.0
+        variance = max(variance, 0.0)
+        return {"type": "extended_stats", "count": count,
+                "min": d["min"] if count else 0.0,
+                "max": d["max"] if count else 0.0,
+                "sum": d["sum"], "avg": avg, "variance": variance,
+                "std_deviation": math.sqrt(variance)}
+    if kind == "value_count":
+        return {"type": "value_count",
+                "value": inter.data["value"] if inter else 0}
+    if kind == "cardinality":
+        return {"type": "cardinality",
+                "value": len(inter.data["values"]) if inter else 0}
+    if kind == "percentiles":
+        return _finalize_percentiles(inter, spec)
+    if kind == "percentile_ranks":
+        return _finalize_percentile_ranks(inter, spec)
+    if kind == "top_hits":
+        return _finalize_top_hits(inter, spec)
+    raise QueryError(f"cannot finalize aggregation `{kind}`")
+
+
+def _fmt_bound(v) -> str:
+    return "*" if v is None else f"{float(v):g}"
+
+
+def _finalize_terms(inter, spec) -> dict:
+    buckets = inter.data["buckets"] if inter else {}
+    min_doc_count = int(spec.get("min_doc_count") or 1)
+    size = int(spec.get("size") or 10)
+    items = [(k, b) for k, b in buckets.items()
+             if b.doc_count >= min_doc_count]
+    items.sort(key=lambda kv: (-kv[1].doc_count, _key_sort(kv[0])))
+    items = items[:size]
+    out = {"type": "terms",
+           "buckets": [_bucket_response(k, b, spec) for k, b in items]}
+    if inter is not None and inter.sampled:
+        out["sampled"] = True
+    return out
+
+
+def _finalize_significant_terms(inter, spec) -> dict:
+    buckets = inter.data["buckets"] if inter else {}
+    bg_counts = inter.data.get("bg_counts", {}) if inter else {}
+    fg_total = inter.data.get("doc_count", 0) if inter else 0
+    bg_total = inter.data.get("bg_total", 0) if inter else 0
+    min_doc_count = int(spec.get("min_doc_count") or 1)
+    size = int(spec.get("size") or 10)
+    scored = []
+    for key, b in buckets.items():
+        if b.doc_count < min_doc_count:
+            continue
+        bg = bg_counts.get(key, 0)
+        fg_rate = b.doc_count / fg_total if fg_total else 0.0
+        bg_rate = bg / bg_total if bg_total else 0.0
+        score = (fg_rate - bg_rate) * (fg_rate / bg_rate if bg_rate else
+                                       (fg_rate if fg_rate else 0.0))
+        scored.append((key, b, bg, score))
+    scored.sort(key=lambda x: (-x[3], _key_sort(x[0])))
+    scored = scored[:size]
+    out_buckets = []
+    for key, b, bg, score in scored:
+        resp = _bucket_response(key, b, spec)
+        resp["bg_count"] = bg
+        resp["score"] = score
+        out_buckets.append(resp)
+    out = {"type": "significant_terms", "buckets": out_buckets,
+           "doc_count": fg_total, "bg_count": bg_total}
+    if inter is not None and inter.sampled:
+        out["sampled"] = True
+    return out
+
+
+def _finalize_rare_terms(inter, spec) -> dict:
+    buckets = inter.data["buckets"] if inter else {}
+    max_doc_count = int(spec.get("max_doc_count") or 1)
+    size = spec.get("size")
+    items = [(k, b) for k, b in buckets.items()
+             if b.doc_count <= max_doc_count]
+    items.sort(key=lambda kv: (kv[1].doc_count, _key_sort(kv[0])))
+    if size is not None:
+        items = items[:int(size)]
+    out = {"type": "rare_terms",
+           "buckets": [_bucket_response(k, b, spec) for k, b in items]}
+    if inter is not None and inter.sampled:
+        out["sampled"] = True
+    return out
+
+
+def _finalize_histogram(inter, spec) -> dict:
+    buckets = dict(inter.data["buckets"]) if inter else {}
+    interval = float(spec["interval"])
+    offset = float(spec.get("offset") or 0.0)
+    min_doc_count = spec.get("min_doc_count")
+    min_doc_count = 1 if min_doc_count is None else int(min_doc_count)
+    extended = spec.get("extended_bounds")
+    keys = sorted(buckets)
+    if extended is not None and interval > 0:
+        lo = _histogram_key(float(extended["min"]), interval, offset)
+        hi = _histogram_key(float(extended["max"]), interval, offset)
+        k = lo
+        while k <= hi + 1e-9:
+            buckets.setdefault(k, BucketIntermediate())
+            k += interval
+        keys = sorted(buckets)
+    if keys and min_doc_count == 0:
+        # fill gaps between min and max observed keys
+        k = keys[0]
+        while k <= keys[-1] + 1e-9:
+            buckets.setdefault(k, BucketIntermediate())
+            k += interval
+        keys = sorted(buckets)
+    out_buckets = []
+    for k in keys:
+        b = buckets[k]
+        if b.doc_count < min_doc_count:
+            continue
+        out_buckets.append(_bucket_response(k, b, spec))
+    out = {"type": "histogram", "buckets": out_buckets}
+    if inter is not None and inter.sampled:
+        out["sampled"] = True
+    return out
+
+
+def _finalize_date_histogram(inter, spec) -> dict:
+    buckets = dict(inter.data["buckets"]) if inter else {}
+    fmt = spec.get("format")
+    min_doc_count = spec.get("min_doc_count")
+    min_doc_count = 1 if min_doc_count is None else int(min_doc_count)
+    keys = sorted(buckets)
+    out_buckets = []
+    for k in keys:
+        b = buckets[k]
+        if b.doc_count < min_doc_count:
+            continue
+        resp = _bucket_response(dtu.format_millis(k, fmt), b, spec)
+        resp["key_as_millis"] = k
+        out_buckets.append(resp)
+    out = {"type": "date_histogram", "buckets": out_buckets}
+    if inter is not None and inter.sampled:
+        out["sampled"] = True
+    return out
+
+
+def _finalize_composite(inter, spec) -> dict:
+    buckets = inter.data["buckets"] if inter else {}
+    sources = spec.get("sources", [])
+    size = int(spec.get("size", 10))
+    after = spec.get("after")
+    names = [s["name"] for s in sources]
+    items = sorted(buckets.items(),
+                   key=lambda kv: tuple(_key_sort(v) for v in kv[0]))
+    if after is not None:
+        after_tuple = tuple(after.get(n) for n in names)
+
+        def is_after(combo):
+            return tuple(_key_sort(v) for v in combo) > \
+                tuple(_key_sort(v) for v in after_tuple)
+
+        items = [kv for kv in items if is_after(kv[0])]
+    page = items[:size]
+    out_buckets = []
+    for combo, b in page:
+        resp = _bucket_response({n: v for n, v in zip(names, combo)}, b, spec)
+        out_buckets.append(resp)
+    out = {"type": "composite", "buckets": out_buckets}
+    if page and len(items) > size:
+        out["after_key"] = {n: v for n, v in zip(names, page[-1][0])}
+    if inter is not None and inter.sampled:
+        out["sampled"] = True
+    return out
+
+
+def _percentile_value(sorted_vals: list[float], pct: float) -> float:
+    if not sorted_vals:
+        return 0.0
+    if len(sorted_vals) == 1:
+        return sorted_vals[0]
+    rank = (pct / 100.0) * (len(sorted_vals) - 1)
+    lo = int(math.floor(rank))
+    hi = int(math.ceil(rank))
+    if lo == hi:
+        return sorted_vals[lo]
+    frac = rank - lo
+    return sorted_vals[lo] * (1 - frac) + sorted_vals[hi] * frac
+
+
+def _finalize_percentiles(inter, spec) -> dict:
+    vals = sorted(inter.data["values"]) if inter else []
+    percents = spec.get("percents") or [1.0, 5.0, 25.0, 50.0, 75.0, 95.0,
+                                        99.0]
+    return {"type": "percentiles", "values": {
+        f"{float(p):g}": _percentile_value(vals, float(p))
+        for p in percents
+    }}
+
+
+def _finalize_percentile_ranks(inter, spec) -> dict:
+    vals = sorted(inter.data["values"]) if inter else []
+    targets = spec.get("values") or []
+    out = {}
+    for t in targets:
+        t = float(t)
+        if not vals:
+            out[f"{t:g}"] = 0.0
+            continue
+        count = sum(1 for v in vals if v <= t)
+        out[f"{t:g}"] = 100.0 * count / len(vals)
+    return {"type": "percentile_ranks", "values": out}
+
+
+def _finalize_top_hits(inter, spec) -> dict:
+    hits = inter.data["hits"] if inter else []
+    spec = inter.data["spec"] if inter else spec
+    size = int(spec.get("size", 3))
+    start = int(spec.get("from", 0))
+    if hits and hits[0][0] is not None:
+        hits = sorted(hits, key=lambda h: _TopHitKey(h[0]))
+    page = hits[start:start + size]
+    seg = inter.data.get("segment") if inter else None
+    out_hits = []
+    fields = spec.get("fields")
+    for _key, _segment_ord, doc in page:
+        # NOTE: multi-segment top_hits finalize uses the collecting
+        # segment stored in the intermediate
+        if seg is None:
+            continue
+        doc_id = seg.doc_id(doc)
+        stored = None
+        if fields:
+            try:
+                full = seg.get_doc(doc)
+                stored = {f: full.get(f) for f in fields if f in full}
+            except Exception:  # noqa: BLE001
+                stored = None
+        out_hits.append({
+            "doc_id": doc_id,
+            "score": None,
+            "fields": stored,
+            "snippet": None,
+        })
+    return {"type": "top_hits", "total": len(hits), "hits": out_hits}
+
+
+class _TopHitKey:
+    __slots__ = ("key",)
+
+    def __init__(self, key):
+        self.key = key
+
+    def __lt__(self, other):
+        return self.key._cmp(other.key) < 0
+
+
+# ---------------------------------------------------------------------------
+# Pipelines
+# ---------------------------------------------------------------------------
+
+def _walk_buckets_path(response: dict, path: str) -> list[Optional[float]]:
+    """Resolve `agg>metric` buckets_path over a sibling bucket agg."""
+    parts = path.split(">")
+    agg_name = parts[0]
+    sibling = response.get(agg_name)
+    if sibling is None or "buckets" not in sibling:
+        raise QueryError(f"buckets_path `{path}` does not resolve")
+    out = []
+    for bucket in sibling["buckets"]:
+        if len(parts) == 1:
+            out.append(float(bucket.get("doc_count", 0)))
+            continue
+        node: Any = bucket.get("aggregations", {})
+        val: Optional[float] = None
+        for i, part in enumerate(parts[1:]):
+            metric_part = part
+            sub_key = None
+            if "." in part:
+                metric_part, sub_key = part.split(".", 1)
+            node = node.get(metric_part) if isinstance(node, dict) else None
+            if node is None:
+                break
+            if i == len(parts) - 2:
+                if sub_key is not None:
+                    val = node.get(sub_key)
+                elif "value" in node:
+                    val = node["value"]
+                elif "avg" in node:
+                    val = node["avg"]
+                else:
+                    val = None
+            else:
+                node = node.get("aggregations", {})
+        out.append(float(val) if val is not None else None)
+    return out
+
+
+def _gap_fill(values: list[Optional[float]], gap_policy: Optional[str]
+              ) -> list[Optional[float]]:
+    if gap_policy == "insert_zeros":
+        return [0.0 if v is None else v for v in values]
+    return values
+
+
+def _apply_pipeline(response: dict, spec: dict, kind: str) -> dict:
+    if kind == "bucket_sort":
+        return {"type": "bucket_sort", "from": int(spec.get("from", 0)),
+                "size": spec.get("size")}
+    path = spec.get("buckets_path")
+    if kind == "bucket_script":
+        return _apply_bucket_script(response, spec)
+    values = _gap_fill(_walk_buckets_path(response, path),
+                       spec.get("gap_policy"))
+    present = [v for v in values if v is not None]
+    if kind == "avg_bucket":
+        return {"type": "avg_bucket",
+                "value": sum(present) / len(present) if present else 0.0}
+    if kind == "sum_bucket":
+        return {"type": "sum_bucket", "value": sum(present)}
+    if kind == "derivative":
+        unit = spec.get("unit")
+        derivs: list[Optional[float]] = [None]
+        for prev, cur in zip(values, values[1:]):
+            if prev is None or cur is None:
+                derivs.append(None)
+            else:
+                d = cur - prev
+                if unit:
+                    d /= float(unit)
+                derivs.append(d)
+        last = next((d for d in reversed(derivs) if d is not None), None)
+        # also annotate sibling buckets
+        _annotate_buckets(response, spec, "derivative", derivs)
+        return {"type": "derivative", "value": last}
+    if kind == "moving_avg":
+        window = int(spec.get("window", 5))
+        predict = int(spec.get("predict", 0) or 0)
+        avgs: list[Optional[float]] = []
+        series = [v for v in values]
+        for i in range(len(series)):
+            window_vals = [v for v in series[max(0, i - window + 1):i + 1]
+                           if v is not None]
+            avgs.append(sum(window_vals) / len(window_vals)
+                        if window_vals else None)
+        predictions = []
+        if predict > 0:
+            window_vals = [v for v in series[-window:] if v is not None]
+            pred = (sum(window_vals) / len(window_vals)
+                    if window_vals else 0.0)
+            predictions = [pred] * predict
+        _annotate_buckets(response, spec, "moving_avg", avgs)
+        last = next((a for a in reversed(avgs) if a is not None), None)
+        out = {"type": "moving_avg", "value": last}
+        if predictions:
+            out["predictions"] = predictions
+        return out
+    raise QueryError(f"unknown pipeline aggregation `{kind}`")
+
+
+def _annotate_buckets(response: dict, spec: dict, name: str,
+                      values: list) -> None:
+    path = spec.get("buckets_path", "")
+    agg_name = path.split(">")[0]
+    sibling = response.get(agg_name)
+    if sibling is None or "buckets" not in sibling:
+        return
+    for bucket, v in zip(sibling["buckets"], values):
+        bucket.setdefault("aggregations", {})[name] = {
+            "type": name, "value": v}
+
+
+def _apply_bucket_script(response: dict, spec: dict) -> dict:
+    paths: dict[str, str] = spec.get("buckets_path", {})
+    script = spec.get("script", "")
+    series = {name: _walk_buckets_path(response, path)
+              for name, path in paths.items()}
+    lengths = {len(v) for v in series.values()}
+    if len(lengths) > 1:
+        raise QueryError("bucket_script paths resolve different lengths")
+    n = lengths.pop() if lengths else 0
+    results: list[Optional[float]] = []
+    for i in range(n):
+        env = {name: vals[i] for name, vals in series.items()}
+        if any(v is None for v in env.values()):
+            results.append(None)
+            continue
+        results.append(_eval_bucket_script(script, env))
+    first_path = next(iter(paths.values()), "")
+    _annotate_buckets(response, {"buckets_path": first_path},
+                      "bucket_script", results)
+    last = next((r for r in reversed(results) if r is not None), None)
+    return {"type": "bucket_script", "value": last}
+
+
+def _eval_bucket_script(script: str, env: dict[str, float]
+                        ) -> Optional[float]:
+    """Arithmetic-only evaluator over bucket variables (parity:
+    `aggs/mod.rs:2947-3116`)."""
+    import re as _re
+
+    tokens = _re.findall(r"[A-Za-z_][A-Za-z0-9_.]*|\d+\.?\d*|[-+*/()]",
+                         script)
+    pos = 0
+
+    def parse_expr():
+        nonlocal pos
+        val = parse_term()
+        while pos < len(tokens) and tokens[pos] in "+-":
+            op = tokens[pos]
+            pos += 1
+            rhs = parse_term()
+            if val is None or rhs is None:
+                return None
+            val = val + rhs if op == "+" else val - rhs
+        return val
+
+    def parse_term():
+        nonlocal pos
+        val = parse_factor()
+        while pos < len(tokens) and tokens[pos] in "*/":
+            op = tokens[pos]
+            pos += 1
+            rhs = parse_factor()
+            if val is None or rhs is None:
+                return None
+            if op == "*":
+                val = val * rhs
+            else:
+                if rhs == 0:
+                    return None
+                val = val / rhs
+        return val
+
+    def parse_factor():
+        nonlocal pos
+        if pos >= len(tokens):
+            raise QueryError("invalid bucket_script")
+        tok = tokens[pos]
+        if tok == "(":
+            pos += 1
+            val = parse_expr()
+            if pos >= len(tokens) or tokens[pos] != ")":
+                raise QueryError("unbalanced parentheses in bucket_script")
+            pos += 1
+            return val
+        if tok == "-":
+            pos += 1
+            val = parse_factor()
+            return None if val is None else -val
+        if tok == "+":
+            pos += 1
+            return parse_factor()
+        pos += 1
+        if tok[0].isdigit() or tok[0] == ".":
+            return float(tok)
+        name = tok[7:] if tok.startswith("params.") else tok
+        if name not in env:
+            raise QueryError(f"unknown bucket_script variable `{tok}`")
+        return env[name]
+
+    result = parse_expr()
+    if pos != len(tokens):
+        raise QueryError("invalid bucket_script")
+    if result is not None and not math.isfinite(result):
+        return None
+    return result
+
+
+def _apply_bucket_sort(response: dict, spec: dict) -> None:
+    # bucket_sort operates on its parent's buckets; at top level it sorts
+    # each sibling bucket list
+    sort_specs = spec.get("sort", [])
+    start = int(spec.get("from", 0))
+    size = spec.get("size")
+    for name, sibling in response.items():
+        if not isinstance(sibling, dict) or "buckets" not in sibling:
+            continue
+        buckets = sibling["buckets"]
+        for s in reversed(sort_specs):
+            (field, order), = s.items() if isinstance(s, dict) \
+                else [(s, "asc")]
+
+            def sort_key(bucket, field=field):
+                if field == "_count":
+                    return bucket.get("doc_count", 0)
+                if field == "_key":
+                    return _key_sort(bucket.get("key"))
+                node = bucket.get("aggregations", {}).get(field, {})
+                return node.get("value", node.get("avg", 0.0)) or 0.0
+
+            buckets.sort(key=sort_key, reverse=(order == "desc"))
+        buckets[:] = buckets[start:start + int(size)] if size is not None \
+            else buckets[start:]
