@@ -1,0 +1,174 @@
+"""Sharded query execution over a jax.sharding.Mesh.
+
+The reference is single-node (`docs/intro.md:48-51`); its per-segment
+sequential loop + cross-segment merge (`api/reader.rs:2742-2778`) maps
+onto chips as segment≈shard. The TPU-native design (SURVEY §2.7):
+
+- Mesh axes: ``("query", "shard")`` — query batching is the
+  data-parallel axis, postings blocks shard across ``shard``.
+- Each chip scores its local posting blocks into a partial dense score
+  vector, then a ``reduce_scatter`` over ICI leaves each chip with the
+  COMPLETE scores for its slice of the doc space (a doc's score has
+  contributions from blocks on many chips).
+- Each chip top-ks its doc slice, then an ``all_gather`` of the k
+  locals + a final top-k reproduces the reference's cross-segment merge
+  semantics (score desc, doc id asc).
+
+Everything below is shape-static and jit-compiled once per
+(batch, terms, k) bucket.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+
+def make_mesh(n_devices: int | None = None, query_axis: int = 1):
+    """Create a ("query", "shard") mesh over the available devices."""
+    import jax
+    from jax.sharding import Mesh
+
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    n = len(devices)
+    if query_axis > 1 and n % query_axis == 0:
+        shape = (query_axis, n // query_axis)
+    else:
+        shape = (1, n)
+    dev_array = np.asarray(devices).reshape(shape)
+    return Mesh(dev_array, axis_names=("query", "shard"))
+
+
+def shard_blocks(block_docs: np.ndarray, block_tfs: np.ndarray,
+                 n_shards: int):
+    """Pad the block arrays to a multiple of n_shards (padding rows are
+    sentinel-only so they score zero)."""
+    n_blocks, width = block_docs.shape
+    per = -(-max(n_blocks, 1) // n_shards)
+    total = per * n_shards
+    docs = np.full((total, width), np.iinfo(np.int32).max, dtype=np.int32)
+    tfs = np.zeros((total, width), dtype=np.float32)
+    docs[:n_blocks] = block_docs
+    tfs[:n_blocks] = block_tfs
+    return docs, tfs, per
+
+
+def make_sharded_scorer(mesh, max_blocks_per_term: int, n1: int):
+    """Build the sharded batched scorer.
+
+    Inputs (global logical shapes):
+        block_docs/tfs [B, 128]        sharded over "shard" (rows)
+        doc_len [F, N1], avgdl [F]     replicated
+        q_* [Q, T]                     sharded over "query"
+    Output: (scores [Q, k], doc_ids [Q, k]) replicated over "shard".
+
+    ``n1`` must be a multiple of (n_shard_devices) for the
+    reduce_scatter doc slicing; callers pad the doc space.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    n_shards = mesh.shape["shard"]
+    assert n1 % n_shards == 0, "doc space must pad to the shard count"
+    slice_len = n1 // n_shards
+
+    def local_step(block_docs, block_tfs, doc_len, avgdl, deleted,
+                   q_block_start, q_block_count, q_weight, q_field, q_valid,
+                   k1, b, block_base, k):
+        # block_docs here is this chip's local slice; q_block_start are
+        # GLOBAL block ids — translate and mask to the local range.
+        n_local_blocks = block_docs.shape[0]
+        n_docs = n1 - 1
+
+        base_scalar = block_base[0]
+
+        def score_partial(starts, counts, weights, fields, valid):
+            offs = jnp.arange(max_blocks_per_term, dtype=jnp.int32)
+            blk = starts[:, None] + offs[None, :] - base_scalar
+            in_range = (blk >= 0) & (blk < n_local_blocks)
+            blk_ok = ((offs[None, :] < counts[:, None]) & valid[:, None]
+                      & in_range)
+            blk = jnp.where(blk_ok, blk, 0)
+            docs = block_docs[blk]
+            tfs = block_tfs[blk]
+            ok = blk_ok[:, :, None] & (docs < n_docs)
+            docs = jnp.where(ok, docs, n_docs)
+            dl = doc_len[fields[:, None, None], docs]
+            avg = avgdl[fields][:, None, None]
+            norm = jnp.where(avg > 0, dl / jnp.where(avg > 0, avg, 1.0),
+                             1.0)
+            denom = jnp.maximum(tfs + k1 * (1.0 - b + b * norm), 1e-6)
+            sc = weights[:, None, None] * tfs * (k1 + 1.0) / denom
+            sc = jnp.where(ok, sc, 0.0)
+            partial_scores = jnp.zeros(n1, dtype=jnp.float32).at[
+                docs.reshape(-1)].add(sc.reshape(-1))
+            matched = jnp.zeros(n1, dtype=jnp.float32).at[
+                docs.reshape(-1)].max(ok.reshape(-1).astype(jnp.float32))
+            return partial_scores, matched
+
+        partial_scores, matched = jax.vmap(score_partial)(
+            q_block_start, q_block_count, q_weight, q_field, q_valid)
+
+        # ICI: complete each chip's doc slice (sum partials), then local
+        # top-k over the slice, then all_gather + merge.
+        my_scores = jax.lax.psum_scatter(
+            partial_scores, "shard", scatter_dimension=1, tiled=True)
+        my_matched = jax.lax.psum_scatter(
+            matched, "shard", scatter_dimension=1, tiled=True)
+        shard_idx = jax.lax.axis_index("shard")
+        base = shard_idx * slice_len
+        local_deleted = jax.lax.dynamic_slice_in_dim(
+            deleted, base, slice_len, axis=0)
+        masked = jnp.where((my_matched > 0) & ~local_deleted[None, :],
+                           my_scores, -jnp.inf)
+        loc_scores, loc_idx = jax.lax.top_k(masked, k)
+        loc_ids = loc_idx + base
+        # merge: gather all chips' candidates and re-top-k.
+        # Tie-break parity (doc id asc) is preserved by ordering the
+        # gathered candidates by global doc id within equal scores:
+        # top_k picks the lowest index first, and candidates are laid
+        # out shard-major (ascending doc id).
+        all_scores = jax.lax.all_gather(loc_scores, "shard", axis=1,
+                                        tiled=True)     # [Q, S*k]
+        all_ids = jax.lax.all_gather(loc_ids, "shard", axis=1, tiled=True)
+        final_scores, pos = jax.lax.top_k(all_scores, k)
+        final_ids = jnp.take_along_axis(all_ids, pos, axis=1)
+        return final_scores, final_ids
+
+    def run(block_docs, block_tfs, doc_len, avgdl, deleted,
+            q_block_start, q_block_count, q_weight, q_field, q_valid,
+            k1, b, block_base, *, k: int):
+        fn = shard_map(
+            partial(local_step, k=k),
+            mesh=mesh,
+            in_specs=(
+                P("shard", None), P("shard", None),   # blocks
+                P(None, None), P(None,), P(None,),    # doc_len, avgdl, del
+                P("query", None), P("query", None), P("query", None),
+                P("query", None), P("query", None),
+                P(), P(), P("shard"),
+            ),
+            out_specs=(P("query", None), P("query", None)),
+            check_vma=False,
+        )
+        return fn(block_docs, block_tfs, doc_len, avgdl, deleted,
+                  q_block_start, q_block_count, q_weight, q_field, q_valid,
+                  k1, b, block_base)
+
+    import jax
+
+    return jax.jit(run, static_argnames=("k",))
+
+
+def block_bases(n_blocks_padded: int, n_shards: int) -> np.ndarray:
+    per = n_blocks_padded // n_shards
+    return (np.arange(n_shards, dtype=np.int32) * per)

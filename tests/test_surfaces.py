@@ -1,0 +1,207 @@
+"""CLI and HTTP surface tests (parity: `searchlite-cli/src/main.rs:541-679`
+and the searchlite-http README smoke flow)."""
+
+import json
+import threading
+import urllib.request
+
+import pytest
+
+from searchlite_tpu.cli import main as cli_main
+
+SCHEMA = {
+    "text_fields": [
+        {"name": "body", "analyzer": "default", "stored": True,
+         "indexed": True}],
+    "keyword_fields": [
+        {"name": "lang", "stored": True, "indexed": True, "fast": True}],
+    "numeric_fields": [
+        {"name": "year", "i64": True, "fast": True, "stored": True}],
+}
+
+DOCS = [
+    {"_id": "doc-1", "body": "Rust is a systems programming language",
+     "lang": "en", "year": 2023},
+    {"_id": "doc-2", "body": "SQLite is a small database engine",
+     "lang": "en", "year": 2020},
+    {"_id": "doc-3", "body": "TPUs accelerate dense linear algebra",
+     "lang": "en", "year": 2024},
+]
+
+
+@pytest.fixture
+def index_dir(tmp_path):
+    schema_path = tmp_path / "schema.json"
+    schema_path.write_text(json.dumps(SCHEMA))
+    docs_path = tmp_path / "docs.jsonl"
+    docs_path.write_text("\n".join(json.dumps(d) for d in DOCS))
+    return tmp_path
+
+
+class TestCli:
+    def run(self, *args):
+        return cli_main([str(a) for a in args])
+
+    def test_init_add_commit_search(self, index_dir, capsys):
+        idx = index_dir / "idx"
+        assert self.run("init", idx, index_dir / "schema.json") == 0
+        assert self.run("add", idx, index_dir / "docs.jsonl") == 0
+        assert self.run("commit", idx) == 0
+        capsys.readouterr()
+        assert self.run("search", idx, "-q", "rust language",
+                        "--return-stored") == 0
+        out = json.loads(capsys.readouterr().out)
+        assert out["total_hits_estimate"] >= 1
+        assert out["hits"][0]["doc_id"] == "doc-1"
+        assert out["hits"][0]["fields"]["body"].startswith("Rust")
+
+    def test_search_with_filter_request_file(self, index_dir, capsys, tmp_path):
+        idx = index_dir / "idx"
+        self.run("init", idx, index_dir / "schema.json")
+        self.run("add", idx, index_dir / "docs.jsonl")
+        self.run("commit", idx)
+        request = {
+            "query": {"type": "query_string", "query": "rust language",
+                      "fields": ["body"]},
+            "filter": {"And": [
+                {"KeywordEq": {"field": "lang", "value": "en"}},
+                {"I64Range": {"field": "year", "min": 2020, "max": 2025}},
+            ]},
+            "limit": 5,
+            "return_stored": True,
+        }
+        req_path = tmp_path / "request.json"
+        req_path.write_text(json.dumps(request))
+        capsys.readouterr()
+        assert self.run("search", idx, "--request", req_path) == 0
+        out = json.loads(capsys.readouterr().out)
+        assert out["hits"][0]["doc_id"] == "doc-1"
+
+    def test_delete_and_inspect_and_compact(self, index_dir, capsys,
+                                            tmp_path):
+        idx = index_dir / "idx"
+        self.run("init", idx, index_dir / "schema.json")
+        self.run("add", idx, index_dir / "docs.jsonl")
+        self.run("commit", idx)
+        ids = tmp_path / "ids.txt"
+        ids.write_text("doc-2\n")
+        self.run("delete", idx, ids)
+        self.run("commit", idx)
+        capsys.readouterr()
+        self.run("inspect", idx)
+        manifest = json.loads(capsys.readouterr().out)
+        assert sum(len(s["deleted_docs"]) for s in manifest["segments"]) == 1
+        self.run("compact", idx)
+        capsys.readouterr()
+        self.run("search", idx, "-q", "sqlite")
+        out = json.loads(capsys.readouterr().out)
+        assert out["total_hits_estimate"] == 0
+
+    def test_sort_and_aggs_flags(self, index_dir, capsys):
+        idx = index_dir / "idx"
+        self.run("init", idx, index_dir / "schema.json")
+        self.run("add", idx, index_dir / "docs.jsonl")
+        self.run("commit", idx)
+        capsys.readouterr()
+        self.run("search", idx, "-q", "body:is", "--sort", "year:desc",
+                 "--aggs", json.dumps({"langs": {"type": "terms",
+                                                 "field": "lang"}}))
+        out = json.loads(capsys.readouterr().out)
+        years = [h["doc_id"] for h in out["hits"]]
+        assert years == ["doc-1", "doc-2"]
+        assert out["aggregations"]["langs"]["buckets"][0]["key"] == "en"
+
+
+class TestHttp:
+    @pytest.fixture
+    def server(self, tmp_path):
+        from searchlite_tpu.http_server import make_server
+
+        server = make_server(str(tmp_path / "idx"), bind="127.0.0.1:0")
+        thread = threading.Thread(target=server.serve_forever, daemon=True)
+        thread.start()
+        host, port = server.server_address
+        yield f"http://{host}:{port}"
+        server.shutdown()
+
+    def call(self, base, method, path, payload=None, raw=None,
+             content_type="application/json"):
+        data = raw if raw is not None else (
+            json.dumps(payload).encode() if payload is not None else None)
+        req = urllib.request.Request(
+            f"{base}{path}", data=data, method=method,
+            headers={"content-type": content_type} if data else {})
+        try:
+            with urllib.request.urlopen(req) as resp:
+                return resp.status, json.loads(resp.read())
+        except urllib.error.HTTPError as e:
+            return e.code, json.loads(e.read())
+
+    def test_full_lifecycle(self, server):
+        status, body = self.call(server, "GET", "/healthz")
+        assert status == 200 and body["status"] == "ok"
+
+        status, body = self.call(server, "POST", "/search",
+                                 {"query": "x", "limit": 1})
+        assert status == 404
+        assert body["error"]["type"] == "index_missing"
+
+        status, body = self.call(server, "POST", "/init",
+                                 {"schema": SCHEMA})
+        assert status == 200 and body["created"]
+
+        status, body = self.call(server, "POST", "/init", {"schema": SCHEMA})
+        assert status == 409
+
+        ndjson = "\n".join(json.dumps(d) for d in DOCS).encode()
+        status, body = self.call(server, "POST", "/add", raw=ndjson,
+                                 content_type="application/x-ndjson")
+        assert status == 200 and body["queued"] == 3
+
+        status, body = self.call(server, "POST", "/commit")
+        assert status == 200 and body["committed"]
+
+        status, body = self.call(server, "POST", "/search",
+                                 {"query": "rust", "limit": 5})
+        assert status == 200
+        assert body["total_hits_estimate"] == 1
+        assert body["hits"][0]["doc_id"] == "doc-1"
+
+        status, body = self.call(server, "GET", "/stats")
+        assert status == 200 and body["documents"] == 3
+
+        status, body = self.call(server, "POST", "/bulk", {"docs": [
+            {"_id": "doc-4", "body": "more rust content", "lang": "en",
+             "year": 2025}]})
+        assert status == 200 and body["queued"] == 1
+        self.call(server, "POST", "/commit")
+
+        status, body = self.call(server, "POST", "/search",
+                                 {"query": "rust", "limit": 5})
+        assert body["total_hits_estimate"] == 2
+
+        status, body = self.call(server, "POST", "/delete",
+                                 {"ids": ["doc-4"]})
+        assert status == 200 and body["queued"] == 1
+        self.call(server, "POST", "/commit")
+        status, body = self.call(server, "POST", "/compact")
+        assert status == 200
+
+        status, body = self.call(server, "GET", "/inspect")
+        assert status == 200 and len(body["segments"]) == 1
+
+        status, body = self.call(server, "POST", "/search",
+                                 {"query": "rust", "limit": 5})
+        assert body["total_hits_estimate"] == 1
+
+    def test_error_shapes(self, server):
+        self.call(server, "POST", "/init", {"schema": SCHEMA})
+        status, body = self.call(server, "POST", "/bulk", {"docs": []})
+        assert status == 400
+        assert body["error"]["type"] == "missing_documents"
+        status, body = self.call(server, "POST", "/delete", {"ids": []})
+        assert status == 400
+        status, body = self.call(server, "POST", "/search",
+                                 {"query": "x", "limit": 0})
+        assert status == 400
+        assert body["error"]["type"] == "search_failed"
