@@ -59,6 +59,15 @@ DEFAULT_SUGGEST_SCAN = 64
 MAX_SUGGEST_CANDIDATES = 256
 CURSOR_VERSION = 3
 
+# vector-search clamps (parity: `api/reader.rs:133-163`)
+MAX_VECTOR_CLAUSES = 8
+MAX_VECTOR_K = 1024
+MAX_VECTOR_CANDIDATE_SIZE = 10_000
+MAX_VECTOR_EF_SEARCH = 65_536
+MAX_GLOBAL_CANDIDATES = MAX_CANDIDATE_SIZE
+DEFAULT_VECTOR_ALPHA = 0.5
+DEFAULT_EF_SEARCH = 40
+
 
 @dataclass
 class QualifiedTerm:
@@ -75,6 +84,60 @@ class RankedHit:
     score: float
     vector_score: Optional[float] = None
     explanation: Optional[dict] = None
+
+
+@dataclass
+class VectorClausePlan:
+    field: str
+    vector: list[float]
+    k: int
+    alpha: float
+    ef_search: int
+    candidate_size: int
+    boost: float
+    metric: str
+
+
+@dataclass
+class VectorPlan:
+    clauses: list[VectorClausePlan]
+    candidate_size: int
+    vector_only: bool
+
+
+def missing_vector_score(metric: str) -> float:
+    # parity: `api/reader.rs:218-225`
+    return -1.0 if metric == "cosine" else float(np.finfo(np.float32).min)
+
+
+def blend_scores(bm25: float, vector_score: float, alpha: float) -> float:
+    return alpha * bm25 + (1.0 - alpha) * vector_score
+
+
+def compute_hybrid_score(key, bm25_score: float, plan: VectorPlan,
+                         vector_scores: list[dict]):
+    """(final_score, vector_score_sum_or_None, has_vector) —
+    parity: `api/reader.rs:227-256`."""
+    blended_sum = 0.0
+    vector_sum = 0.0
+    has_vector = False
+    for clause, scores in zip(plan.clauses, vector_scores):
+        raw = scores.get(key)
+        if raw is not None:
+            vector_sum += raw
+            has_vector = True
+        vec_score = raw if raw is not None \
+            else missing_vector_score(clause.metric)
+        if clause.alpha >= 1.0:
+            blended = bm25_score
+        elif clause.alpha <= 0.0:
+            blended = vec_score
+        else:
+            blended = blend_scores(bm25_score, vec_score, clause.alpha)
+        blended_sum += blended
+    denom = max(len(plan.clauses), 1)
+    return (blended_sum / denom, vector_sum if has_vector else None,
+            has_vector)
 
 
 def distance_weight(distance: int) -> float:
@@ -540,10 +603,19 @@ class IndexReader:
         default_fields = (req.fields if req.fields is not None
                           else [f.name for f in self.schema.text_fields])
 
+        vector_plan = self._build_vector_plan(req)
+        if vector_plan is not None and not vector_plan.vector_only \
+                and all(c.alpha >= 1.0 for c in vector_plan.clauses):
+            vector_plan = None
+        if vector_plan is not None and vector_plan.vector_only:
+            return self._search_vector_only(req, sort_plan, cursor_state,
+                                            vector_plan)
+
         base_candidate = min(
             max(req.candidate_size or req.limit, req.limit),
             MAX_CANDIDATE_SIZE)
-        effective_limit = base_candidate
+        effective_limit = (max(vector_plan.candidate_size, req.limit)
+                           if vector_plan is not None else base_candidate)
         top_k = (effective_limit + 1) if req.return_hits else 0
 
         plan = build_query_plan(
@@ -580,6 +652,7 @@ class IndexReader:
         total_matches = 0
         saw_cursor = cursor_state is None
         agg_results = []
+        text_masks: dict[int, np.ndarray] = {}
         stats = {"scored_docs": 0, "candidates_examined": 0,
                  "postings_advanced": 0}
 
@@ -603,7 +676,8 @@ class IndexReader:
                     seg.fast, [req.filter])
                 root_mask[seg.doc_count] = False
 
-            use_cursor = (cursor_key is not None and score_fast_path)
+            use_cursor = (cursor_key is not None and score_fast_path
+                          and vector_plan is None)
             if use_cursor:
                 cs = float(cursor_key.parts[0])
                 if dseg.ord < cursor_key.segment_ord:
@@ -618,7 +692,7 @@ class IndexReader:
             k = min(max(top_k, 1), dseg.n1)
             run = compiled.executor()
             (top_scores, top_idx, match_count, final_mask, adjusted,
-             cursor_seen) = run(
+             cursor_seen, text_mask) = run(
                 dseg.block_docs, dseg.block_tfs, dseg.doc_len, dseg.avgdl,
                 dseg.deleted,
                 jnp.asarray(qargs["q_idx"]), jnp.asarray(qargs["q_weight"]),
@@ -641,6 +715,8 @@ class IndexReader:
             mask_np = None
             if needs_mask_host:
                 mask_np = np.array(final_mask)[:seg.doc_count]
+            if vector_plan is not None:
+                text_masks[dseg.ord] = np.asarray(text_mask)
 
             if use_cursor and bool(cursor_seen):
                 saw_cursor = True
@@ -670,7 +746,7 @@ class IndexReader:
                     score = float(scores_np[doc]) if scores_np is not None \
                         else 0.0
                     key = sort_plan.build_key(seg.fast, doc, score, dseg.ord)
-                    if cursor_key is not None:
+                    if cursor_key is not None and vector_plan is None:
                         cmp = key._cmp(cursor_key)
                         if cmp == 0:
                             saw_cursor = True
@@ -687,6 +763,15 @@ class IndexReader:
             if agg_pipeline is not None:
                 agg_results.append(agg_pipeline.collect_segment(
                     seg, dseg.ord, np.flatnonzero(mask_np)))
+
+        if vector_plan is not None:
+            vector_scores = self._collect_vector_maps(
+                vector_plan, req, text_masks)
+            saw = [saw_cursor]
+            all_hits = self._merge_vector_hits(
+                all_hits, vector_scores, vector_plan, sort_plan,
+                cursor_key, saw)
+            saw_cursor = saw[0]
 
         if not saw_cursor:
             raise CursorError("stale or invalid cursor for this result set")
@@ -780,6 +865,314 @@ class IndexReader:
             profile=profile,
         )
 
+    # -- vector search -------------------------------------------------------
+
+    def _build_vector_plan(self, req) -> Optional[VectorPlan]:
+        """Parity: `api/reader.rs:2001-2184`."""
+        vector_nodes: list = []
+        has_non_vector = [False]
+
+        def collect(node):
+            kind = node.kind
+            if kind == "vector":
+                from searchlite_tpu.api.types import VectorQuery
+
+                vector_nodes.append(VectorQuery.from_json(node.params))
+                return
+            if kind == "bool":
+                if node.params.get("filter"):
+                    has_non_vector[0] = True
+                for key in ("must", "should", "must_not"):
+                    for child in node.params.get(key, []):
+                        collect(child)
+                        if child.kind != "vector":
+                            has_non_vector[0] = True
+                return
+            if kind == "dis_max":
+                for child in node.params.get("queries", []):
+                    collect(child)
+                    if child.kind != "vector":
+                        has_non_vector[0] = True
+                return
+            if kind in ("function_score", "script_score"):
+                collect(node.params["query"])
+                has_non_vector[0] = True
+                return
+            has_non_vector[0] = True
+
+        from searchlite_tpu.api.types import QueryNode
+
+        if isinstance(req.query, QueryNode):
+            collect(req.query)
+        else:
+            has_non_vector[0] = True
+
+        if vector_nodes and req.vector_query is not None:
+            raise QueryError(
+                "cannot set both `vector_query` and a `vector` query node")
+        if vector_nodes:
+            vectors = vector_nodes
+        elif req.vector_query is not None:
+            vectors = [req.vector_query]
+        else:
+            return None
+        if len(vectors) > MAX_VECTOR_CLAUSES:
+            raise QueryError(
+                f"too many vector clauses: got {len(vectors)}, max "
+                f"supported {MAX_VECTOR_CLAUSES}")
+        vector_only = not has_non_vector[0]
+        clauses: list[VectorClausePlan] = []
+        max_k = 0
+        total_k = 0
+        base_candidate = min(
+            max(req.candidate_size if req.candidate_size is not None
+                else max(req.limit, 10) * 2, req.limit),
+            MAX_GLOBAL_CANDIDATES)
+        import math as _math
+
+        for vq in vectors:
+            field = self.schema.vector_field(vq.field)
+            if field is None:
+                raise QueryError(f"unknown vector field `{vq.field}`")
+            if len(vq.vector) != field.dim:
+                raise QueryError(
+                    f"vector field `{field.name}` expects dimension "
+                    f"{field.dim}, got {len(vq.vector)}")
+            query_vec = [float(v) for v in vq.vector]
+            if field.metric == "cosine":
+                norm = _math.sqrt(sum(v * v for v in query_vec))
+                if norm > 0:
+                    query_vec = [v / norm for v in query_vec]
+            alpha = vq.alpha if vq.alpha is not None else DEFAULT_VECTOR_ALPHA
+            if not (0.0 <= alpha <= 1.0) or not _math.isfinite(alpha):
+                raise QueryError(
+                    "vector alpha must be a finite value between 0 and 1 "
+                    "inclusive")
+            k = max(vq.k if vq.k is not None else req.limit, 1)
+            k = min(k, MAX_VECTOR_K)
+            candidate_size = (vq.candidate_size
+                              if vq.candidate_size is not None
+                              else max(k, req.limit, 10) * 2)
+            candidate_size = min(max(candidate_size, k),
+                                 MAX_VECTOR_CANDIDATE_SIZE)
+            ef_search = (vq.ef_search if vq.ef_search is not None
+                         else max(DEFAULT_EF_SEARCH, candidate_size))
+            ef_search = min(ef_search, MAX_VECTOR_EF_SEARCH)
+            boost = vq.boost if vq.boost is not None else 1.0
+            if boost < 0.0 or not _math.isfinite(boost):
+                raise QueryError(
+                    "vector boost must be finite and non-negative")
+            max_k = max(max_k, k)
+            total_k += k
+            clauses.append(VectorClausePlan(
+                field=vq.field, vector=query_vec, k=k, alpha=alpha,
+                ef_search=ef_search, candidate_size=candidate_size,
+                boost=boost, metric=field.metric))
+        if not clauses:
+            return None
+        candidate_size = max(base_candidate, max_k)
+        if candidate_size + total_k > MAX_GLOBAL_CANDIDATES:
+            candidate_size = max(MAX_GLOBAL_CANDIDATES - total_k, req.limit)
+        if candidate_size == 0:
+            candidate_size = max(max_k, 1)
+        return VectorPlan(clauses=clauses, candidate_size=candidate_size,
+                          vector_only=vector_only)
+
+    def _collect_vector_maps(self, plan: VectorPlan, req,
+                             text_masks: Optional[dict[int, np.ndarray]]
+                             ) -> list[dict]:
+        """Per-clause {(segment_ord, doc): boosted similarity} maps —
+        exact MXU brute force replacing the reference's HNSW beam
+        (`api/reader.rs:2377-2460`)."""
+        from searchlite_tpu.ops.vector import vector_topk
+
+        per_clause: list[dict] = [dict() for _ in plan.clauses]
+        for dseg in self.device_segments:
+            seg = dseg.reader
+            if seg.doc_count == 0:
+                continue
+            base_mask = np.ones(seg.doc_count, dtype=bool)
+            for d in seg.deleted:
+                if 0 <= d < seg.doc_count:
+                    base_mask[d] = False
+            if req.filter is not None:
+                base_mask &= compute_filters_mask(seg.fast, [req.filter])
+            if req.vector_filter is not None:
+                base_mask &= compute_filters_mask(
+                    seg.fast, [req.vector_filter])
+            if text_masks is not None:
+                tm = text_masks.get(dseg.ord)
+                if tm is None:
+                    continue
+                base_mask &= tm[:seg.doc_count]
+            for idx, clause in enumerate(plan.clauses):
+                vdata = seg.vectors.get(clause.field)
+                if vdata is None or not vdata.present.any():
+                    continue
+                search_k = min(max(clause.candidate_size, clause.k),
+                               seg.doc_count)
+                query = np.asarray([clause.vector], dtype=np.float32)
+                scores, ids = vector_topk(
+                    vdata.vectors, vdata.present, base_mask, query,
+                    search_k, clause.metric)
+                for score, doc in zip(scores[0].tolist(), ids[0].tolist()):
+                    if score == -np.inf:
+                        continue
+                    per_clause[idx][(dseg.ord, int(doc))] = \
+                        float(score) * clause.boost
+        # global truncation per clause to candidate_size, best-first
+        out = []
+        for idx, scores_map in enumerate(per_clause):
+            cap = plan.clauses[idx].candidate_size
+            if cap and len(scores_map) > cap:
+                items = sorted(scores_map.items(),
+                               key=lambda kv: (-kv[1], kv[0]))[:cap]
+                scores_map = dict(items)
+            out.append(scores_map)
+        return out
+
+    def _merge_vector_hits(self, hits: list[RankedHit], vector_scores,
+                           plan: VectorPlan, sort_plan: SortPlan,
+                           cursor_key, saw_cursor: list) -> list[RankedHit]:
+        """Parity: `api/reader.rs:2464-2538`."""
+        bm25_map = {(h.key.segment_ord, h.key.doc_id): h for h in hits}
+        candidate_keys = set(bm25_map)
+        for scores_map in vector_scores:
+            candidate_keys.update(scores_map)
+        all_vector_only = all(c.alpha <= 0.0 for c in plan.clauses)
+        merged: list[RankedHit] = []
+        for key_tuple in candidate_keys:
+            seg_ord, doc = key_tuple
+            existing = bm25_map.get(key_tuple)
+            bm25_score = existing.score if existing else 0.0
+            explanation = existing.explanation if existing else None
+            final_score, vector_score, has_vector = compute_hybrid_score(
+                key_tuple, bm25_score, plan, vector_scores)
+            if all_vector_only and not has_vector:
+                continue
+            if explanation is not None:
+                explanation["final_score"] = final_score
+            seg = self.segments[seg_ord]
+            key = sort_plan.build_key(seg.fast, doc, final_score, seg_ord)
+            if cursor_key is not None:
+                cmp = key._cmp(cursor_key)
+                if cmp == 0:
+                    saw_cursor[0] = True
+                if cmp <= 0:
+                    continue
+            merged.append(RankedHit(key=key, score=final_score,
+                                    vector_score=vector_score,
+                                    explanation=explanation))
+        return merged
+
+    def _search_vector_only(self, req, sort_plan: SortPlan, cursor_state,
+                            plan: VectorPlan) -> SearchResult:
+        """Pure-vector path (parity: `api/reader.rs:2187-2376`)."""
+        from searchlite_tpu.query.aggs import (
+            AggregationPipeline,
+            validate_aggregations,
+        )
+
+        score_fast_path = (sort_plan.is_score_only()
+                           and sort_plan.primary_order() == "desc")
+        cursor_key = cursor_state["key"] if cursor_state else None
+        cursor_returned = cursor_state["returned"] if cursor_state else 0
+        validate_aggregations(self.schema, req.aggs)
+        agg_pipeline = (AggregationPipeline(req.aggs, [], self.schema)
+                        if req.aggs else None)
+        vector_scores = self._collect_vector_maps(plan, req, None)
+
+        saw_cursor = [cursor_state is None or not req.return_hits]
+        total_matches = 0
+        hits: list[RankedHit] = []
+        agg_results = []
+        seg_docs_by_ord: dict[int, set[int]] = {}
+        for scores_map in vector_scores:
+            for (seg_ord, doc) in scores_map:
+                seg_docs_by_ord.setdefault(seg_ord, set()).add(doc)
+        for dseg in self.device_segments:
+            seg = dseg.reader
+            docs = sorted(seg_docs_by_ord.get(dseg.ord, ()))
+            matched_for_aggs = []
+            for doc in docs:
+                key_tuple = (dseg.ord, doc)
+                final_score, vector_score, _ = compute_hybrid_score(
+                    key_tuple, 0.0, plan, vector_scores)
+                if req.return_hits:
+                    key = sort_plan.build_key(
+                        seg.fast, doc, final_score, dseg.ord)
+                    if cursor_key is not None:
+                        cmp = key._cmp(cursor_key)
+                        if cmp == 0:
+                            saw_cursor[0] = True
+                        if cmp <= 0:
+                            continue
+                total_matches += 1
+                matched_for_aggs.append(doc)
+                if req.return_hits:
+                    hits.append(RankedHit(key=key, score=final_score,
+                                          vector_score=vector_score))
+            if agg_pipeline is not None:
+                agg_results.append(agg_pipeline.collect_segment(
+                    seg, dseg.ord,
+                    np.asarray(matched_for_aggs, dtype=np.int64)))
+        if not saw_cursor[0]:
+            raise CursorError("stale or invalid cursor for this result set")
+
+        if req.return_hits:
+            hits.sort(key=lambda h: _KeyWrap(h.key))
+
+        total_groups = None
+        group_inner: list[list[RankedHit]] = []
+        if req.return_hits and req.collapse is not None:
+            ensure_keyword_fast(self.schema, req.collapse.field, "collapse")
+            groups = self._collapse_hits(hits, req.collapse, sort_plan)
+            total_groups = len(groups)
+            group_inner = [inner for _top, inner in groups]
+            hits = [top for top, _inner in groups]
+
+        next_cursor = None
+        out_hits: list[Hit] = []
+        if req.return_hits:
+            if len(hits) > req.limit:
+                last = hits[req.limit - 1]
+                next_cursor = encode_cursor(
+                    self.generation, cursor_returned + req.limit, last.key,
+                    sort_plan, score_fast_path)
+                hits = hits[:req.limit]
+                group_inner = group_inner[:req.limit]
+            for i, h in enumerate(hits):
+                hit = self._materialize_hit(h, req, [], {})
+                if hit is None:
+                    continue
+                if group_inner and i < len(group_inner) and group_inner[i]:
+                    inner_hits = [
+                        ih for rh in group_inner[i]
+                        if (ih := self._materialize_hit(rh, req, [], {}))
+                        is not None
+                    ]
+                    if inner_hits:
+                        hit.inner_hits = inner_hits
+                out_hits.append(hit)
+
+        aggregations = {}
+        if agg_pipeline is not None:
+            aggregations = agg_pipeline.merge_and_finalize(agg_results)
+        suggest = self._execute_suggest(req.suggest) if req.suggest else {}
+        return SearchResult(
+            total_hits_estimate=total_matches + cursor_returned,
+            total_groups=total_groups,
+            hits=out_hits,
+            next_cursor=next_cursor,
+            aggregations=aggregations,
+            suggest=suggest,
+            profile={"execution": {"scored_docs": total_matches,
+                                   "candidates_examined": total_matches,
+                                   "postings_advanced": 0},
+                     "rescore": None,
+                     "timings": {}} if req.profile else None,
+        )
+
     def _compile(self, plan: QueryPlan, k1: float, b: float) -> CompiledQuery:
         # cache by structural identity of the plan; plans are rebuilt per
         # request, so key on a structural signature
@@ -830,7 +1223,7 @@ class IndexReader:
             col_vals, col_has = self._segment_columns(seg, compiled.columns)
             root_mask = np.ones(dseg.n1, dtype=bool)
             run = compiled.executor()
-            (_ts, _ti, _mc, final_mask, adjusted, _cs) = run(
+            (_ts, _ti, _mc, final_mask, adjusted, _cs, _tm) = run(
                 dseg.block_docs, dseg.block_tfs, dseg.doc_len, dseg.avgdl,
                 dseg.deleted,
                 jnp.asarray(qargs["q_idx"]), jnp.asarray(qargs["q_weight"]),

@@ -459,8 +459,10 @@ class CompiledQuery:
             masked = jnp.where(final_mask, adjusted,
                                -jnp.inf).astype(jnp.float32)
             top_scores, top_idx = jax.lax.top_k(masked, k)
+            # matcher-only mask (for vector-candidate text matching)
+            text_mask = matcher_mask & ~deleted
             return (top_scores, top_idx, match_count, final_mask,
-                    adjusted, cursor_seen)
+                    adjusted, cursor_seen, text_mask)
 
         return jax.jit(run, static_argnames=(
             "k", "has_scored_terms", "need_scores", "use_cursor"))
