@@ -618,7 +618,7 @@ def _collect_top_hits(seg, segment_ord, matched, spec) -> Intermediate:
             key = None
         hits.append((key, segment_ord, doc))
     return Intermediate("top_hits", {"hits": hits, "spec": spec,
-                                     "segment": seg})
+                                     "segments": {segment_ord: seg}})
 
 
 def _top_hits_plan(seg, sort_specs):
@@ -720,8 +720,8 @@ def _merge_in_place(target: Intermediate, other: Intermediate) -> None:
         target.data["values"].extend(other.data["values"])
     elif kind == "top_hits":
         target.data["hits"].extend(other.data["hits"])
-        target.data.setdefault("segments", {})
-        # keep per-(segment_ord) readers for finalize
+        target.data.setdefault("segments", {}).update(
+            other.data.get("segments", {}))
     else:
         raise QueryError(f"cannot merge aggregation `{kind}`")
 
@@ -1038,12 +1038,11 @@ def _finalize_top_hits(inter, spec) -> dict:
     if hits and hits[0][0] is not None:
         hits = sorted(hits, key=lambda h: _TopHitKey(h[0]))
     page = hits[start:start + size]
-    seg = inter.data.get("segment") if inter else None
+    segments = inter.data.get("segments", {}) if inter else {}
     out_hits = []
     fields = spec.get("fields")
-    for _key, _segment_ord, doc in page:
-        # NOTE: multi-segment top_hits finalize uses the collecting
-        # segment stored in the intermediate
+    for _key, segment_ord, doc in page:
+        seg = segments.get(segment_ord)
         if seg is None:
             continue
         doc_id = seg.doc_id(doc)
