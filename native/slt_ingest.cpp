@@ -1,0 +1,267 @@
+// searchlite-tpu native ingest accelerator.
+//
+// Replaces the hot host-side ingest loop (tokenize -> postings
+// accumulate; the reference's `index/segment.rs:655-698` +
+// `index/postings.rs:31-57` equivalent) with a single C++ pass.
+//
+// Scope: the `default` tokenizer's ASCII subset (split on non-alnum,
+// lowercase ASCII letters). Texts containing any byte >= 0x80 are
+// REJECTED by slt_add_text (return -1, no side effects) so the caller
+// can fall back to the exact Python Unicode path — ASCII behaviour is
+// byte-identical in both.
+//
+// Exported arrays mirror the TPU block layout of
+// `searchlite_tpu/index/postings.py` (128-wide doc/tf blocks, ragged
+// CSR positions).
+//
+// Built with: g++ -O3 -shared -fPIC -std=c++17 slt_ingest.cpp -o ...
+
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+#include <string>
+#include <unordered_map>
+#include <vector>
+
+namespace {
+
+constexpr int BLOCK = 128;
+
+struct TermPostings {
+  std::vector<uint32_t> docs;
+  std::vector<float> tfs;
+  // ragged positions: one run per posting
+  std::vector<uint32_t> pos_data;
+  std::vector<uint32_t> pos_lens;
+
+  void add(uint32_t doc, uint32_t pos, bool with_positions) {
+    if (!docs.empty() && docs.back() == doc) {
+      tfs.back() += 1.0f;
+      if (with_positions) {
+        pos_data.push_back(pos);
+        pos_lens.back() += 1;
+      }
+    } else {
+      docs.push_back(doc);
+      tfs.push_back(1.0f);
+      if (with_positions) {
+        pos_data.push_back(pos);
+        pos_lens.push_back(1);
+      } else {
+        pos_lens.push_back(0);
+      }
+    }
+  }
+};
+
+struct Builder {
+  bool enable_positions;
+  std::unordered_map<std::string, uint32_t> term_ids;
+  std::vector<TermPostings> terms;
+  std::vector<std::string> term_keys;
+
+  // finish() products
+  std::vector<uint32_t> sorted_order;
+  uint64_t n_blocks = 0;
+  uint64_t n_postings = 0;
+  uint64_t n_positions = 0;
+  uint64_t terms_bytes = 0;
+
+  TermPostings& term(const std::string& key) {
+    auto it = term_ids.find(key);
+    if (it == term_ids.end()) {
+      uint32_t id = static_cast<uint32_t>(terms.size());
+      term_ids.emplace(key, id);
+      terms.emplace_back();
+      term_keys.push_back(key);
+      return terms.back();
+    }
+    return terms[it->second];
+  }
+};
+
+inline bool is_ascii_alnum(unsigned char c) {
+  return (c >= '0' && c <= '9') || (c >= 'a' && c <= 'z') ||
+         (c >= 'A' && c <= 'Z');
+}
+
+}  // namespace
+
+extern "C" {
+
+void* slt_new(int enable_positions) {
+  auto* b = new Builder();
+  b->enable_positions = enable_positions != 0;
+  return b;
+}
+
+void slt_free(void* handle) { delete static_cast<Builder*>(handle); }
+
+// Add one token (already-analyzed, e.g. lowercased keywords or Python
+// fallback tokens). key = "{field}:{token}".
+void slt_add_token(void* handle, const char* key, int key_len, uint32_t doc,
+                   uint32_t pos, int with_positions) {
+  auto* b = static_cast<Builder*>(handle);
+  std::string k(key, static_cast<size_t>(key_len));
+  b->term(k).add(doc, pos, b->enable_positions && with_positions != 0);
+}
+
+// Tokenize one ASCII text value with the `default` tokenizer and add all
+// tokens under "{field_prefix}{token}". field_prefix includes the ':'.
+// position_offset is added to every token position (cross-value offsets).
+//
+// Returns -1 (no side effects) if the text contains non-ASCII bytes;
+// otherwise the token count. out_max_pos receives the max token position
+// (un-offset), or 0xFFFFFFFF when no tokens were produced.
+long long slt_add_text(void* handle, const char* field_prefix, int prefix_len,
+                       uint32_t doc, const char* text, long long text_len,
+                       uint32_t position_offset, uint32_t* out_max_pos) {
+  for (long long i = 0; i < text_len; ++i) {
+    if (static_cast<unsigned char>(text[i]) >= 0x80) return -1;
+  }
+  auto* b = static_cast<Builder*>(handle);
+  std::string key(field_prefix, static_cast<size_t>(prefix_len));
+  const size_t base_len = key.size();
+  long long count = 0;
+  uint32_t position = 0;
+  size_t token_start = std::string::npos;
+  *out_max_pos = 0xFFFFFFFFu;
+  for (long long i = 0; i <= text_len; ++i) {
+    const bool alnum =
+        i < text_len && is_ascii_alnum(static_cast<unsigned char>(text[i]));
+    if (alnum) {
+      if (token_start == std::string::npos) token_start = key.size();
+      char c = text[i];
+      if (c >= 'A' && c <= 'Z') c = static_cast<char>(c + 32);
+      key.push_back(c);
+    } else if (token_start != std::string::npos) {
+      b->term(key).add(doc, position_offset + position,
+                       b->enable_positions);
+      *out_max_pos = position;
+      ++position;
+      ++count;
+      key.resize(base_len);
+      token_start = std::string::npos;
+    }
+  }
+  return count;
+}
+
+// Sort terms, compute export sizes.
+void slt_finish(void* handle) {
+  auto* b = static_cast<Builder*>(handle);
+  const size_t n = b->terms.size();
+  b->sorted_order.resize(n);
+  for (size_t i = 0; i < n; ++i) b->sorted_order[i] = i;
+  std::sort(b->sorted_order.begin(), b->sorted_order.end(),
+            [b](uint32_t a, uint32_t c) {
+              return b->term_keys[a] < b->term_keys[c];
+            });
+  b->n_blocks = 0;
+  b->n_postings = 0;
+  b->n_positions = 0;
+  b->terms_bytes = 0;
+  for (size_t i = 0; i < n; ++i) {
+    const auto& t = b->terms[i];
+    b->n_postings += t.docs.size();
+    b->n_positions += t.pos_data.size();
+    b->n_blocks += (t.docs.size() + BLOCK - 1) / BLOCK;
+    b->terms_bytes += 4 + b->term_keys[i].size();
+  }
+}
+
+uint64_t slt_n_terms(void* h) { return static_cast<Builder*>(h)->terms.size(); }
+uint64_t slt_n_blocks(void* h) { return static_cast<Builder*>(h)->n_blocks; }
+uint64_t slt_n_postings(void* h) {
+  return static_cast<Builder*>(h)->n_postings;
+}
+uint64_t slt_n_positions(void* h) {
+  return static_cast<Builder*>(h)->n_positions;
+}
+uint64_t slt_terms_bytes(void* h) {
+  return static_cast<Builder*>(h)->terms_bytes;
+}
+
+// Export everything in sorted-term order into caller-allocated buffers:
+//   terms_buf       [terms_bytes]   repeated u32-LE len + utf8 bytes
+//   block_docs      [n_blocks*128]  int32, pad -1
+//   block_tfs       [n_blocks*128]  float32, pad 0
+//   block_term      [n_blocks]      int32
+//   term_block_start/count/df [n_terms] int32
+//   term_max_tf     [n_terms]       float32
+//   block_max_tf    [n_blocks]      float32
+//   block_last_doc  [n_blocks]      int32
+//   pos_offsets     [n_postings+1]  int64 (posting-ordinal CSR)
+//   pos_values      [n_positions]   int32
+void slt_export(void* handle, char* terms_buf, int32_t* block_docs,
+                float* block_tfs, int32_t* block_term,
+                int32_t* term_block_start, int32_t* term_block_count,
+                int32_t* term_df, float* term_max_tf, float* block_max_tf,
+                int32_t* block_last_doc, int64_t* pos_offsets,
+                int32_t* pos_values) {
+  auto* b = static_cast<Builder*>(handle);
+  const size_t n = b->sorted_order.size();
+  uint64_t block_cursor = 0;
+  uint64_t posting_cursor = 0;
+  uint64_t pos_cursor = 0;
+  char* tb = terms_buf;
+  pos_offsets[0] = 0;
+  for (size_t rank = 0; rank < n; ++rank) {
+    const uint32_t src = b->sorted_order[rank];
+    const auto& key = b->term_keys[src];
+    const auto& t = b->terms[src];
+    const uint32_t klen = static_cast<uint32_t>(key.size());
+    std::memcpy(tb, &klen, 4);
+    tb += 4;
+    std::memcpy(tb, key.data(), klen);
+    tb += klen;
+
+    const size_t df = t.docs.size();
+    const size_t nb = (df + BLOCK - 1) / BLOCK;
+    term_block_start[rank] = static_cast<int32_t>(block_cursor);
+    term_block_count[rank] = static_cast<int32_t>(nb);
+    term_df[rank] = static_cast<int32_t>(df);
+    float max_tf = 0.0f;
+    for (size_t i = 0; i < nb * BLOCK; ++i) {
+      const size_t out = block_cursor * BLOCK + i;
+      if (i < df) {
+        block_docs[out] = static_cast<int32_t>(t.docs[i]);
+        block_tfs[out] = t.tfs[i];
+        if (t.tfs[i] > max_tf) max_tf = t.tfs[i];
+      } else {
+        block_docs[out] = -1;
+        block_tfs[out] = 0.0f;
+      }
+    }
+    term_max_tf[rank] = max_tf;
+    for (size_t blk = 0; blk < nb; ++blk) {
+      float bmax = 0.0f;
+      int32_t dmax = 0;
+      for (size_t i = blk * BLOCK; i < (blk + 1) * BLOCK && i < df; ++i) {
+        if (t.tfs[i] > bmax) bmax = t.tfs[i];
+        if (static_cast<int32_t>(t.docs[i]) > dmax)
+          dmax = static_cast<int32_t>(t.docs[i]);
+      }
+      block_max_tf[block_cursor + blk] = bmax;
+      block_last_doc[block_cursor + blk] = dmax;
+      block_term[block_cursor + blk] = static_cast<int32_t>(rank);
+    }
+    block_cursor += nb;
+
+    // positions CSR in posting order
+    size_t data_cursor = 0;
+    for (size_t p = 0; p < df; ++p) {
+      const uint32_t len = p < t.pos_lens.size() ? t.pos_lens[p] : 0;
+      for (uint32_t j = 0; j < len; ++j) {
+        pos_values[pos_cursor + j] =
+            static_cast<int32_t>(t.pos_data[data_cursor + j]);
+      }
+      data_cursor += len;
+      pos_cursor += len;
+      ++posting_cursor;
+      pos_offsets[posting_cursor] = static_cast<int64_t>(pos_cursor);
+    }
+  }
+}
+
+}  // extern "C"

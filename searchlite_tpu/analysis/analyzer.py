@@ -51,6 +51,10 @@ class Analyzer:
         if lowercases is None:
             lowercases = tokenizer in ("default", "unicode")
         self._lowercases = lowercases
+        # plain `default` tokenizer with no filters: eligible for the
+        # native (C++) ASCII fast path at ingest
+        self.is_plain_default = (tokenizer == "default"
+                                 and not self._filters)
 
     def analyze(self, text: str) -> list[Token]:
         tokens = self._tokenize(text)

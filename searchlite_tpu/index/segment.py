@@ -336,7 +336,17 @@ class SegmentWriter:
         numeric_info = {f.path: (bool(f.numeric_i64), f.fast)
                         for f in resolved.values() if f.kind == "numeric"}
 
-        postings_builder = InvertedIndexBuilder(self.enable_positions)
+        postings_builder = None
+        try:
+            from searchlite_tpu.native import NativeIndexBuilder, get_lib
+
+            if get_lib() is not None:
+                postings_builder = NativeIndexBuilder(self.enable_positions)
+        except Exception:  # noqa: BLE001 — fall back to pure Python
+            postings_builder = None
+        native = postings_builder is not None
+        if postings_builder is None:
+            postings_builder = InvertedIndexBuilder(self.enable_positions)
         fast_writer = FastFieldsWriter()
         total_doc_lengths: dict[str, int] = {}
         doc_ids: list[str] = []
@@ -364,7 +374,20 @@ class SegmentWriter:
                             f"no analyzer configured for field `{field}`")
                     position_offset = 0
                     doc_len = 0
+                    use_native = native and analyzer.is_plain_default
                     for text in values:
+                        if use_native:
+                            fast = postings_builder.add_text(
+                                field, doc_ord, text, position_offset)
+                            if fast is not None:
+                                count, max_pos = fast
+                                doc_len += count
+                                total_doc_lengths[field] = (
+                                    total_doc_lengths.get(field, 0) + count)
+                                position_offset += (
+                                    (max_pos + 1) if max_pos is not None
+                                    else 1)
+                                continue
                         tokens = analyzer.analyze(text)
                         doc_len += len(tokens)
                         total_doc_lengths[field] = (

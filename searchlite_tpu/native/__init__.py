@@ -1,0 +1,204 @@
+"""Native (C++) ingest accelerator bindings.
+
+Compiles ``native/slt_ingest.cpp`` on first use (g++ -O3 -shared) and
+binds it via ctypes. The native builder handles the `default`
+tokenizer's ASCII subset at C++ speed; non-ASCII values and non-default
+analyzers fall back to the exact Python path per value, so output is
+identical either way. If no compiler is available everything silently
+uses pure Python.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+from searchlite_tpu.index.postings import BLOCK, PostingsData
+
+_LIB = None
+_LIB_LOCK = threading.Lock()
+_LIB_FAILED = False
+
+
+def _source_path() -> str:
+    here = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    return os.path.join(here, "native", "slt_ingest.cpp")
+
+
+def _build_lib() -> str | None:
+    src = _source_path()
+    if not os.path.exists(src):
+        return None
+    cache_dir = os.path.join(
+        os.environ.get("XDG_CACHE_HOME",
+                       os.path.expanduser("~/.cache")),
+        "searchlite_tpu")
+    os.makedirs(cache_dir, exist_ok=True)
+    out = os.path.join(cache_dir, "slt_ingest.so")
+    if os.path.exists(out) and os.path.getmtime(out) >= os.path.getmtime(src):
+        return out
+    tmp = out + f".tmp{os.getpid()}"
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", src, "-o", tmp]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        os.replace(tmp, out)
+    except (subprocess.SubprocessError, FileNotFoundError, OSError):
+        return None
+    return out
+
+
+def get_lib():
+    global _LIB, _LIB_FAILED
+    if _LIB is not None or _LIB_FAILED:
+        return _LIB
+    with _LIB_LOCK:
+        if _LIB is not None or _LIB_FAILED:
+            return _LIB
+        if os.environ.get("SEARCHLITE_DISABLE_NATIVE"):
+            _LIB_FAILED = True
+            return None
+        path = _build_lib()
+        if path is None:
+            _LIB_FAILED = True
+            return None
+        try:
+            lib = ctypes.CDLL(path)
+        except OSError:
+            _LIB_FAILED = True
+            return None
+        lib.slt_new.restype = ctypes.c_void_p
+        lib.slt_new.argtypes = [ctypes.c_int]
+        lib.slt_free.argtypes = [ctypes.c_void_p]
+        lib.slt_add_token.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int,
+            ctypes.c_uint32, ctypes.c_uint32, ctypes.c_int]
+        lib.slt_add_text.restype = ctypes.c_longlong
+        lib.slt_add_text.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int,
+            ctypes.c_uint32, ctypes.c_char_p, ctypes.c_longlong,
+            ctypes.c_uint32, ctypes.POINTER(ctypes.c_uint32)]
+        lib.slt_finish.argtypes = [ctypes.c_void_p]
+        for name in ("slt_n_terms", "slt_n_blocks", "slt_n_postings",
+                     "slt_n_positions", "slt_terms_bytes"):
+            fn = getattr(lib, name)
+            fn.restype = ctypes.c_uint64
+            fn.argtypes = [ctypes.c_void_p]
+        lib.slt_export.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p,
+            np.ctypeslib.ndpointer(np.int32),
+            np.ctypeslib.ndpointer(np.float32),
+            np.ctypeslib.ndpointer(np.int32),
+            np.ctypeslib.ndpointer(np.int32),
+            np.ctypeslib.ndpointer(np.int32),
+            np.ctypeslib.ndpointer(np.int32),
+            np.ctypeslib.ndpointer(np.float32),
+            np.ctypeslib.ndpointer(np.float32),
+            np.ctypeslib.ndpointer(np.int32),
+            np.ctypeslib.ndpointer(np.int64),
+            np.ctypeslib.ndpointer(np.int32),
+        ]
+        _LIB = lib
+        return _LIB
+
+
+class NativeIndexBuilder:
+    """Drop-in replacement for InvertedIndexBuilder backed by C++."""
+
+    def __init__(self, enable_positions: bool = True):
+        self._lib = get_lib()
+        if self._lib is None:
+            raise RuntimeError("native library unavailable")
+        self.enable_positions = enable_positions
+        self._handle = self._lib.slt_new(1 if enable_positions else 0)
+        self._count = 0
+
+    def __del__(self):
+        handle = getattr(self, "_handle", None)
+        if handle and self._lib is not None:
+            self._lib.slt_free(handle)
+            self._handle = None
+
+    def add_term(self, term: str, doc: int, position: int,
+                 with_positions: bool = True) -> None:
+        data = term.encode()
+        self._lib.slt_add_token(self._handle, data, len(data), doc,
+                                position, 1 if with_positions else 0)
+        self._count += 1
+
+    def add_text(self, field: str, doc: int, text: str,
+                 position_offset: int):
+        """Tokenize+add an ASCII text value natively.
+
+        Returns (token_count, max_position) or None when the value
+        contains non-ASCII bytes (caller must fall back per value)."""
+        if not text.isascii():
+            return None
+        prefix = f"{field}:".encode()
+        raw = text.encode()
+        out_max = ctypes.c_uint32(0)
+        count = self._lib.slt_add_text(
+            self._handle, prefix, len(prefix), doc, raw, len(raw),
+            position_offset, ctypes.byref(out_max))
+        if count < 0:
+            return None
+        max_pos = None if out_max.value == 0xFFFFFFFF else int(out_max.value)
+        return int(count), max_pos
+
+    def build(self) -> PostingsData:
+        lib = self._lib
+        lib.slt_finish(self._handle)
+        n_terms = lib.slt_n_terms(self._handle)
+        n_blocks = lib.slt_n_blocks(self._handle)
+        n_postings = lib.slt_n_postings(self._handle)
+        n_positions = lib.slt_n_positions(self._handle)
+        terms_bytes = lib.slt_terms_bytes(self._handle)
+
+        terms_buf = ctypes.create_string_buffer(max(int(terms_bytes), 1))
+        block_docs = np.empty((max(n_blocks, 0), BLOCK), dtype=np.int32)
+        block_tfs = np.empty((max(n_blocks, 0), BLOCK), dtype=np.float32)
+        block_term = np.empty(max(n_blocks, 0), dtype=np.int32)
+        term_block_start = np.empty(max(n_terms, 0), dtype=np.int32)
+        term_block_count = np.empty(max(n_terms, 0), dtype=np.int32)
+        term_df = np.empty(max(n_terms, 0), dtype=np.int32)
+        term_max_tf = np.empty(max(n_terms, 0), dtype=np.float32)
+        block_max_tf = np.empty(max(n_blocks, 0), dtype=np.float32)
+        block_last_doc = np.empty(max(n_blocks, 0), dtype=np.int32)
+        pos_offsets = np.zeros(int(n_postings) + 1, dtype=np.int64)
+        pos_values = np.empty(max(int(n_positions), 1), dtype=np.int32)
+
+        if n_terms:
+            lib.slt_export(
+                self._handle, terms_buf,
+                block_docs.reshape(-1), block_tfs.reshape(-1), block_term,
+                term_block_start, term_block_count, term_df, term_max_tf,
+                block_max_tf, block_last_doc, pos_offsets, pos_values)
+
+        terms: list[str] = []
+        raw = terms_buf.raw[:int(terms_bytes)]
+        cursor = 0
+        for _ in range(int(n_terms)):
+            length = int.from_bytes(raw[cursor:cursor + 4], "little")
+            cursor += 4
+            terms.append(raw[cursor:cursor + length].decode())
+            cursor += length
+
+        return PostingsData(
+            terms=terms,
+            block_docs=block_docs,
+            block_tfs=block_tfs,
+            block_term=block_term,
+            term_block_start=term_block_start,
+            term_block_count=term_block_count,
+            term_df=term_df,
+            term_max_tf=term_max_tf,
+            block_max_tf=block_max_tf,
+            block_last_doc=block_last_doc,
+            pos_values=pos_values[:int(n_positions)],
+            pos_offsets=pos_offsets,
+            has_positions=self.enable_positions,
+        )

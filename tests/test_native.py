@@ -1,0 +1,103 @@
+"""Native C++ ingest accelerator tests: byte-identical output with the
+pure-Python path, non-ASCII fallback, graceful degradation."""
+
+import random
+
+import numpy as np
+import pytest
+
+from searchlite_tpu.analysis.analyzer import Analyzer
+from searchlite_tpu.index.postings import InvertedIndexBuilder
+
+
+def native_available():
+    from searchlite_tpu.native import get_lib
+
+    return get_lib() is not None
+
+
+pytestmark = pytest.mark.skipif(not native_available(),
+                                reason="no C++ toolchain")
+
+
+def test_native_matches_python_builder():
+    from searchlite_tpu.native import NativeIndexBuilder
+
+    rng = random.Random(11)
+    analyzer = Analyzer("default")
+    nb = NativeIndexBuilder(True)
+    pb = InvertedIndexBuilder(True)
+    words = ["Apple", "beta-42", "Gamma", "CAFE", "zz9", "a1b2"]
+    for doc in range(300):
+        text = " ".join(rng.choices(words, k=rng.randint(1, 25)))
+        assert nb.add_text("body", doc, text, 0) is not None
+        for tok in analyzer.analyze(text):
+            pb.add_term(f"body:{tok.text}", doc, tok.position)
+    pn, pp = nb.build(), pb.build()
+    assert pn.terms == pp.terms
+    np.testing.assert_array_equal(pn.block_docs, pp.block_docs)
+    np.testing.assert_array_equal(pn.block_tfs, pp.block_tfs)
+    np.testing.assert_array_equal(pn.term_df, pp.term_df)
+    np.testing.assert_array_equal(pn.term_block_start, pp.term_block_start)
+    np.testing.assert_array_equal(pn.pos_offsets, pp.pos_offsets)
+    np.testing.assert_array_equal(pn.pos_values, pp.pos_values)
+    np.testing.assert_array_equal(pn.block_max_tf, pp.block_max_tf)
+
+
+def test_non_ascii_rejected_without_side_effects():
+    from searchlite_tpu.native import NativeIndexBuilder
+
+    nb = NativeIndexBuilder(True)
+    assert nb.add_text("body", 0, "café au lait", 0) is None
+    assert nb.add_text("body", 0, "plain ascii", 0) == (2, 1)
+    data = nb.build()
+    assert data.terms == ["body:ascii", "body:plain"]
+
+
+def test_segment_writer_same_output_with_and_without_native(monkeypatch):
+    """Indexes built with and without the native path search identically,
+    including mixed ASCII/Unicode documents."""
+    from searchlite_tpu.api.types import IndexOptions, StorageType
+    from searchlite_tpu.index import Index
+    from searchlite_tpu.index.manifest import Schema
+    import searchlite_tpu.native as natmod
+
+    docs = [
+        {"_id": "1", "body": "plain ascii words here"},
+        {"_id": "2", "body": "café unicode façade naïve"},
+        {"_id": "3", "body": ["multi value", "café second"]},
+    ]
+    schema = {"text_fields": [{"name": "body", "analyzer": "default",
+                               "stored": True, "indexed": True}]}
+
+    def build():
+        index = Index.create(
+            IndexOptions(path="", create_if_missing=True,
+                         storage=StorageType.IN_MEMORY),
+            Schema.from_json(schema))
+        w = index.writer()
+        w.add_documents(docs)
+        w.commit()
+        return index
+
+    idx_native = build()
+    monkeypatch.setenv("SEARCHLITE_DISABLE_NATIVE", "1")
+    monkeypatch.setattr(natmod, "_LIB", None)
+    monkeypatch.setattr(natmod, "_LIB_FAILED", False)
+    idx_python = build()
+    monkeypatch.delenv("SEARCHLITE_DISABLE_NATIVE")
+    monkeypatch.setattr(natmod, "_LIB", None)
+    monkeypatch.setattr(natmod, "_LIB_FAILED", False)
+
+    sn = idx_native.reader().segments[0]
+    sp = idx_python.reader().segments[0]
+    assert sn.terms.terms == sp.terms.terms
+    np.testing.assert_array_equal(sn.postings.block_docs,
+                                  sp.postings.block_docs)
+    np.testing.assert_array_equal(sn.postings.pos_values,
+                                  sp.postings.pos_values)
+    for query in ("ascii", "café", "second value"):
+        rn = idx_native.reader().search({"query": query, "limit": 10})
+        rp = idx_python.reader().search({"query": query, "limit": 10})
+        assert [(h.doc_id, round(h.score, 5)) for h in rn.hits] == \
+            [(h.doc_id, round(h.score, 5)) for h in rp.hits]
