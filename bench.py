@@ -1,188 +1,144 @@
-"""Benchmark: batched BM25 top-10 QPS on the device block-scoring kernel.
+"""Benchmark: batched BM25 top-10 QPS through the real engine.
 
-Measures the engine's flagship path (the dense replacement for the
-reference's WAND loop, `query/wand.rs:659-903`): a Zipf-distributed
-synthetic corpus in the HBM block layout, batches of multi-term queries
-scored in one launch each, exact top-10.
+Builds a Zipf-distributed synthetic corpus through the full ingest path
+(validation → tokenize via the C++ accelerator → block-native postings →
+fast fields → docstore), opens a reader (uploads the HBM block layout),
+then measures batched multi-term query throughput via
+``IndexReader.search_batch`` — exact top-10, identical results to the
+single-query path (enforced by tests/test_batch_search.py).
 
 Prints ONE JSON line:
     {"metric": ..., "value": QPS, "unit": "qps", "vs_baseline": ...}
 
-vs_baseline is measured against a single-thread numpy CPU implementation
-of the same exact scoring (a stand-in for the reference's single-node
-CPU engine until the Rust baseline is run on identical hardware).
+vs_baseline compares against a single-thread numpy implementation of the
+same exact scoring over the same index (a stand-in for the reference's
+single-node CPU engine until the Rust baseline runs on this host).
 """
 
 from __future__ import annotations
 
 import json
+import random
 import time
 
 import numpy as np
 
 N_DOCS = 100_000
 VOCAB = 10_000
-AVG_LEN = 80
+AVG_LEN = 60
 BATCH = 256
+N_BATCHES = 5
 TERMS_PER_QUERY = 4
 K = 10
-MAX_BLOCKS = 64
-BLOCK = 128
 
 
-def build_corpus(seed=7):
+def build_docs(seed=7):
     rng = np.random.default_rng(seed)
-    # Zipf-ish document frequencies, capped
-    ranks = np.arange(1, VOCAB + 1)
-    dfs = np.minimum((N_DOCS * 2.0 / ranks).astype(np.int64), N_DOCS // 2)
-    dfs = np.maximum(dfs, 2)
-    total_blocks = int(np.sum(-(-dfs // BLOCK)))
-    block_docs = np.full((total_blocks, BLOCK), N_DOCS, dtype=np.int32)
-    block_tfs = np.zeros((total_blocks, BLOCK), dtype=np.float32)
-    term_start = np.zeros(VOCAB, dtype=np.int32)
-    term_count = np.zeros(VOCAB, dtype=np.int32)
-    term_df = dfs.astype(np.int64)
+    # Zipf-ish token distribution over the vocabulary
+    ranks = np.arange(1, VOCAB + 1, dtype=np.float64)
+    probs = (1.0 / ranks) / np.sum(1.0 / ranks)
+    lengths = rng.integers(AVG_LEN // 2, AVG_LEN * 2, size=N_DOCS)
+    docs = []
+    vocab = [f"tok{i}" for i in range(VOCAB)]
+    all_tokens = rng.choice(VOCAB, size=int(lengths.sum()), p=probs)
     cursor = 0
-    for t in range(VOCAB):
-        df = int(dfs[t])
-        # sorted distinct doc ids without a full permutation
-        docs = np.unique(rng.integers(0, N_DOCS, size=int(df * 1.2)))[:df]
-        df = len(docs)
-        term_df[t] = df
-        tfs = rng.integers(1, 6, size=df).astype(np.float32)
-        nb = -(-df // BLOCK)
-        flat_d = block_docs[cursor:cursor + nb].reshape(-1)
-        flat_t = block_tfs[cursor:cursor + nb].reshape(-1)
-        flat_d[:df] = docs
-        flat_t[:df] = tfs
-        term_start[t] = cursor
-        term_count[t] = nb
-        cursor += nb
-    doc_len = np.zeros((1, N_DOCS + 1), dtype=np.float32)
-    doc_len[0, :N_DOCS] = rng.integers(
-        AVG_LEN // 2, AVG_LEN * 2, size=N_DOCS)
-    avgdl = np.asarray([doc_len[0, :N_DOCS].mean()], dtype=np.float32)
-    deleted = np.zeros(N_DOCS + 1, dtype=bool)
-    deleted[N_DOCS] = True
-    return {
-        "block_docs": block_docs[:cursor],
-        "block_tfs": block_tfs[:cursor],
-        "term_start": term_start,
-        "term_count": term_count,
-        "term_df": term_df,
-        "doc_len": doc_len,
-        "avgdl": avgdl,
-        "deleted": deleted,
-    }
+    for i in range(N_DOCS):
+        n = int(lengths[i])
+        body = " ".join(vocab[t] for t in all_tokens[cursor:cursor + n])
+        cursor += n
+        docs.append({"_id": str(i), "body": body})
+    return docs
 
 
-def build_queries(idx, n_batches, seed=11):
-    rng = np.random.default_rng(seed)
+def build_queries(seed=11):
+    rng = random.Random(seed)
     batches = []
-    for _ in range(n_batches):
-        starts = np.zeros((BATCH, TERMS_PER_QUERY * 4), dtype=np.int32)
-        counts = np.zeros_like(starts)
-        weights = np.zeros(starts.shape, dtype=np.float32)
-        fields = np.zeros_like(starts)
-        valid = np.zeros(starts.shape, dtype=bool)
-        for q in range(BATCH):
-            # skew away from the absolute top terms a bit (realistic
-            # queries rarely consist purely of stopwords)
-            terms = rng.integers(10, VOCAB, size=TERMS_PER_QUERY)
-            slot = 0
-            for t in terms:
-                df = float(idx["term_df"][t])
-                idf = max(np.log((N_DOCS - df + 0.5) / (df + 0.5)), 0.0) + 1.0
-                start = int(idx["term_start"][t])
-                count = int(idx["term_count"][t])
-                while count > 0 and slot < starts.shape[1]:
-                    take = min(count, MAX_BLOCKS)
-                    starts[q, slot] = start
-                    counts[q, slot] = take
-                    weights[q, slot] = idf
-                    valid[q, slot] = True
-                    start += take
-                    count -= take
-                    slot += 1
-        batches.append((starts, counts, weights, fields, valid))
+    for _ in range(N_BATCHES + 1):
+        batch = []
+        for _q in range(BATCH):
+            # skew away from pure stopwords
+            terms = [f"tok{rng.randint(10, VOCAB - 1)}"
+                     for _ in range(TERMS_PER_QUERY)]
+            batch.append(" ".join(terms))
+        batches.append(batch)
     return batches
 
 
-def cpu_reference_qps(idx, batch, n_queries=8):
-    """Single-thread numpy exact scoring, timed per query."""
-    starts, counts, weights, _fields, valid = batch
+def cpu_reference_qps(reader, queries, n_queries=8):
+    """Single-thread numpy exact scoring over the same postings arrays."""
+    seg = reader.segments[0]
+    dseg = reader.device_segments[0]
+    postings = seg.postings
     k1, b = 0.9, 0.4
-    doc_len = idx["doc_len"][0, :N_DOCS]
-    avg = float(idx["avgdl"][0])
+    n_docs = seg.doc_count
+    col = seg.fast.column("_len:body")
+    doc_len = np.zeros(n_docs, dtype=np.float32)
+    doc_len[col.row_ids] = col.values.astype(np.float32)
+    avg = seg.avg_field_length("body")
+    live = float(dseg.live_docs)
     t0 = time.perf_counter()
-    for q in range(n_queries):
-        scores = np.zeros(N_DOCS + 1, dtype=np.float32)
-        for s in range(starts.shape[1]):
-            if not valid[q, s]:
+    for raw in queries[:n_queries]:
+        scores = np.zeros(n_docs + 1, dtype=np.float32)
+        for token in raw.split():
+            tid = seg.terms.get(f"body:{token}")
+            if tid is None:
                 continue
-            blk0, nb, w = int(starts[q, s]), int(counts[q, s]), \
-                float(weights[q, s])
-            docs = idx["block_docs"][blk0:blk0 + nb].reshape(-1)
-            tfs = idx["block_tfs"][blk0:blk0 + nb].reshape(-1)
-            ok = docs < N_DOCS
-            docs = docs[ok]
-            tfs = tfs[ok]
+            df = float(postings.term_df[tid])
+            idf = max(np.log((live - df + 0.5) / (df + 0.5)), 0.0) + 1.0
+            docs, tfs = postings.term_postings(tid)
             norm = doc_len[docs] / avg
             denom = np.maximum(tfs + k1 * (1 - b + b * norm), 1e-6)
-            np.add.at(scores, docs, w * tfs * (k1 + 1) / denom)
-        top = np.argpartition(-scores[:N_DOCS], K)[:K]
-        _ = top
+            np.add.at(scores, docs, idf * tfs * (k1 + 1) / denom)
+        _ = np.argpartition(-scores[:n_docs], K)[:K]
     dt = time.perf_counter() - t0
     return n_queries / dt
 
 
 def main():
-    import jax
-    import jax.numpy as jnp
+    from searchlite_tpu.api.types import IndexOptions, StorageType
+    from searchlite_tpu.index import Index
+    from searchlite_tpu.index.manifest import Schema
 
-    from searchlite_tpu.ops.batch import make_batched_scorer
+    t_build = time.perf_counter()
+    docs = build_docs()
+    index = Index.create(
+        IndexOptions(path="", create_if_missing=True,
+                     storage=StorageType.IN_MEMORY),
+        Schema.from_json({
+            "text_fields": [{"name": "body", "analyzer": "default",
+                             "stored": False, "indexed": True}]}))
+    writer = index.writer()
+    writer.add_documents(docs)
+    writer.commit()
+    build_s = time.perf_counter() - t_build
 
-    idx = build_corpus()
-    batches = build_queries(idx, n_batches=6)
-    scorer = make_batched_scorer(MAX_BLOCKS)
-
-    dev = {
-        "block_docs": jnp.asarray(idx["block_docs"]),
-        "block_tfs": jnp.asarray(idx["block_tfs"]),
-        "doc_len": jnp.asarray(idx["doc_len"]),
-        "avgdl": jnp.asarray(idx["avgdl"]),
-        "deleted": jnp.asarray(idx["deleted"]),
-    }
-
-    def run(batch):
-        starts, counts, weights, fields, valid = batch
-        return scorer(dev["block_docs"], dev["block_tfs"], dev["doc_len"],
-                      dev["avgdl"], dev["deleted"],
-                      jnp.asarray(starts), jnp.asarray(counts),
-                      jnp.asarray(weights), jnp.asarray(fields),
-                      jnp.asarray(valid),
-                      jnp.float32(0.9), jnp.float32(0.4), k=K)
+    reader = index.reader()
+    batches = build_queries()
 
     # warmup/compile
-    out = run(batches[0])
-    out[0].block_until_ready()
+    reader.search_batch(batches[0], limit=K)
 
     t0 = time.perf_counter()
     n_queries = 0
     for batch in batches[1:]:
-        scores, ids = run(batch)
-        n_queries += BATCH
-    scores.block_until_ready()
+        reader.search_batch(batch, limit=K)
+        n_queries += len(batch)
     dt = time.perf_counter() - t0
     qps = n_queries / dt
 
-    cpu_qps = cpu_reference_qps(idx, batches[0])
+    cpu_qps = cpu_reference_qps(reader, batches[0])
 
     print(json.dumps({
-        "metric": f"batched_bm25_top{K}_qps_{N_DOCS//1000}k_docs",
+        "metric": f"engine_batched_bm25_top{K}_qps_{N_DOCS // 1000}k_docs",
         "value": round(qps, 2),
         "unit": "qps",
         "vs_baseline": round(qps / cpu_qps, 2),
+        "detail": {
+            "index_build_s": round(build_s, 2),
+            "cpu_oracle_qps": round(cpu_qps, 2),
+            "batch": BATCH,
+            "terms_per_query": TERMS_PER_QUERY,
+        },
     }))
 
 

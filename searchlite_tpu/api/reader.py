@@ -281,6 +281,7 @@ class IndexReader:
         self.generation = max(
             (s.generation for s in self.manifest.segments), default=0)
         self._compiled_cache: dict[str, CompiledQuery] = {}
+        self._batched_scorers: dict[int, Any] = {}
 
     # -- term expansion (host, over per-segment dictionaries) ----------------
 
@@ -793,9 +794,14 @@ class IndexReader:
         if req.explain:
             for h in hits:
                 if h.explanation is None:
+                    functions = []
+                    if compiled.needs_hook:
+                        functions = self._explain_functions(
+                            compiled, plan.score_tree,
+                            h.key.segment_ord, h.key.doc_id)
                     h.explanation = {
                         "base_score": h.score,
-                        "functions": [],
+                        "functions": functions,
                         "rescore": None,
                         "final_score": h.score,
                     }
@@ -1173,6 +1179,100 @@ class IndexReader:
                      "timings": {}} if req.profile else None,
         )
 
+    # -- batched search --------------------------------------------------------
+
+    def search_batch(self, queries: list[str], limit: int = 10,
+                     fields: Optional[list[str]] = None
+                     ) -> list[list[tuple[str, float]]]:
+        """Score a batch of query strings in one device launch per
+        segment (the data-parallel axis of the engine; BASELINE.json
+        north star). Supports plain term queries (OR semantics, summed
+        BM25) — the common search workload. Returns per query a list of
+        ``(doc_id, score)`` pairs, exact top-``limit``, ordered like the
+        single-query path (score desc, doc asc).
+
+        Queries containing phrases/negations or requests needing filters
+        should use :meth:`search`.
+        """
+        from searchlite_tpu.ops.batch import make_batched_scorer
+
+        import jax.numpy as jnp
+
+        if limit <= 0:
+            raise QueryError("limit must be > 0")
+        if fields is None:
+            fields = [f.name for f in self.schema.text_fields]
+
+        # analyze every query into (field, token) lists
+        analyzed: list[list[tuple[str, str]]] = []
+        for raw in queries:
+            pairs: list[tuple[str, str]] = []
+            from searchlite_tpu.query.parser import parse_query
+
+            parsed = parse_query(raw)
+            for term in parsed.terms:
+                term_fields = ([term.field] if term.field is not None
+                               else fields)
+                for field in term_fields:
+                    kind = self.schema.field_kind(field)
+                    if kind == "keyword":
+                        pairs.append((field, term.term.lower()))
+                        continue
+                    analyzer = self.analysis.search_analyzer(field)
+                    if analyzer is None:
+                        continue
+                    for tok in analyzer.analyze(term.term):
+                        pairs.append((field, tok.text))
+            analyzed.append(pairs)
+
+        # per-segment batched scoring, merged across segments per query
+        merged: list[dict] = [dict() for _ in queries]
+        from searchlite_tpu.ops.batch import build_query_batch
+
+        for dseg in self.device_segments:
+            seg = dseg.reader
+            if seg.doc_count == 0:
+                continue
+            qb = build_query_batch(seg, dseg, analyzed,
+                                   self.options.bm25_k1,
+                                   self.options.bm25_b)
+            scorer = self._batched_scorer()
+            k = min(limit, dseg.n1)
+            scores, ids = scorer(
+                dseg.block_docs, dseg.block_tfs, dseg.doc_len, dseg.avgdl,
+                dseg.deleted,
+                jnp.asarray(qb["q_blk"]), jnp.asarray(qb["q_weight"]),
+                jnp.asarray(qb["q_field"]), jnp.asarray(qb["q_valid"]),
+                jnp.float32(self.options.bm25_k1),
+                jnp.float32(self.options.bm25_b), k=k)
+            scores = np.asarray(scores)
+            ids = np.asarray(ids)
+            for qi in range(len(queries)):
+                for score, doc in zip(scores[qi].tolist(),
+                                      ids[qi].tolist()):
+                    if score == -np.inf:
+                        continue
+                    merged[qi][(dseg.ord, int(doc))] = float(score)
+
+        results: list[list[tuple[str, float]]] = []
+        for qi in range(len(queries)):
+            ranked = sorted(merged[qi].items(),
+                            key=lambda kv: (-kv[1], kv[0]))[:limit]
+            results.append([
+                (self.segments[seg_ord].doc_id(doc), score)
+                for (seg_ord, doc), score in ranked
+            ])
+        return results
+
+    def _batched_scorer(self):
+        from searchlite_tpu.ops.batch import make_batched_scorer
+
+        scorer = self._batched_scorers.get(0)
+        if scorer is None:
+            scorer = make_batched_scorer()
+            self._batched_scorers[0] = scorer
+        return scorer
+
     def _compile(self, plan: QueryPlan, k1: float, b: float) -> CompiledQuery:
         # cache by structural identity of the plan; plans are rebuilt per
         # request, so key on a structural signature
@@ -1182,6 +1282,86 @@ class IndexReader:
             cq = CompiledQuery(plan, self.schema, k1, b)
             self._compiled_cache[sig] = cq
         return cq
+
+    def _explain_functions(self, compiled: CompiledQuery, score_tree,
+                           segment_ord: int, doc: int) -> list[dict]:
+        """Per-hit custom-scoring breakdown (function contributions),
+        recomputed host-side for the returned hits only
+        (parity shape: `api/reader.rs::FunctionExplanation`)."""
+        from searchlite_tpu.query.filters import passes_filter
+
+        seg = self.segments[segment_ord]
+        fast = seg.fast
+        out: list[dict] = []
+
+        def numeric_value(field: str):
+            vals = fast.numeric_values(field, doc)
+            return float(vals[0]) if vals else None
+
+        def walk(node):
+            if node.kind == "function_score":
+                info = compiled._compiled_nodes.get(id(node), {})
+                for func in info.get("functions", []):
+                    if func.filter is not None and not passes_filter(
+                            fast, doc, func.filter):
+                        continue
+                    if func.kind == "weight":
+                        out.append({"type": "weight",
+                                    "value": func.params["weight"],
+                                    "field": None})
+                    elif func.kind == "field_value_factor":
+                        raw = numeric_value(func.params["field"])
+                        if raw is None:
+                            raw = func.params["missing"]
+                        import numpy as _np
+
+                        from searchlite_tpu.query.score_functions import (
+                            apply_modifier_dense,
+                        )
+
+                        val = float(apply_modifier_dense(
+                            _np, _np.asarray([raw * func.params["factor"]]),
+                            func.params["modifier"])[0])
+                        out.append({"type": "field_value_factor",
+                                    "value": val,
+                                    "field": func.params["field"]})
+                    elif func.kind == "decay":
+                        raw = numeric_value(func.params["field"])
+                        if raw is None:
+                            continue
+                        import numpy as _np
+
+                        from searchlite_tpu.query.score_functions import (
+                            decay_dense,
+                        )
+
+                        dist = abs(raw - func.params["origin"]) - \
+                            func.params["offset"]
+                        norm = max(dist, 0.0) / func.params["scale"]
+                        val = float(decay_dense(
+                            _np, func.params["decay"],
+                            _np.asarray([norm]),
+                            func.params["function"])[0])
+                        out.append({
+                            "type": f"decay_{func.params['function']}",
+                            "value": val,
+                            "field": func.params["field"]})
+                walk(node.params["base"])
+            elif node.kind == "rank_feature":
+                raw = numeric_value(node.params["field"])
+                out.append({"type": "rank_feature",
+                            "value": raw if raw is not None
+                            else node.params.get("missing") or 0.0,
+                            "field": node.params["field"]})
+            elif node.kind == "script_score":
+                out.append({"type": "script_score", "value": None,
+                            "field": None})
+                walk(node.params["base"])
+            for child in node.children:
+                walk(child)
+
+        walk(score_tree)
+        return out
 
     def _phrase_term_map(self, phrase_specs) -> dict[str, list[list[str]]]:
         out: dict[str, list[list[str]]] = {}

@@ -370,8 +370,19 @@ class Schema:
         return out
 
     # -- field resolution ---------------------------------------------------
+    # Schemas are immutable after creation, so the resolved list and the
+    # path->field map are cached (hot on the ingest validation path).
 
     def resolved_fields(self) -> list[ResolvedField]:
+        cached = self.__dict__.get("_resolved_cache")
+        if cached is not None:
+            return cached
+        fields = self._resolve_fields()
+        self.__dict__["_resolved_cache"] = fields
+        self.__dict__["_resolved_map"] = {f.path: f for f in fields}
+        return fields
+
+    def _resolve_fields(self) -> list[ResolvedField]:
         fields: list[ResolvedField] = []
         for f in self.text_fields:
             fields.append(ResolvedField(f.name, "text", f.indexed, f.stored,
@@ -387,10 +398,8 @@ class Schema:
         return fields
 
     def field_meta(self, field: str) -> Optional[ResolvedField]:
-        for f in self.resolved_fields():
-            if f.path == field:
-                return f
-        return None
+        self.resolved_fields()
+        return self.__dict__["_resolved_map"].get(field)
 
     def field_kind(self, field: str) -> str:
         meta = self.field_meta(field)

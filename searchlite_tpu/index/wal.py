@@ -38,9 +38,7 @@ class Wal:
         buf += payload
         checksum = crc32(bytes([entry_type]) + payload)
         buf += checksum.to_bytes(4, "little")
-        with self._storage.open_append(self._path) as f:
-            f.write(bytes(buf))
-            f.flush()
+        self._storage.append_all(self._path, bytes(buf))
 
     def append_add_doc(self, doc: dict) -> None:
         self._append_entry(

@@ -7,15 +7,17 @@ onto chips as segment≈shard. The TPU-native design (SURVEY §2.7):
 - Mesh axes: ``("query", "shard")`` — query batching is the
   data-parallel axis, postings blocks shard across ``shard``.
 - Each chip scores its local posting blocks into a partial dense score
-  vector, then a ``reduce_scatter`` over ICI leaves each chip with the
+  vector, then a ``psum_scatter`` over ICI leaves each chip with the
   COMPLETE scores for its slice of the doc space (a doc's score has
   contributions from blocks on many chips).
 - Each chip top-ks its doc slice, then an ``all_gather`` of the k
   locals + a final top-k reproduces the reference's cross-segment merge
   semantics (score desc, doc id asc).
 
-Everything below is shape-static and jit-compiled once per
-(batch, terms, k) bucket.
+Query layout matches ops/batch.py: one posting block per slot,
+``q_blk [Q, T]`` holding GLOBAL block ids; each chip masks slots to its
+local block range. Everything is shape-static and jit-compiled once per
+(batch, slots, k) bucket.
 """
 
 from __future__ import annotations
@@ -56,17 +58,18 @@ def shard_blocks(block_docs: np.ndarray, block_tfs: np.ndarray,
     return docs, tfs, per
 
 
-def make_sharded_scorer(mesh, max_blocks_per_term: int, n1: int):
+def make_sharded_scorer(mesh, n1: int):
     """Build the sharded batched scorer.
 
     Inputs (global logical shapes):
         block_docs/tfs [B, 128]        sharded over "shard" (rows)
         doc_len [F, N1], avgdl [F]     replicated
         q_* [Q, T]                     sharded over "query"
+        block_base [n_shards]          per-chip first global block id
     Output: (scores [Q, k], doc_ids [Q, k]) replicated over "shard".
 
-    ``n1`` must be a multiple of (n_shard_devices) for the
-    reduce_scatter doc slicing; callers pad the doc space.
+    ``n1`` must be a multiple of the shard count (callers pad the doc
+    space) so psum_scatter can tile the doc axis.
     """
     import jax
     import jax.numpy as jnp
@@ -82,32 +85,27 @@ def make_sharded_scorer(mesh, max_blocks_per_term: int, n1: int):
     slice_len = n1 // n_shards
 
     def local_step(block_docs, block_tfs, doc_len, avgdl, deleted,
-                   q_block_start, q_block_count, q_weight, q_field, q_valid,
+                   q_blk, q_weight, q_field, q_valid,
                    k1, b, block_base, k):
-        # block_docs here is this chip's local slice; q_block_start are
-        # GLOBAL block ids — translate and mask to the local range.
         n_local_blocks = block_docs.shape[0]
         n_docs = n1 - 1
-
         base_scalar = block_base[0]
 
-        def score_partial(starts, counts, weights, fields, valid):
-            offs = jnp.arange(max_blocks_per_term, dtype=jnp.int32)
-            blk = starts[:, None] + offs[None, :] - base_scalar
-            in_range = (blk >= 0) & (blk < n_local_blocks)
-            blk_ok = ((offs[None, :] < counts[:, None]) & valid[:, None]
-                      & in_range)
-            blk = jnp.where(blk_ok, blk, 0)
-            docs = block_docs[blk]
-            tfs = block_tfs[blk]
-            ok = blk_ok[:, :, None] & (docs < n_docs)
+        def score_partial(blk, weights, fields, valid):
+            local = blk - base_scalar
+            in_range = (local >= 0) & (local < n_local_blocks)
+            ok_slot = valid & in_range
+            local = jnp.where(ok_slot, local, 0)
+            docs = block_docs[local]          # [T, 128]
+            tfs = block_tfs[local]
+            ok = ok_slot[:, None] & (docs < n_docs)
             docs = jnp.where(ok, docs, n_docs)
-            dl = doc_len[fields[:, None, None], docs]
-            avg = avgdl[fields][:, None, None]
+            dl = doc_len[fields[:, None], docs]
+            avg = avgdl[fields][:, None]
             norm = jnp.where(avg > 0, dl / jnp.where(avg > 0, avg, 1.0),
                              1.0)
             denom = jnp.maximum(tfs + k1 * (1.0 - b + b * norm), 1e-6)
-            sc = weights[:, None, None] * tfs * (k1 + 1.0) / denom
+            sc = weights[:, None] * tfs * (k1 + 1.0) / denom
             sc = jnp.where(ok, sc, 0.0)
             partial_scores = jnp.zeros(n1, dtype=jnp.float32).at[
                 docs.reshape(-1)].add(sc.reshape(-1))
@@ -116,7 +114,7 @@ def make_sharded_scorer(mesh, max_blocks_per_term: int, n1: int):
             return partial_scores, matched
 
         partial_scores, matched = jax.vmap(score_partial)(
-            q_block_start, q_block_count, q_weight, q_field, q_valid)
+            q_blk, q_weight, q_field, q_valid)
 
         # ICI: complete each chip's doc slice (sum partials), then local
         # top-k over the slice, then all_gather + merge.
@@ -132,11 +130,8 @@ def make_sharded_scorer(mesh, max_blocks_per_term: int, n1: int):
                            my_scores, -jnp.inf)
         loc_scores, loc_idx = jax.lax.top_k(masked, k)
         loc_ids = loc_idx + base
-        # merge: gather all chips' candidates and re-top-k.
-        # Tie-break parity (doc id asc) is preserved by ordering the
-        # gathered candidates by global doc id within equal scores:
-        # top_k picks the lowest index first, and candidates are laid
-        # out shard-major (ascending doc id).
+        # merge: candidates laid out shard-major (ascending doc id), so
+        # top_k's lowest-index tie-break preserves doc-id-asc order.
         all_scores = jax.lax.all_gather(loc_scores, "shard", axis=1,
                                         tiled=True)     # [Q, S*k]
         all_ids = jax.lax.all_gather(loc_ids, "shard", axis=1, tiled=True)
@@ -145,7 +140,7 @@ def make_sharded_scorer(mesh, max_blocks_per_term: int, n1: int):
         return final_scores, final_ids
 
     def run(block_docs, block_tfs, doc_len, avgdl, deleted,
-            q_block_start, q_block_count, q_weight, q_field, q_valid,
+            q_blk, q_weight, q_field, q_valid,
             k1, b, block_base, *, k: int):
         fn = shard_map(
             partial(local_step, k=k),
@@ -154,15 +149,14 @@ def make_sharded_scorer(mesh, max_blocks_per_term: int, n1: int):
                 P("shard", None), P("shard", None),   # blocks
                 P(None, None), P(None,), P(None,),    # doc_len, avgdl, del
                 P("query", None), P("query", None), P("query", None),
-                P("query", None), P("query", None),
+                P("query", None),
                 P(), P(), P("shard"),
             ),
             out_specs=(P("query", None), P("query", None)),
             check_vma=False,
         )
         return fn(block_docs, block_tfs, doc_len, avgdl, deleted,
-                  q_block_start, q_block_count, q_weight, q_field, q_valid,
-                  k1, b, block_base)
+                  q_blk, q_weight, q_field, q_valid, k1, b, block_base)
 
     import jax
 

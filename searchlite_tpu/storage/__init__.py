@@ -49,6 +49,12 @@ class Storage(ABC):
     @abstractmethod
     def list_files(self) -> list[str]: ...
 
+    def append_all(self, path: str, data: bytes) -> None:
+        """Append + flush in one call (amortized for memory storage)."""
+        with self.open_append(path) as f:
+            f.write(data)
+            f.flush()
+
     def remove_if_exists(self, path: str) -> None:
         if self.exists(path):
             self.remove(path)
@@ -171,12 +177,6 @@ class InMemoryStorage(Storage):
             existing = self._files.get(path, b"")
         return _MemFile(self, path, existing, append=True)
 
-    def read_to_end(self, path: str) -> bytes:
-        with self._lock:
-            if path not in self._files:
-                raise StorageError(f"file not found: {path}")
-            return self._files[path]
-
     def write_all(self, path: str, data: bytes) -> None:
         with self._lock:
             self._files[path] = bytes(data)
@@ -193,6 +193,24 @@ class InMemoryStorage(Storage):
     def exists(self, path: str) -> bool:
         with self._lock:
             return path in self._files
+
+    def append_all(self, path: str, data: bytes) -> None:
+        with self._lock:
+            existing = self._files.get(path)
+            if existing is None:
+                self._files[path] = bytes(data)
+            else:
+                # bytearray-backed accumulation keeps appends amortized O(1)
+                if not isinstance(existing, bytearray):
+                    existing = bytearray(existing)
+                existing += data
+                self._files[path] = existing
+
+    def read_to_end(self, path: str) -> bytes:
+        with self._lock:
+            if path not in self._files:
+                raise StorageError(f"file not found: {path}")
+            return bytes(self._files[path])
 
     def list_files(self) -> list[str]:
         with self._lock:

@@ -1,0 +1,58 @@
+"""Batched search API parity with the single-query path."""
+
+import random
+
+import pytest
+
+from searchlite_tpu.api.types import IndexOptions, StorageType
+from searchlite_tpu.index import Index
+from searchlite_tpu.index.manifest import Schema
+
+
+@pytest.fixture(scope="module")
+def index():
+    rng = random.Random(9)
+    vocab = [f"w{i}" for i in range(60)]
+    schema = Schema.from_json({
+        "text_fields": [
+            {"name": "title", "analyzer": "default", "stored": True,
+             "indexed": True},
+            {"name": "body", "analyzer": "default", "stored": True,
+             "indexed": True},
+        ],
+    })
+    idx = Index.create(
+        IndexOptions(path="", create_if_missing=True,
+                     storage=StorageType.IN_MEMORY), schema)
+    writer = idx.writer()
+    for i in range(300):
+        writer.add_document({
+            "_id": str(i),
+            "title": " ".join(rng.choices(vocab, k=3)),
+            "body": " ".join(rng.choices(vocab, k=rng.randint(5, 40))),
+        })
+        if i == 150:
+            writer.commit()  # two segments
+    writer.commit()
+    return idx
+
+
+def test_batch_matches_single_query_path(index):
+    rng = random.Random(10)
+    reader = index.reader()
+    queries = [" ".join(rng.sample([f"w{i}" for i in range(60)],
+                                   k=rng.randint(1, 4)))
+               for _ in range(16)]
+    batch = reader.search_batch(queries, limit=10)
+    for query, batch_hits in zip(queries, batch):
+        single = reader.search({"query": query, "limit": 10})
+        expected = [(h.doc_id, round(h.score, 4)) for h in single.hits]
+        got = [(doc_id, round(score, 4)) for doc_id, score in batch_hits]
+        assert got == expected, f"mismatch for {query!r}"
+
+
+def test_batch_field_qualified(index):
+    reader = index.reader()
+    batch = reader.search_batch(["title:w5"], limit=5)
+    single = reader.search({"query": "title:w5", "limit": 5})
+    assert [d for d, _ in batch[0]] == [h.doc_id for h in single.hits]

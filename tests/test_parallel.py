@@ -37,19 +37,18 @@ class TestBatchedKernel:
 
         idx = graft._synthetic_index(n_docs=300, n_terms=20, seed=3)
         qs = graft._query_batch(idx, batch=4, terms_per_query=3, seed=5)
-        max_blocks = int(idx["term_count"].max())
-        scorer = make_batched_scorer(max_blocks)
+        scorer = make_batched_scorer()
         scores, ids = scorer(
             jnp.asarray(idx["block_docs"]), jnp.asarray(idx["block_tfs"]),
             jnp.asarray(idx["doc_len"]), jnp.asarray(idx["avgdl"]),
             jnp.asarray(idx["deleted"]),
             jnp.asarray(qs[0]), jnp.asarray(qs[1]), jnp.asarray(qs[2]),
-            jnp.asarray(qs[3]), jnp.asarray(qs[4]),
+            jnp.asarray(qs[3]),
             jnp.float32(0.9), jnp.float32(0.4), k=5)
         scores = np.asarray(scores)
         ids = np.asarray(ids)
 
-        # numpy oracle
+        # numpy oracle over the same per-block slots
         k1, b = 0.9, 0.4
         n_docs = idx["doc_len"].shape[1] - 1
         dl = idx["doc_len"][0, :n_docs]
@@ -58,12 +57,12 @@ class TestBatchedKernel:
             dense = np.zeros(n_docs + 1, dtype=np.float64)
             matched = np.zeros(n_docs + 1, dtype=bool)
             for s in range(qs[0].shape[1]):
-                if not qs[4][q, s]:
+                if not qs[3][q, s]:
                     continue
-                blk0, nb = int(qs[0][q, s]), int(qs[1][q, s])
-                w = float(qs[2][q, s])
-                docs = idx["block_docs"][blk0:blk0 + nb].reshape(-1)
-                tfs = idx["block_tfs"][blk0:blk0 + nb].reshape(-1)
+                blk = int(qs[0][q, s])
+                w = float(qs[1][q, s])
+                docs = idx["block_docs"][blk]
+                tfs = idx["block_tfs"][blk]
                 ok = docs < n_docs
                 docs, tfs = docs[ok], tfs[ok]
                 norm = dl[docs] / avg
