@@ -1,0 +1,179 @@
+"""Micro-benchmarks mirroring the reference's criterion suite
+(`searchlite-core/benches/end_to_end.rs`, `benches/aggs.rs`):
+
+    index_small               50-doc commit loop
+    search_small              20 docs, top-5
+    search_nested_filters     40 docs, 2 nested clauses
+    search_cursor_pagination  2500 docs, 20/page full drain
+    aggs_terms_stats          1000 docs, terms + stats + histogram
+
+Prints one JSON line per scenario. Run: python benches/micro.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from searchlite_tpu.api.types import IndexOptions, StorageType  # noqa: E402
+from searchlite_tpu.index import Index  # noqa: E402
+from searchlite_tpu.index.manifest import Schema  # noqa: E402
+
+SCHEMA = {
+    "text_fields": [{"name": "body", "analyzer": "default", "stored": True,
+                     "indexed": True}],
+    "keyword_fields": [{"name": "tag", "stored": True, "indexed": True,
+                        "fast": True}],
+    "numeric_fields": [{"name": "n", "i64": True, "fast": True,
+                        "stored": True}],
+    "nested_fields": [{
+        "name": "attrs",
+        "fields": [
+            {"type": "keyword", "name": "k", "stored": True,
+             "indexed": False, "fast": True},
+            {"type": "numeric", "name": "v", "i64": True, "fast": True,
+             "stored": True},
+        ],
+        "nullable": True,
+    }],
+}
+
+
+def fresh_index():
+    return Index.create(
+        IndexOptions(path="", create_if_missing=True,
+                     storage=StorageType.IN_MEMORY),
+        Schema.from_json(SCHEMA))
+
+
+def mk_doc(i: int, nested=False):
+    doc = {"_id": str(i), "body": f"document number {i} with words "
+                                  f"{'alpha' if i % 2 else 'beta'} gamma",
+           "tag": f"t{i % 5}", "n": i}
+    if nested:
+        doc["attrs"] = [{"k": f"k{i % 3}", "v": i % 7},
+                        {"k": f"k{(i + 1) % 3}", "v": (i + 1) % 7}]
+    return doc
+
+
+def timeit(fn, iters: int) -> float:
+    fn()  # warmup
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        fn()
+    return (time.perf_counter() - t0) / iters
+
+
+def bench_index_small():
+    def run():
+        index = fresh_index()
+        writer = index.writer()
+        for i in range(50):
+            writer.add_document(mk_doc(i))
+        writer.commit()
+
+    return {"bench": "index_small", "unit": "ms",
+            "value": round(timeit(run, 5) * 1000, 2)}
+
+
+def bench_search_small():
+    index = fresh_index()
+    writer = index.writer()
+    for i in range(20):
+        writer.add_document(mk_doc(i))
+    writer.commit()
+    reader = index.reader()
+
+    def run():
+        reader.search({"query": "alpha gamma", "limit": 5})
+
+    return {"bench": "search_small", "unit": "ms",
+            "value": round(timeit(run, 20) * 1000, 2)}
+
+
+def bench_search_nested_filters():
+    index = fresh_index()
+    writer = index.writer()
+    for i in range(40):
+        writer.add_document(mk_doc(i, nested=True))
+    writer.commit()
+    reader = index.reader()
+    request = {
+        "query": "document", "limit": 10,
+        "filter": {"And": [
+            {"Nested": {"path": "attrs", "filter": {
+                "KeywordEq": {"field": "k", "value": "k1"}}}},
+            {"Nested": {"path": "attrs", "filter": {
+                "I64Range": {"field": "v", "min": 2, "max": 6}}}},
+        ]},
+    }
+
+    def run():
+        reader.search(request)
+
+    return {"bench": "search_nested_filters", "unit": "ms",
+            "value": round(timeit(run, 20) * 1000, 2)}
+
+
+def bench_cursor_pagination():
+    index = fresh_index()
+    writer = index.writer()
+    for i in range(2500):
+        writer.add_document(mk_doc(i))
+    writer.commit()
+    reader = index.reader()
+
+    def run():
+        cursor = None
+        pages = 0
+        while True:
+            req = {"query": "document", "limit": 20}
+            if cursor:
+                req["cursor"] = cursor
+            res = reader.search(req)
+            cursor = res.next_cursor
+            pages += 1
+            if cursor is None:
+                break
+        assert pages >= 125
+
+    return {"bench": "search_cursor_pagination_2500", "unit": "ms",
+            "value": round(timeit(run, 2) * 1000, 2)}
+
+
+def bench_aggs():
+    index = fresh_index()
+    writer = index.writer()
+    for i in range(1000):
+        writer.add_document(mk_doc(i))
+    writer.commit()
+    reader = index.reader()
+    request = {
+        "query": "document", "limit": 1,
+        "aggs": {
+            "tags": {"type": "terms", "field": "tag",
+                     "aggs": {"s": {"type": "stats", "field": "n"}}},
+            "h": {"type": "histogram", "field": "n", "interval": 100},
+        },
+    }
+
+    def run():
+        reader.search(request)
+
+    return {"bench": "aggs_terms_stats_histogram_1000", "unit": "ms",
+            "value": round(timeit(run, 5) * 1000, 2)}
+
+
+def main():
+    for bench in (bench_index_small, bench_search_small,
+                  bench_search_nested_filters, bench_cursor_pagination,
+                  bench_aggs):
+        print(json.dumps(bench()), flush=True)
+
+
+if __name__ == "__main__":
+    main()

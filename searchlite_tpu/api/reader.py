@@ -276,7 +276,9 @@ class IndexReader:
             for meta in self.manifest.segments
         ]
         self.device_segments: list[DeviceSegment] = [
-            DeviceSegment(seg, i) for i, seg in enumerate(self.segments)
+            DeviceSegment(seg, i, k1=self.options.bm25_k1,
+                          b=self.options.bm25_b)
+            for i, seg in enumerate(self.segments)
         ]
         self.generation = max(
             (s.generation for s in self.manifest.segments), default=0)
@@ -437,70 +439,77 @@ class IndexReader:
 
     def _segment_query_args(self, dseg: DeviceSegment,
                             qualified: list[QualifiedTerm],
-                            group_keys: list[list[str]], k1: float, b: float):
+                            group_keys: list[list[str]],
+                            n_leaves: int, n_groups: int):
+        """Build the slot tables for the impact-matmul executor: one slot
+        per distinct present term key, posting ranges into the segment's
+        flat impact arrays, and the leaf-weight / leaf- and
+        group-indicator matrices."""
         seg = dseg.reader
         postings = seg.postings
         live = float(max(dseg.live_docs, 0))
 
-        merged: dict[tuple[str, int], tuple[str, float]] = {}
-        for qt in qualified:
-            prev = merged.get((qt.key, qt.leaf))
-            merged[(qt.key, qt.leaf)] = (
-                qt.field, (prev[1] if prev else 0.0) + qt.weight)
+        slots: dict[str, int] = {}
+        slot_start: list[int] = []
+        slot_len: list[int] = []
+        slot_idf: list[float] = []
 
-        q_idx, q_weight, q_leaf, q_field = [], [], [], []
-        postings_touched = 0
-        for (key, leaf), (field, weight) in merged.items():
-            tid = seg.terms.get(key)
-            if tid is None:
-                continue
-            df = float(postings.term_df[tid])
-            idf_w = bm25_idf(df, live) * weight
-            start = int(postings.term_block_start[tid])
-            count = int(postings.term_block_count[tid])
-            fid = dseg.field_id(field)
-            postings_touched += int(df)
-            for blk in range(start, start + count):
-                q_idx.append(blk)
-                q_weight.append(idf_w)
-                q_leaf.append(leaf)
-                q_field.append(fid)
-
-        g_idx, g_group = [], []
-        for g, keys in enumerate(group_keys):
-            for key in keys:
+        def get_slot(key: str):
+            s = slots.get(key)
+            if s is None:
                 tid = seg.terms.get(key)
                 if tid is None:
-                    continue
-                start = int(postings.term_block_start[tid])
-                count = int(postings.term_block_count[tid])
-                for blk in range(start, start + count):
-                    g_idx.append(blk)
-                    g_group.append(g)
+                    return None
+                s = len(slot_start)
+                slots[key] = s
+                df = int(postings.term_df[tid])
+                slot_start.append(int(dseg.posting_base[tid]))
+                slot_len.append(df)
+                slot_idf.append(bm25_idf(float(df), live))
+            return s
 
-        def pad(arr, size, fill, dtype):
-            out = np.full(size, fill, dtype=dtype)
-            out[:len(arr)] = arr
-            return out
+        merged: dict[tuple[str, int], float] = {}
+        for qt in qualified:
+            merged[(qt.key, qt.leaf)] = \
+                merged.get((qt.key, qt.leaf), 0.0) + qt.weight
 
-        qb = next_pow2(max(len(q_idx), 1))
-        gb = next_pow2(max(len(g_idx), 1))
-        q_valid = np.zeros(qb, dtype=bool)
-        q_valid[:len(q_idx)] = True
-        g_valid = np.zeros(gb, dtype=bool)
-        g_valid[:len(g_idx)] = True
-        return {
-            "q_idx": pad(q_idx, qb, 0, np.int32),
-            "q_weight": pad(q_weight, qb, 0.0, np.float32),
-            "q_leaf": pad(q_leaf, qb, 0, np.int32),
-            "q_field": pad(q_field, qb, 0, np.int32),
-            "q_valid": q_valid,
-            "g_idx": pad(g_idx, gb, 0, np.int32),
-            "g_group": pad(g_group, gb, 0, np.int32),
-            "g_valid": g_valid,
-            "n_scored": len(q_idx),
+        entries = []  # (slot, leaf, idf*weight)
+        postings_touched = 0
+        for (key, leaf), weight in merged.items():
+            s = get_slot(key)
+            if s is None:
+                continue
+            entries.append((s, leaf, slot_idf[s] * weight))
+            postings_touched += slot_len[s]
+        group_entries = []  # (slot, group)
+        for g, keys in enumerate(group_keys):
+            for key in keys:
+                s = get_slot(key)
+                if s is not None:
+                    group_entries.append((s, g))
+
+        s_pad = next_pow2(max(len(slot_start), 8))
+        p_pad = next_pow2(max(sum(slot_len), 128))
+        L = max(n_leaves, 1)
+        G = max(n_groups, 1)
+        out = {
+            "slot_start": np.zeros(s_pad, dtype=np.int32),
+            "slot_len": np.zeros(s_pad, dtype=np.int32),
+            "w_leaf": np.zeros((L, s_pad), dtype=np.float32),
+            "leaf_ind": np.zeros((L, s_pad), dtype=np.float32),
+            "group_ind": np.zeros((G, s_pad), dtype=np.float32),
+            "p_pad": p_pad,
+            "n_scored": len(entries),
             "postings_touched": postings_touched,
         }
+        out["slot_start"][:len(slot_start)] = slot_start
+        out["slot_len"][:len(slot_len)] = slot_len
+        for s, leaf, w in entries:
+            out["w_leaf"][leaf, s] += w
+            out["leaf_ind"][leaf, s] = 1.0
+        for s, g in group_entries:
+            out["group_ind"][g, s] = 1.0
+        return out
 
     def _segment_phrase_masks(self, seg: SegmentReader, phrase_specs
                               ) -> np.ndarray:
@@ -665,8 +674,9 @@ class IndexReader:
                 if agg_pipeline is not None:
                     agg_results.append(agg_pipeline.empty_intermediate())
                 continue
-            qargs = self._segment_query_args(dseg, qualified, group_keys,
-                                             k1, b)
+            qargs = self._segment_query_args(
+                dseg, qualified, group_keys, compiled.n_leaves,
+                compiled.n_groups)
             phrase_masks = self._segment_phrase_masks(seg, plan.phrase_specs)
             filter_masks = self._segment_filter_masks(
                 seg, compiled.filter_slots)
@@ -694,19 +704,18 @@ class IndexReader:
             run = compiled.executor()
             (top_scores, top_idx, match_count, final_mask, adjusted,
              cursor_seen, text_mask) = run(
-                dseg.block_docs, dseg.block_tfs, dseg.doc_len, dseg.avgdl,
-                dseg.deleted,
-                jnp.asarray(qargs["q_idx"]), jnp.asarray(qargs["q_weight"]),
-                jnp.asarray(qargs["q_leaf"]), jnp.asarray(qargs["q_field"]),
-                jnp.asarray(qargs["q_valid"]),
-                jnp.asarray(qargs["g_idx"]), jnp.asarray(qargs["g_group"]),
-                jnp.asarray(qargs["g_valid"]),
+                dseg.docs_flat, dseg.impacts_flat, dseg.deleted,
+                jnp.asarray(qargs["slot_start"]),
+                jnp.asarray(qargs["slot_len"]),
+                jnp.asarray(qargs["w_leaf"]),
+                jnp.asarray(qargs["leaf_ind"]),
+                jnp.asarray(qargs["group_ind"]),
                 jnp.asarray(phrase_masks), jnp.asarray(filter_masks),
                 jnp.asarray(col_vals), jnp.asarray(col_has),
                 jnp.asarray(root_mask),
                 jnp.float32(cs), jnp.int32(eq_mode), jnp.int32(cdoc),
-                k=k, has_scored_terms=has_scored, need_scores=need_scores,
-                use_cursor=use_cursor)
+                k=k, p_pad=qargs["p_pad"], has_scored_terms=has_scored,
+                need_scores=need_scores, use_cursor=use_cursor)
 
             stats["postings_advanced"] += qargs["postings_touched"]
 
@@ -1229,24 +1238,22 @@ class IndexReader:
         merged: list[dict] = [dict() for _ in queries]
         from searchlite_tpu.ops.batch import build_query_batch
 
+        from searchlite_tpu.ops.impact import build_impact_batch
+
         for dseg in self.device_segments:
             seg = dseg.reader
             if seg.doc_count == 0:
                 continue
-            qb = build_query_batch(seg, dseg, analyzed,
-                                   self.options.bm25_k1,
-                                   self.options.bm25_b)
+            qb = build_impact_batch(seg, dseg, analyzed)
             scorer = self._batched_scorer()
             k = min(limit, dseg.n1)
             scores, ids = scorer(
-                dseg.block_docs, dseg.block_tfs, dseg.doc_len, dseg.avgdl,
-                dseg.deleted,
-                jnp.asarray(qb["q_blk"]), jnp.asarray(qb["q_weight"]),
-                jnp.asarray(qb["q_field"]), jnp.asarray(qb["q_valid"]),
-                jnp.float32(self.options.bm25_k1),
-                jnp.float32(self.options.bm25_b), k=k)
-            scores = np.asarray(scores)
-            ids = np.asarray(ids)
+                dseg.docs_flat, dseg.impacts_flat, dseg.deleted,
+                jnp.asarray(qb["slot_start"]), jnp.asarray(qb["slot_len"]),
+                jnp.asarray(qb["w"]), k=k, p_pad=qb["p_pad"])
+            import jax
+
+            scores, ids = jax.device_get((scores, ids))
             for qi in range(len(queries)):
                 for score, doc in zip(scores[qi].tolist(),
                                       ids[qi].tolist()):
@@ -1265,11 +1272,11 @@ class IndexReader:
         return results
 
     def _batched_scorer(self):
-        from searchlite_tpu.ops.batch import make_batched_scorer
+        from searchlite_tpu.ops.impact import make_impact_scorer
 
         scorer = self._batched_scorers.get(0)
         if scorer is None:
-            scorer = make_batched_scorer()
+            scorer = make_impact_scorer()
             self._batched_scorers[0] = scorer
         return scorer
 
@@ -1395,8 +1402,8 @@ class IndexReader:
                 continue
             seg = dseg.reader
             qargs = self._segment_query_args(
-                dseg, qualified, group_keys,
-                self.options.bm25_k1, self.options.bm25_b)
+                dseg, qualified, group_keys, compiled.n_leaves,
+                compiled.n_groups)
             phrase_masks = self._segment_phrase_masks(seg, plan.phrase_specs)
             filter_masks = self._segment_filter_masks(
                 seg, compiled.filter_slots)
@@ -1404,19 +1411,18 @@ class IndexReader:
             root_mask = np.ones(dseg.n1, dtype=bool)
             run = compiled.executor()
             (_ts, _ti, _mc, final_mask, adjusted, _cs, _tm) = run(
-                dseg.block_docs, dseg.block_tfs, dseg.doc_len, dseg.avgdl,
-                dseg.deleted,
-                jnp.asarray(qargs["q_idx"]), jnp.asarray(qargs["q_weight"]),
-                jnp.asarray(qargs["q_leaf"]), jnp.asarray(qargs["q_field"]),
-                jnp.asarray(qargs["q_valid"]),
-                jnp.asarray(qargs["g_idx"]), jnp.asarray(qargs["g_group"]),
-                jnp.asarray(qargs["g_valid"]),
+                dseg.docs_flat, dseg.impacts_flat, dseg.deleted,
+                jnp.asarray(qargs["slot_start"]),
+                jnp.asarray(qargs["slot_len"]),
+                jnp.asarray(qargs["w_leaf"]),
+                jnp.asarray(qargs["leaf_ind"]),
+                jnp.asarray(qargs["group_ind"]),
                 jnp.asarray(phrase_masks), jnp.asarray(filter_masks),
                 jnp.asarray(col_vals), jnp.asarray(col_has),
                 jnp.asarray(root_mask),
                 jnp.float32(0.0), jnp.int32(2), jnp.int32(0),
-                k=1, has_scored_terms=has_scored, need_scores=True,
-                use_cursor=False)
+                k=1, p_pad=qargs["p_pad"], has_scored_terms=has_scored,
+                need_scores=True, use_cursor=False)
             seg_scores[dseg.ord] = np.asarray(adjusted)
             seg_masks[dseg.ord] = np.asarray(final_mask)
             stats["postings_advanced"] += qargs["postings_touched"]

@@ -28,13 +28,16 @@ from searchlite_tpu.index.segment import SegmentReader
 
 
 class DeviceSegment:
-    def __init__(self, reader: SegmentReader, segment_ord: int, jnp=None):
+    def __init__(self, reader: SegmentReader, segment_ord: int, jnp=None,
+                 k1: float = 0.9, b: float = 0.4):
         if jnp is None:
             import jax.numpy as jnp  # noqa: PLC0415
         self.reader = reader
         self.ord = segment_ord
         self.n_docs = reader.doc_count
         self.n1 = self.n_docs + 1  # +1 sentinel slot
+        self.k1 = float(k1)
+        self.b = float(b)
 
         postings = reader.postings
         bd = postings.block_docs
@@ -47,12 +50,13 @@ class DeviceSegment:
             np.where(bd < 0, self.n_docs, bd).astype(np.int32))
         self.block_tfs = jnp.asarray(bt)
 
-        # doc-length matrix over fields that have _len columns
+        # doc-length matrix over fields that have _len columns, plus one
+        # zero row (avgdl 0 → norm 1) for length-less fields (keywords)
         len_fields = sorted(
             name[len("_len:"):] for name in reader.fast.columns
             if name.startswith("_len:"))
         self.len_field_ids = {f: i for i, f in enumerate(len_fields)}
-        n_fields = max(len(len_fields), 1)
+        n_fields = len(len_fields) + 1
         doc_len = np.zeros((n_fields, self.n1), dtype=np.float32)
         avgdl = np.zeros(n_fields, dtype=np.float32)
         for field, fid in self.len_field_ids.items():
@@ -60,6 +64,7 @@ class DeviceSegment:
             if col is not None and len(col.values):
                 doc_len[fid, col.row_ids] = col.values.astype(np.float32)
             avgdl[fid] = np.float32(reader.avg_field_length(field))
+        self._no_len_field = n_fields - 1
         self.doc_len = jnp.asarray(doc_len)
         self.avgdl = jnp.asarray(avgdl)
 
@@ -72,5 +77,36 @@ class DeviceSegment:
         self.deleted_np = deleted
         self.live_docs = int(self.n_docs - len(reader.deleted))
 
+        # ---- impact-ordered flat postings (for the MXU matmul scorer) ----
+        # tf-saturation is query-independent, so per-posting impacts are
+        # precomputed here; query time only multiplies by idf·boost
+        # (see ops/impact.py).
+        term_df = postings.term_df.astype(np.int64)
+        self.posting_base = np.concatenate(
+            [[0], np.cumsum(term_df)]).astype(np.int64)
+        flat_mask = postings.block_docs.reshape(-1) >= 0
+        docs_flat = postings.block_docs.reshape(-1)[flat_mask]
+        tfs_flat = postings.block_tfs.reshape(-1)[flat_mask]
+        if len(postings.terms):
+            term_fields = np.asarray(
+                [self.len_field_ids.get(t.split(":", 1)[0],
+                                        n_fields - 1)
+                 for t in postings.terms], dtype=np.int32)
+            pf = np.repeat(term_fields, term_df)
+        else:
+            pf = np.zeros(0, dtype=np.int32)
+        dl = doc_len[pf, docs_flat] if len(docs_flat) else \
+            np.zeros(0, dtype=np.float32)
+        avg = avgdl[pf] if len(docs_flat) else np.zeros(0, dtype=np.float32)
+        norm = np.where(avg > 0, dl / np.where(avg > 0, avg, 1.0), 1.0)
+        denom = np.maximum(
+            tfs_flat + self.k1 * (1.0 - self.b + self.b * norm), 1e-6)
+        impacts = (tfs_flat * (self.k1 + 1.0) / denom).astype(np.float32)
+        if len(docs_flat) == 0:
+            docs_flat = np.zeros(1, dtype=np.int32)
+            impacts = np.zeros(1, dtype=np.float32)
+        self.docs_flat = jnp.asarray(docs_flat.astype(np.int32))
+        self.impacts_flat = jnp.asarray(impacts)
+
     def field_id(self, field: str) -> int:
-        return self.len_field_ids.get(field, 0)
+        return self.len_field_ids.get(field, self._no_len_field)

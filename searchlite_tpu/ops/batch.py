@@ -61,9 +61,12 @@ def next_pow2(n: int) -> int:
 
 
 def build_query_batch(seg, dseg, queries: list[list[tuple[str, str]]],
-                      k1: float, b: float):
+                      k1: float, b: float, min_slots: int = 64):
     """Host-side prep: queries as lists of (field, token) → padded
-    per-block-slot arrays for one segment."""
+    per-block-slot arrays for one segment.
+
+    Slot counts round up to a power of two (min ``min_slots``) so batch
+    shapes bucket coarsely — each new bucket costs one XLA compile."""
     from searchlite_tpu.models.bm25 import idf as bm25_idf
 
     postings = seg.postings
@@ -86,7 +89,8 @@ def build_query_batch(seg, dseg, queries: list[list[tuple[str, str]]],
             weights.extend([w] * count)
             fields.extend([fid] * count)
         rows.append((blks, weights, fields))
-    t_max = next_pow2(max((len(r[0]) for r in rows), default=1))
+    t_max = next_pow2(max(max((len(r[0]) for r in rows), default=1),
+                          min_slots))
     q = len(rows)
     out = {
         "q_blk": np.zeros((q, t_max), dtype=np.int32),

@@ -1,0 +1,142 @@
+"""Impact-matmul scoring: BM25 as an MXU matrix product.
+
+The scatter-add formulation (ops/batch.py) hits XLA's slow path on TPU:
+colliding scatter indices serialize. This kernel removes the colliding
+scatter entirely:
+
+1. **Index time**: the tf-saturation term of BM25 depends only on index
+   statistics, never on the query:
+
+       impact(t, d) = tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+
+   so each posting's impact is precomputed once per segment
+   (``DeviceSegment.impacts_flat`` — "impact-ordered postings").
+
+2. **Query time**: the batch's distinct terms become rows of a dense
+   matrix ``M [S, n_docs]`` built with ONE scatter whose flat indices
+   are globally sorted and unique (slot-major, doc-ascending, pads in a
+   dump zone) — XLA's fully-vectorized scatter path.
+
+3. Scoring is a matmul on the MXU:
+
+       scores [Q, n1] = W [Q, S] @ M [S, n1]
+
+   with W holding idf·boost per (query, term slot). A doc matches iff
+   its score is positive (impacts > 0, idf ≥ 1), so no separate match
+   scatter is needed. ``lax.top_k`` finishes per query.
+
+This is the SPLADE-style "sparse retrieval as dense matmul" mapping; it
+turns the engine's hottest loop into the operation TPUs are built for.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+
+def next_pow2(n: int) -> int:
+    return 1 if n <= 1 else 1 << (n - 1).bit_length()
+
+
+def build_m(jnp, docs_flat, impacts_flat, slot_start, slot_len,
+            n1: int, p_pad: int):
+    """Densify the batch's term slots into M [S, n1] with one
+    sorted-unique scatter (the XLA fast path). Shared by the batched
+    scorer below and the single-query executor (ops/score.py)."""
+    s_count = slot_start.shape[0]
+    ends = jnp.cumsum(slot_len)
+    total = ends[-1]
+    positions = jnp.arange(p_pad, dtype=jnp.int32)
+    seg_id = jnp.searchsorted(ends, positions, side="right"
+                              ).astype(jnp.int32)
+    valid = positions < total
+    seg_safe = jnp.minimum(seg_id, s_count - 1)
+    begin = ends - slot_len
+    p_idx = slot_start[seg_safe] + (positions - begin[seg_safe])
+    p_idx = jnp.where(valid, p_idx, 0)
+    docs = docs_flat[p_idx]
+    impacts = jnp.where(valid, impacts_flat[p_idx], 0.0)
+    flat_idx = jnp.where(
+        valid,
+        seg_safe * n1 + docs,
+        s_count * n1 + (positions - total))
+    m_flat = jnp.zeros(s_count * n1 + p_pad, dtype=jnp.float32)
+    m_flat = m_flat.at[flat_idx].set(
+        impacts, indices_are_sorted=True, unique_indices=True,
+        mode="promise_in_bounds")
+    return m_flat[: s_count * n1].reshape(s_count, n1)
+
+
+def make_impact_scorer():
+    import jax
+    import jax.numpy as jnp
+
+    @partial(jax.jit, static_argnames=("k", "p_pad"))
+    def scorer(docs_flat, impacts_flat, deleted,
+               slot_start, slot_len, w, *, k: int, p_pad: int):
+        """docs_flat/impacts_flat: [nnz] segment posting arrays
+        (term-major, doc-ascending). slot_start/slot_len: [S] posting
+        ranges of the batch's distinct terms. w: [Q, S] idf·boost
+        weights. p_pad: static bound on the batch's total postings.
+        Returns (scores [Q, k], ids [Q, k])."""
+        n1 = deleted.shape[0]
+        m = build_m(jnp, docs_flat, impacts_flat, slot_start, slot_len,
+                    n1, p_pad)
+        scores = jnp.dot(w, m, preferred_element_type=jnp.float32)
+        masked = jnp.where((scores > 0.0) & ~deleted[None, :],
+                           scores, -jnp.inf)
+        return jax.lax.top_k(masked, k)
+
+    return scorer
+
+
+def build_impact_batch(seg, dseg, queries: list[list[tuple[str, str]]],
+                       slot_bucket: int = 64):
+    """Host-side prep: dedupe the batch's terms into slots, build the
+    per-slot posting ranges and the [Q, S] weight matrix."""
+    from searchlite_tpu.models.bm25 import idf as bm25_idf
+
+    postings = seg.postings
+    live = float(max(dseg.live_docs, 0))
+    slots: dict[str, int] = {}
+    slot_start: list[int] = []
+    slot_len: list[int] = []
+    slot_idf: list[float] = []
+    rows: list[dict[int, float]] = []
+    for query in queries:
+        row: dict[int, float] = {}
+        for field, token in query:
+            key = f"{field}:{token}"
+            slot = slots.get(key)
+            if slot is None:
+                tid = seg.terms.get(key)
+                if tid is None:
+                    continue
+                slot = len(slot_start)
+                slots[key] = slot
+                start = int(dseg.posting_base[tid])
+                length = int(postings.term_df[tid])
+                slot_start.append(start)
+                slot_len.append(length)
+                slot_idf.append(bm25_idf(float(length), live))
+            row[slot] = row.get(slot, 0.0) + slot_idf[slot]
+        rows.append(row)
+    s_pad = next_pow2(max(len(slot_start), slot_bucket))
+    q = len(queries)
+    out = {
+        "slot_start": np.zeros(s_pad, dtype=np.int32),
+        "slot_len": np.zeros(s_pad, dtype=np.int32),
+        "w": np.zeros((q, s_pad), dtype=np.float32),
+        "p_pad": next_pow2(max(int(sum(slot_len)), 128)),
+    }
+    out["slot_start"][:len(slot_start)] = slot_start
+    out["slot_len"][:len(slot_len)] = slot_len
+    for qi, row in enumerate(rows):
+        for slot, weight in row.items():
+            out["w"][qi, slot] = weight
+    if s_pad * (dseg.n1) + out["p_pad"] >= 2**31:
+        raise OverflowError(
+            "impact matrix exceeds int32 indexing; shard the doc space")
+    return out

@@ -360,42 +360,29 @@ class CompiledQuery:
         jax = self._jax
         k1, b = self.k1, self.b
 
-        def run(block_docs, block_tfs, doc_len, avgdl, deleted,
-                q_idx, q_weight, q_leaf, q_field, q_valid,
-                g_idx, g_group, g_valid,
+        def run(docs_flat, impacts_flat, deleted,
+                slot_start, slot_len, w_leaf, leaf_ind, group_ind,
                 phrase_masks, filter_masks, col_vals, col_has,
                 root_mask, cursor_score, cursor_eq_mode, cursor_doc,
-                *, k: int, has_scored_terms: bool, need_scores: bool,
-                use_cursor: bool):
-            n1 = doc_len.shape[1]
-            n_docs = n1 - 1
-            L = self.n_leaves
-            G = max(self.n_groups, 1)
+                *, k: int, p_pad: int, has_scored_terms: bool,
+                need_scores: bool, use_cursor: bool):
+            from searchlite_tpu.ops.impact import build_m
+
+            n1 = deleted.shape[0]
 
             ones = jnp.ones(n1, dtype=bool)
             zeros = jnp.zeros(n1, dtype=jnp.float32)
 
-            # --- 1-3: gather, BM25, scatter ---
-            docs = block_docs[q_idx]                     # [QB,128]
-            tfs = block_tfs[q_idx]
-            valid = (docs < n_docs) & q_valid[:, None]
-            dl = doc_len[q_field[:, None], docs]
-            avg = avgdl[q_field][:, None]
-            norm = jnp.where(avg > 0, dl / jnp.where(avg > 0, avg, 1.0), 1.0)
-            denom = jnp.maximum(tfs + k1 * (1.0 - b + b * norm), 1e-6)
-            sc = q_weight[:, None] * tfs * (k1 + 1.0) / denom
-            sc = jnp.where(valid, sc, 0.0)
-            leaf_idx = jnp.broadcast_to(q_leaf[:, None], docs.shape)
-            leaf_scores = jnp.zeros((L, n1), dtype=jnp.float32).at[
-                leaf_idx, docs].add(sc, mode="drop")
-            leaf_match = jnp.zeros((L, n1), dtype=bool).at[
-                leaf_idx, docs].max(valid, mode="drop")
-
-            gdocs = block_docs[g_idx]
-            gvalid = (gdocs < n_docs) & g_valid[:, None]
-            group_idx = jnp.broadcast_to(g_group[:, None], gdocs.shape)
-            group_match = jnp.zeros((G, n1), dtype=bool).at[
-                group_idx, gdocs].max(gvalid, mode="drop")
+            # --- densify the query's term slots, score on the MXU ---
+            m = build_m(jnp, docs_flat, impacts_flat, slot_start,
+                        slot_len, n1, p_pad)
+            m_pos = (m > 0).astype(jnp.float32)
+            leaf_scores = jnp.dot(w_leaf, m,
+                                  preferred_element_type=jnp.float32)
+            leaf_match = jnp.dot(leaf_ind, m_pos,
+                                 preferred_element_type=jnp.float32) > 0
+            group_match = jnp.dot(group_ind, m_pos,
+                                  preferred_element_type=jnp.float32) > 0
 
             ctx = {
                 "ones": ones,
@@ -465,7 +452,7 @@ class CompiledQuery:
                     adjusted, cursor_seen, text_mask)
 
         return jax.jit(run, static_argnames=(
-            "k", "has_scored_terms", "need_scores", "use_cursor"))
+            "k", "p_pad", "has_scored_terms", "need_scores", "use_cursor"))
 
     def executor(self):
         if "run" not in self._jit_cache:
