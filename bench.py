@@ -26,8 +26,8 @@ import numpy as np
 N_DOCS = 100_000
 VOCAB = 10_000
 AVG_LEN = 60
-BATCH = 256
-N_BATCHES = 5
+BATCH = 1024
+N_BATCHES = 3
 TERMS_PER_QUERY = 4
 K = 10
 

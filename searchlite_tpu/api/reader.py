@@ -488,8 +488,10 @@ class IndexReader:
                 if s is not None:
                     group_entries.append((s, g))
 
+        from searchlite_tpu.ops.impact import pow4_bucket
+
         s_pad = next_pow2(max(len(slot_start), 8))
-        p_pad = next_pow2(max(sum(slot_len), 128))
+        p_pad = pow4_bucket(sum(slot_len))
         L = max(n_leaves, 1)
         G = max(n_groups, 1)
         out = {
@@ -1250,7 +1252,8 @@ class IndexReader:
             scores, ids = scorer(
                 dseg.docs_flat, dseg.impacts_flat, dseg.deleted,
                 jnp.asarray(qb["slot_start"]), jnp.asarray(qb["slot_len"]),
-                jnp.asarray(qb["w"]), k=k, p_pad=qb["p_pad"])
+                jnp.asarray(qb["w_idx"]), jnp.asarray(qb["w_val"]),
+                k=k, p_pad=qb["p_pad"], n_queries=qb["n_queries"])
             import jax
 
             scores, ids = jax.device_get((scores, ids))

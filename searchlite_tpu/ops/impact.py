@@ -40,6 +40,15 @@ def next_pow2(n: int) -> int:
     return 1 if n <= 1 else 1 << (n - 1).bit_length()
 
 
+def pow4_bucket(n: int, minimum: int = 4096) -> int:
+    """Round up to the pow-4 ladder (4096, 16384, 65536, ...): coarse
+    shape buckets keep XLA recompiles rare across varied queries."""
+    out = minimum
+    while out < n:
+        out *= 4
+    return out
+
+
 def build_m(jnp, docs_flat, impacts_flat, slot_start, slot_len,
             n1: int, p_pad: int):
     """Densify the batch's term slots into M [S, n1] with one
@@ -73,17 +82,25 @@ def make_impact_scorer():
     import jax
     import jax.numpy as jnp
 
-    @partial(jax.jit, static_argnames=("k", "p_pad"))
+    @partial(jax.jit, static_argnames=("k", "p_pad", "n_queries"))
     def scorer(docs_flat, impacts_flat, deleted,
-               slot_start, slot_len, w, *, k: int, p_pad: int):
+               slot_start, slot_len, w_idx, w_val,
+               *, k: int, p_pad: int, n_queries: int):
         """docs_flat/impacts_flat: [nnz] segment posting arrays
         (term-major, doc-ascending). slot_start/slot_len: [S] posting
-        ranges of the batch's distinct terms. w: [Q, S] idf·boost
-        weights. p_pad: static bound on the batch's total postings.
-        Returns (scores [Q, k], ids [Q, k])."""
+        ranges of the batch's distinct terms. (w_idx, w_val): sorted COO
+        of the [Q, S] idf·boost weight matrix (w_idx = q*S + s; pads
+        point past Q*S). Returns (scores [Q, k], ids [Q, k])."""
         n1 = deleted.shape[0]
+        s_count = slot_start.shape[0]
         m = build_m(jnp, docs_flat, impacts_flat, slot_start, slot_len,
                     n1, p_pad)
+        w_flat = jnp.zeros(n_queries * s_count + w_idx.shape[0],
+                           dtype=jnp.float32)
+        w_flat = w_flat.at[w_idx].set(
+            w_val, indices_are_sorted=True, unique_indices=True,
+            mode="promise_in_bounds")
+        w = w_flat[: n_queries * s_count].reshape(n_queries, s_count)
         scores = jnp.dot(w, m, preferred_element_type=jnp.float32)
         masked = jnp.where((scores > 0.0) & ~deleted[None, :],
                            scores, -jnp.inf)
@@ -125,17 +142,32 @@ def build_impact_batch(seg, dseg, queries: list[list[tuple[str, str]]],
         rows.append(row)
     s_pad = next_pow2(max(len(slot_start), slot_bucket))
     q = len(queries)
+    # weight matrix as sorted COO (w_idx = q*S + s ascending): densified
+    # on device with the sorted-unique scatter fast path — transfers
+    # O(nnz) instead of O(Q*S)
+    w_entries: list[tuple[int, float]] = []
+    for qi, row in enumerate(rows):
+        for slot in sorted(row):
+            w_entries.append((qi * s_pad + slot, row[slot]))
+    w_pad = next_pow2(max(len(w_entries), 16))
+    w_idx = np.full(w_pad, 0, dtype=np.int32)
+    w_val = np.zeros(w_pad, dtype=np.float32)
+    for i, (idx, val) in enumerate(w_entries):
+        w_idx[i] = idx
+        w_val[i] = val
+    # pads point past Q*S into the dump zone, keeping indices sorted+unique
+    for i in range(len(w_entries), w_pad):
+        w_idx[i] = q * s_pad + (i - len(w_entries))
     out = {
         "slot_start": np.zeros(s_pad, dtype=np.int32),
         "slot_len": np.zeros(s_pad, dtype=np.int32),
-        "w": np.zeros((q, s_pad), dtype=np.float32),
-        "p_pad": next_pow2(max(int(sum(slot_len)), 128)),
+        "w_idx": w_idx,
+        "w_val": w_val,
+        "p_pad": pow4_bucket(int(sum(slot_len))),
+        "n_queries": q,
     }
     out["slot_start"][:len(slot_start)] = slot_start
     out["slot_len"][:len(slot_len)] = slot_len
-    for qi, row in enumerate(rows):
-        for slot, weight in row.items():
-            out["w"][qi, slot] = weight
     if s_pad * (dseg.n1) + out["p_pad"] >= 2**31:
         raise OverflowError(
             "impact matrix exceeds int32 indexing; shard the doc space")

@@ -166,3 +166,119 @@ def make_sharded_scorer(mesh, n1: int):
 def block_bases(n_blocks_padded: int, n_shards: int) -> np.ndarray:
     per = n_blocks_padded // n_shards
     return (np.arange(n_shards, dtype=np.int32) * per)
+
+
+# ---------------------------------------------------------------------------
+# Impact-matmul sharded scorer (the production path; see ops/impact.py)
+# ---------------------------------------------------------------------------
+
+def shard_flat_postings(docs_flat: np.ndarray, impacts_flat: np.ndarray,
+                        n_shards: int):
+    """Pad the flat posting arrays to a multiple of n_shards; padding
+    rows carry zero impact so they never contribute."""
+    nnz = len(docs_flat)
+    per = -(-max(nnz, 1) // n_shards)
+    total = per * n_shards
+    docs = np.zeros(total, dtype=np.int32)
+    imps = np.zeros(total, dtype=np.float32)
+    docs[:nnz] = docs_flat
+    imps[:nnz] = impacts_flat
+    return docs, imps, per
+
+
+def make_sharded_impact_scorer(mesh, n1: int):
+    """Sharded BM25 impact-matmul:
+
+    1. each chip densifies its local slice of the flat posting arrays
+       into a partial M [S, n1] (sorted-unique scatter, local rows only),
+    2. ``psum_scatter`` over ICI completes M for each chip's doc slice
+       [S, n1/D] (a term's postings live on many chips),
+    3. per-chip MXU matmul W [Q, S] @ M_slice → scores [Q, n1/D]
+       (FLOPs scale 1/D),
+    4. local top-k, ``all_gather``, final top-k — preserving the
+       (score desc, doc asc) merge contract.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    n_shards = mesh.shape["shard"]
+    assert n1 % n_shards == 0, "doc space must pad to the shard count"
+    slice_len = n1 // n_shards
+
+    def local_step(docs_flat, impacts_flat, deleted,
+                   slot_start, slot_len, w, posting_base, k, p_pad):
+        n_local = docs_flat.shape[0]
+        s_count = slot_start.shape[0]
+        base = posting_base[0]
+
+        # local intersection of each slot's global posting range
+        local_start = jnp.clip(slot_start - base, 0, n_local)
+        local_end = jnp.clip(slot_start + slot_len - base, 0, n_local)
+        local_len = jnp.maximum(local_end - local_start, 0)
+
+        ends = jnp.cumsum(local_len)
+        total = ends[-1]
+        positions = jnp.arange(p_pad, dtype=jnp.int32)
+        seg_id = jnp.searchsorted(ends, positions, side="right"
+                                  ).astype(jnp.int32)
+        valid = positions < total
+        seg_safe = jnp.minimum(seg_id, s_count - 1)
+        begin = ends - local_len
+        p_idx = local_start[seg_safe] + (positions - begin[seg_safe])
+        p_idx = jnp.where(valid, jnp.minimum(p_idx, n_local - 1), 0)
+        docs = docs_flat[p_idx]
+        impacts = jnp.where(valid, impacts_flat[p_idx], 0.0)
+        flat_idx = jnp.where(
+            valid,
+            seg_safe * n1 + docs,
+            s_count * n1 + (positions - total))
+        m_flat = jnp.zeros(s_count * n1 + p_pad, dtype=jnp.float32)
+        m_flat = m_flat.at[flat_idx].set(
+            impacts, indices_are_sorted=True, unique_indices=True,
+            mode="promise_in_bounds")
+        m_partial = m_flat[: s_count * n1].reshape(s_count, n1)
+
+        # ICI: complete each chip's doc slice of M
+        m_slice = jax.lax.psum_scatter(
+            m_partial, "shard", scatter_dimension=1, tiled=True)
+
+        shard_idx = jax.lax.axis_index("shard")
+        doc_base = shard_idx * slice_len
+        local_deleted = jax.lax.dynamic_slice_in_dim(
+            deleted, doc_base, slice_len, axis=0)
+        scores = jnp.dot(w, m_slice, preferred_element_type=jnp.float32)
+        masked = jnp.where((scores > 0.0) & ~local_deleted[None, :],
+                           scores, -jnp.inf)
+        loc_scores, loc_idx = jax.lax.top_k(masked, k)
+        loc_ids = loc_idx + doc_base
+        all_scores = jax.lax.all_gather(loc_scores, "shard", axis=1,
+                                        tiled=True)
+        all_ids = jax.lax.all_gather(loc_ids, "shard", axis=1, tiled=True)
+        final_scores, pos = jax.lax.top_k(all_scores, k)
+        final_ids = jnp.take_along_axis(all_ids, pos, axis=1)
+        return final_scores, final_ids
+
+    def run(docs_flat, impacts_flat, deleted,
+            slot_start, slot_len, w, posting_base, *, k: int, p_pad: int):
+        fn = shard_map(
+            partial(local_step, k=k, p_pad=p_pad),
+            mesh=mesh,
+            in_specs=(
+                P("shard"), P("shard"), P(None,),
+                P(None,), P(None,), P("query", None), P("shard"),
+            ),
+            out_specs=(P("query", None), P("query", None)),
+            check_vma=False,
+        )
+        return fn(docs_flat, impacts_flat, deleted,
+                  slot_start, slot_len, w, posting_base)
+
+    import jax
+
+    return jax.jit(run, static_argnames=("k", "p_pad"))
