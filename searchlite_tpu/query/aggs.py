@@ -872,12 +872,13 @@ def _finalize_significant_terms(inter, spec) -> dict:
         if b.doc_count < min_doc_count:
             continue
         bg = bg_counts.get(key, 0)
-        fg_rate = b.doc_count / fg_total if fg_total else 0.0
-        bg_rate = bg / bg_total if bg_total else 0.0
-        score = (fg_rate - bg_rate) * (fg_rate / bg_rate if bg_rate else
-                                       (fg_rate if fg_rate else 0.0))
+        # lift ratio, parity: `query/aggs/mod.rs:2526-2531`
+        if fg_total > 0 and bg_total > 0 and bg > 0:
+            score = (b.doc_count / fg_total) / (bg / bg_total)
+        else:
+            score = 0.0
         scored.append((key, b, bg, score))
-    scored.sort(key=lambda x: (-x[3], _key_sort(x[0])))
+    scored.sort(key=lambda x: (-x[3], -x[1].doc_count, _key_sort(x[0])))
     scored = scored[:size]
     out_buckets = []
     for key, b, bg, score in scored:
