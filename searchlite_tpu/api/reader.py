@@ -721,14 +721,33 @@ class IndexReader:
 
             stats["postings_advanced"] += qargs["postings_touched"]
 
+            import jax
+
             needs_mask_host = (agg_pipeline is not None
                                or not score_fast_path
                                or req.collapse is not None)
+            # one host<->device round trip for everything this segment needs
+            fetch = [top_scores, top_idx, match_count, cursor_seen]
+            if needs_mask_host:
+                fetch.append(final_mask)
+            if vector_plan is not None:
+                fetch.append(text_mask)
+            if need_scores and not score_fast_path:
+                fetch.append(adjusted)
+            fetched = list(jax.device_get(tuple(fetch)))
+            top_scores_np, top_idx_np, match_count, cursor_seen = \
+                fetched[:4]
+            cursor = 4
             mask_np = None
             if needs_mask_host:
-                mask_np = np.array(final_mask)[:seg.doc_count]
+                mask_np = np.array(fetched[cursor])[:seg.doc_count]
+                cursor += 1
             if vector_plan is not None:
-                text_masks[dseg.ord] = np.asarray(text_mask)
+                text_masks[dseg.ord] = fetched[cursor]
+                cursor += 1
+            adjusted_np = None
+            if need_scores and not score_fast_path:
+                adjusted_np = fetched[cursor]
 
             if use_cursor and bool(cursor_seen):
                 saw_cursor = True
@@ -738,8 +757,8 @@ class IndexReader:
                 stats["scored_docs"] += int(match_count)
                 stats["candidates_examined"] += int(match_count)
                 if req.return_hits:
-                    scores_np = np.asarray(top_scores)
-                    idx_np = np.asarray(top_idx)
+                    scores_np = top_scores_np
+                    idx_np = top_idx_np
                     valid = scores_np > -np.inf
                     for score, doc in zip(scores_np[valid].tolist(),
                                           idx_np[valid].tolist()):
@@ -750,9 +769,7 @@ class IndexReader:
             else:
                 # general path: build keys for all matched docs host-side
                 matched = np.flatnonzero(mask_np)
-                scores_np = None
-                if need_scores:
-                    scores_np = np.asarray(adjusted)
+                scores_np = adjusted_np
                 seg_hits: list[RankedHit] = []
                 for doc in matched.tolist():
                     score = float(scores_np[doc]) if scores_np is not None \

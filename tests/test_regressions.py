@@ -1,0 +1,142 @@
+"""Regression tests mirroring `searchlite-core/tests/regressions.rs` and
+`file_format.rs`: format stability, atomicity, concurrent writers."""
+
+import json
+
+import pytest
+
+from searchlite_tpu.api.types import IndexOptions, StorageType
+from searchlite_tpu.errors import SchemaError, SearchliteError
+from searchlite_tpu.index import Index
+from searchlite_tpu.index.manifest import Manifest, Schema
+from searchlite_tpu.index.wal import Wal
+from searchlite_tpu.storage import InMemoryStorage
+from searchlite_tpu.utils import varint
+
+
+def mem_options(**kw):
+    return IndexOptions(path="", create_if_missing=True,
+                        storage=StorageType.IN_MEMORY, **kw)
+
+
+SCHEMA = {
+    "text_fields": [{"name": "body", "analyzer": "default", "stored": True,
+                     "indexed": True}],
+    "keyword_fields": [{"name": "tag", "stored": True, "indexed": True,
+                        "fast": True}],
+    "numeric_fields": [],
+}
+
+
+class TestFileFormatStability:
+    """WAL/varint byte-format goldens (parity: tests/file_format.rs)."""
+
+    def test_wal_entry_bytes(self):
+        storage = InMemoryStorage()
+        wal = Wal(storage)
+        wal.append_delete_doc_id("abc")
+        data = storage.read_to_end("wal.log")
+        # varint len(3) + type byte 3 + b"abc" + crc32 LE
+        assert data[0] == 3        # payload length varint
+        assert data[1] == 3        # DeleteDocId type
+        assert data[2:5] == b"abc"
+        assert len(data) == 9      # 1 + 1 + 3 + 4
+
+    def test_commit_marker_bytes(self):
+        storage = InMemoryStorage()
+        wal = Wal(storage)
+        wal.append_commit()
+        data = storage.read_to_end("wal.log")
+        assert data[0] == 0 and data[1] == 2 and len(data) == 6
+
+    def test_varint_format(self):
+        assert varint.encode_u64(300) == b"\xac\x02"
+
+
+class TestAtomicity:
+    def test_failed_manifest_persistence_rolls_back(self):
+        class FailingManifestStorage(InMemoryStorage):
+            def __init__(self):
+                super().__init__()
+                self.fail_manifest = False
+
+            def atomic_write(self, path, data):
+                if self.fail_manifest and path == "MANIFEST.json":
+                    raise OSError("injected manifest failure")
+                super().atomic_write(path, data)
+
+        storage = FailingManifestStorage()
+        index = Index.create_with_storage(storage, mem_options(),
+                                          Schema.from_json(SCHEMA))
+        writer = index.writer()
+        writer.add_document({"_id": "1", "body": "first", "tag": "a"})
+        writer.commit()
+        before = Manifest.load(storage).to_json()
+
+        writer.add_document({"_id": "2", "body": "second", "tag": "a"})
+        storage.fail_manifest = True
+        with pytest.raises(SearchliteError):
+            writer.commit()
+        storage.fail_manifest = False
+
+        # manifest unchanged on disk; WAL retains the pending op so a new
+        # writer replays it (parity: api/writer.rs:341-461)
+        after = Manifest.load(storage).to_json()
+        assert after["segments"] == before["segments"]
+        writer2 = index.writer()
+        assert writer2.pending_ops >= 1
+        writer2.commit()
+        reader = Index.open_with_storage(storage, mem_options()).reader()
+        res = reader.search({"query": "second", "limit": 5})
+        assert res.total_hits_estimate == 1
+
+    def test_concurrent_writers_refresh_manifest(self):
+        """Two writers on the same index: the second commit must see the
+        first's segment (parity: regressions.rs:296+)."""
+        index = Index.create(mem_options(), Schema.from_json(SCHEMA))
+        w1 = index.writer()
+        w2 = index.writer()
+        w1.add_document({"_id": "1", "body": "one", "tag": "a"})
+        w1.commit()
+        # w2 was opened before w1 committed and replays the shared WAL —
+        # its pending ops include w1's (shared single-writer WAL), so
+        # fold-and-commit must not duplicate doc 1
+        w2.add_document({"_id": "2", "body": "two", "tag": "a"})
+        w2.commit()
+        reader = index.reader()
+        res = reader.search({"query": {"type": "match_all"}, "limit": 10})
+        assert res.total_hits_estimate == 2
+        ids = sorted(h.doc_id for h in res.hits)
+        assert ids == ["1", "2"]
+
+
+class TestCompactionSafety:
+    def test_compaction_refuses_unstored_indexed_fields(self):
+        schema = {
+            "text_fields": [{"name": "body", "analyzer": "default",
+                             "stored": False, "indexed": True}],
+        }
+        index = Index.create(mem_options(), Schema.from_json(schema))
+        writer = index.writer()
+        writer.add_document({"_id": "1", "body": "hello"})
+        writer.commit()
+        writer.add_document({"_id": "2", "body": "world"})
+        writer.commit()
+        with pytest.raises(SchemaError):
+            index.compact()
+
+    def test_readers_stay_live_across_commits(self):
+        index = Index.create(mem_options(), Schema.from_json(SCHEMA))
+        writer = index.writer()
+        writer.add_document({"_id": "1", "body": "first", "tag": "a"})
+        writer.commit()
+        reader = index.reader()  # snapshot
+        writer.add_document({"_id": "2", "body": "second", "tag": "a"})
+        writer.commit()
+        # old snapshot still serves the old view
+        res = reader.search({"query": {"type": "match_all"}, "limit": 10})
+        assert res.total_hits_estimate == 1
+        # a fresh reader sees both
+        res2 = index.reader().search(
+            {"query": {"type": "match_all"}, "limit": 10})
+        assert res2.total_hits_estimate == 2
