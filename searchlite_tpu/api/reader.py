@@ -21,6 +21,7 @@ around dense device execution:
 from __future__ import annotations
 
 import json
+import os
 import re
 import time
 from dataclasses import dataclass
@@ -1259,21 +1260,34 @@ class IndexReader:
 
         from searchlite_tpu.ops.impact import build_impact_batch
 
+        # memory budget for the dense M + score matrices on one chip; past
+        # it, loop host-defined doc shards (each shard's postings stay
+        # term-major/doc-ascending so the sorted-unique M build holds)
+        m_budget_bytes = int(os.environ.get(
+            "SEARCHLITE_M_BUDGET_BYTES", 2 * 1024**3))
+
         for dseg in self.device_segments:
             seg = dseg.reader
             if seg.doc_count == 0:
                 continue
             qb = build_impact_batch(seg, dseg, analyzed)
             scorer = self._batched_scorer()
-            k = min(limit, dseg.n1)
-            scores, ids = scorer(
-                dseg.docs_flat, dseg.impacts_flat, dseg.deleted,
-                jnp.asarray(qb["slot_start"]), jnp.asarray(qb["slot_len"]),
-                jnp.asarray(qb["w_idx"]), jnp.asarray(qb["w_val"]),
-                k=k, p_pad=qb["p_pad"], n_queries=qb["n_queries"])
             import jax
 
-            scores, ids = jax.device_get((scores, ids))
+            s_pad = len(qb["slot_start"])
+            est_bytes = (s_pad + len(analyzed)) * dseg.n1 * 4
+            if est_bytes <= m_budget_bytes:
+                k = min(limit, dseg.n1)
+                scores, ids = scorer(
+                    dseg.docs_flat, dseg.impacts_flat, dseg.deleted,
+                    jnp.asarray(qb["slot_start"]),
+                    jnp.asarray(qb["slot_len"]),
+                    jnp.asarray(qb["w_idx"]), jnp.asarray(qb["w_val"]),
+                    k=k, p_pad=qb["p_pad"], n_queries=qb["n_queries"])
+                scores, ids = jax.device_get((scores, ids))
+            else:
+                scores, ids = self._search_batch_sharded(
+                    dseg, analyzed, qb, limit, est_bytes, m_budget_bytes)
             for qi in range(len(queries)):
                 for score, doc in zip(scores[qi].tolist(),
                                       ids[qi].tolist()):
@@ -1290,6 +1304,72 @@ class IndexReader:
                 for (seg_ord, doc), score in ranked
             ])
         return results
+
+    def _search_batch_sharded(self, dseg, analyzed, qb, limit: int,
+                              est_bytes: int, budget: int):
+        """Doc-sharded batched scoring for corpora whose dense M would
+        exceed the memory budget: loop host-defined doc shards (each
+        shard's postings stay term-major/doc-ascending), score each with
+        the same kernel, merge top-k host-side. This shard loop is the
+        single-chip analogue of multi-chip doc sharding."""
+        import jax
+        import jax.numpy as jnp
+
+        from searchlite_tpu.ops.impact import pow4_bucket
+
+        n_shards = 1
+        while est_bytes // n_shards > budget:
+            n_shards *= 2
+        shards = dseg.doc_shards(n_shards)
+        width = shards["shard_width"]
+        n_terms = shards["n_terms"]
+        scorer = self._batched_scorer()
+        tids = qb["slot_tids"]
+        n_slots = qb["n_slots"]
+        s_pad = len(qb["slot_start"])
+        q = qb["n_queries"]
+        per_shard = []
+        # uniform p_pad bucket across shards to share one compile
+        max_total = 0
+        shard_tables = []
+        for d in range(n_shards):
+            keys = d * n_terms + tids
+            starts = shards["base"][keys]
+            lens = shards["counts"][keys]
+            slot_start = np.zeros(s_pad, dtype=np.int32)
+            slot_len = np.zeros(s_pad, dtype=np.int32)
+            slot_start[:n_slots] = starts
+            slot_len[:n_slots] = lens
+            shard_tables.append((slot_start, slot_len))
+            max_total = max(max_total, int(lens.sum()))
+        p_pad = pow4_bucket(max_total)
+        deleted_np = dseg.deleted_np
+        for d in range(n_shards):
+            lo = d * width
+            hi = min(lo + width, dseg.n1)
+            local_deleted = np.ones(width, dtype=bool)
+            local_deleted[: hi - lo] = deleted_np[lo:hi]
+            slot_start, slot_len = shard_tables[d]
+            k = min(limit, width)
+            scores, ids = scorer(
+                shards["docs_flat"], shards["impacts_flat"],
+                jnp.asarray(local_deleted),
+                jnp.asarray(slot_start), jnp.asarray(slot_len),
+                jnp.asarray(qb["w_idx"]), jnp.asarray(qb["w_val"]),
+                k=k, p_pad=p_pad, n_queries=q)
+            per_shard.append((scores, ids, lo))
+        all_scores = []
+        all_ids = []
+        for scores, ids, lo in per_shard:
+            s_np, i_np = jax.device_get((scores, ids))
+            all_scores.append(s_np)
+            all_ids.append(i_np + lo)
+        cat_scores = np.concatenate(all_scores, axis=1)
+        cat_ids = np.concatenate(all_ids, axis=1)
+        # stable merge: sort by (-score, id)
+        order = np.lexsort((cat_ids, -cat_scores), axis=-1)[:, :limit]
+        return (np.take_along_axis(cat_scores, order, axis=1),
+                np.take_along_axis(cat_ids, order, axis=1))
 
     def _batched_scorer(self):
         from searchlite_tpu.ops.impact import make_impact_scorer

@@ -110,3 +110,48 @@ class DeviceSegment:
 
     def field_id(self, field: str) -> int:
         return self.len_field_ids.get(field, self._no_len_field)
+
+    # -- doc-sharded layout (large corpora) --------------------------------
+    # Postings re-sorted by (doc_shard, term, doc): each shard's slice is
+    # still term-major/doc-ascending, so the sorted-unique M build works
+    # per shard with host-computed per-(term, shard) ranges. Lets one chip
+    # loop shards sequentially (bounded memory) and maps 1:1 onto chips
+    # for multi-device doc sharding (no M collective needed — every shard
+    # owns complete doc columns).
+
+    def doc_shards(self, n_shards: int):
+        import jax.numpy as jnp  # noqa: PLC0415
+
+        cached = getattr(self, "_doc_shards", None)
+        if cached is not None and cached["n_shards"] == n_shards:
+            return cached
+        docs_flat = np.asarray(self.docs_flat)
+        impacts_flat = np.asarray(self.impacts_flat)
+        n_terms = len(self.reader.postings.terms)
+        term_df = self.reader.postings.term_df.astype(np.int64)
+        term_of_posting = np.repeat(
+            np.arange(n_terms, dtype=np.int32), term_df)
+        shard_width = -(-self.n1 // n_shards)
+        shard_of = (docs_flat // shard_width).astype(np.int32)
+        order = np.lexsort((docs_flat, term_of_posting, shard_of))
+        docs_sh = docs_flat[order] - shard_of[order].astype(np.int64) \
+            * shard_width
+        imps_sh = impacts_flat[order]
+        # per-(term, shard) posting range starts: group key sorted by
+        # (shard, term), so offsets come from a bincount over key ids
+        key = shard_of[order].astype(np.int64) * n_terms + \
+            term_of_posting[order]
+        counts = np.bincount(key, minlength=n_shards * n_terms)
+        base = np.concatenate([[0], np.cumsum(counts)])
+        cached = {
+            "n_shards": n_shards,
+            "shard_width": int(shard_width),
+            "docs_flat": jnp.asarray(docs_sh.astype(np.int32)),
+            "impacts_flat": jnp.asarray(imps_sh.astype(np.float32)),
+            # start[shard*n_terms + term], len likewise (host numpy)
+            "base": base,
+            "counts": counts,
+            "n_terms": n_terms,
+        }
+        self._doc_shards = cached
+        return cached

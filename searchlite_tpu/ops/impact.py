@@ -121,6 +121,7 @@ def build_impact_batch(seg, dseg, queries: list[list[tuple[str, str]]],
     slot_start: list[int] = []
     slot_len: list[int] = []
     slot_idf: list[float] = []
+    slot_tids: list[int] = []
     rows: list[dict[int, float]] = []
     for query in queries:
         row: dict[int, float] = {}
@@ -138,6 +139,7 @@ def build_impact_batch(seg, dseg, queries: list[list[tuple[str, str]]],
                 slot_start.append(start)
                 slot_len.append(length)
                 slot_idf.append(bm25_idf(float(length), live))
+                slot_tids.append(int(tid))
             row[slot] = row.get(slot, 0.0) + slot_idf[slot]
         rows.append(row)
     s_pad = next_pow2(max(len(slot_start), slot_bucket))
@@ -165,6 +167,8 @@ def build_impact_batch(seg, dseg, queries: list[list[tuple[str, str]]],
         "w_val": w_val,
         "p_pad": pow4_bucket(int(sum(slot_len))),
         "n_queries": q,
+        "slot_tids": np.asarray(slot_tids, dtype=np.int64),
+        "n_slots": len(slot_start),
     }
     out["slot_start"][:len(slot_start)] = slot_start
     out["slot_len"][:len(slot_len)] = slot_len

@@ -51,6 +51,20 @@ def test_batch_matches_single_query_path(index):
         assert got == expected, f"mismatch for {query!r}"
 
 
+def test_sharded_batch_matches_unsharded(index, monkeypatch):
+    """Forcing a tiny memory budget routes through the doc-sharded path,
+    which must return identical results."""
+    reader = index.reader()
+    queries = ["w1 w2", "w3", "w10 w20 w30"]
+    expected = reader.search_batch(queries, limit=10)
+    monkeypatch.setenv("SEARCHLITE_M_BUDGET_BYTES", "20000")
+    reader2 = index.reader()
+    sharded = reader2.search_batch(queries, limit=10)
+    for exp, got in zip(expected, sharded):
+        assert [(d, round(s, 4)) for d, s in got] == \
+            [(d, round(s, 4)) for d, s in exp]
+
+
 def test_batch_field_qualified(index):
     reader = index.reader()
     batch = reader.search_batch(["title:w5"], limit=5)
