@@ -770,22 +770,26 @@ class IndexReader:
             else:
                 # general path: build keys for all matched docs host-side
                 matched = np.flatnonzero(mask_np)
-                scores_np = adjusted_np
+                if adjusted_np is not None and len(matched):
+                    matched_scores = adjusted_np[matched]
+                else:
+                    matched_scores = np.zeros(len(matched),
+                                              dtype=np.float32)
+                keys = sort_plan.build_keys_bulk(
+                    seg.fast, matched, matched_scores, dseg.ord)
                 seg_hits: list[RankedHit] = []
-                for doc in matched.tolist():
-                    score = float(scores_np[doc]) if scores_np is not None \
-                        else 0.0
-                    key = sort_plan.build_key(seg.fast, doc, score, dseg.ord)
+                for key, score in zip(keys, matched_scores.tolist()):
                     if cursor_key is not None and vector_plan is None:
                         cmp = key._cmp(cursor_key)
                         if cmp == 0:
                             saw_cursor = True
                         if cmp <= 0:
-                            mask_np[doc] = False
+                            mask_np[key.doc_id] = False
                             continue
                     total_matches += 1
                     if req.return_hits:
-                        seg_hits.append(RankedHit(key=key, score=score))
+                        seg_hits.append(RankedHit(key=key,
+                                                  score=float(score)))
                 stats["scored_docs"] += len(matched)
                 stats["candidates_examined"] += len(matched)
                 all_hits.extend(seg_hits)

@@ -58,10 +58,23 @@ class Column:
     def n_docs(self) -> int:
         return len(self.offsets) - 1
 
+    _rank_cache: tuple | None = None
+
     def lower_dict(self) -> list[str]:
         if self._lower_dict is None:
             self._lower_dict = [s.lower() for s in self.dictionary]
         return self._lower_dict
+
+    def dict_ranks(self):
+        """(rank_of_code [n_codes], sorted_values [n_codes]) — maps
+        dictionary codes to lexicographic ranks for vectorized min/max."""
+        if self._rank_cache is None:
+            order = np.argsort(np.asarray(self.dictionary, dtype=object))
+            rank = np.empty(len(order), dtype=np.int64)
+            rank[order] = np.arange(len(order))
+            sorted_vals = [self.dictionary[i] for i in order]
+            self._rank_cache = (rank, sorted_vals)
+        return self._rank_cache
 
     # -- vectorized predicates (host) ---------------------------------------
 

@@ -845,14 +845,22 @@ def _fmt_bound(v) -> str:
     return "*" if v is None else f"{float(v):g}"
 
 
+MAX_BUCKETS = 10_000
+
+
 def _finalize_terms(inter, spec) -> dict:
     buckets = inter.data["buckets"] if inter else {}
     min_doc_count = int(spec.get("min_doc_count") or 1)
-    size = int(spec.get("size") or 10)
     items = [(k, b) for k, b in buckets.items()
              if b.doc_count >= min_doc_count]
     items.sort(key=lambda kv: (-kv[1].doc_count, _key_sort(kv[0])))
-    items = items[:size]
+    # size defaults to shard_size, then all buckets; hard cap 10k
+    # (parity: aggs/mod.rs:2500-2505)
+    size = spec.get("size")
+    if size is None:
+        size = spec.get("shard_size")
+    limit = min(int(size) if size is not None else len(items), MAX_BUCKETS)
+    items = items[:limit]
     out = {"type": "terms",
            "buckets": [_bucket_response(k, b, spec) for k, b in items]}
     if inter is not None and inter.sampled:
@@ -866,7 +874,6 @@ def _finalize_significant_terms(inter, spec) -> dict:
     fg_total = inter.data.get("doc_count", 0) if inter else 0
     bg_total = inter.data.get("bg_total", 0) if inter else 0
     min_doc_count = int(spec.get("min_doc_count") or 1)
-    size = int(spec.get("size") or 10)
     scored = []
     for key, b in buckets.items():
         if b.doc_count < min_doc_count:
@@ -879,7 +886,9 @@ def _finalize_significant_terms(inter, spec) -> dict:
             score = 0.0
         scored.append((key, b, bg, score))
     scored.sort(key=lambda x: (-x[3], -x[1].doc_count, _key_sort(x[0])))
-    scored = scored[:size]
+    size = spec.get("size")
+    limit = min(int(size) if size is not None else len(scored), MAX_BUCKETS)
+    scored = scored[:limit]
     out_buckets = []
     for key, b, bg, score in scored:
         resp = _bucket_response(key, b, spec)
@@ -900,8 +909,8 @@ def _finalize_rare_terms(inter, spec) -> dict:
     items = [(k, b) for k, b in buckets.items()
              if b.doc_count <= max_doc_count]
     items.sort(key=lambda kv: (kv[1].doc_count, _key_sort(kv[0])))
-    if size is not None:
-        items = items[:int(size)]
+    limit = min(int(size) if size is not None else len(items), MAX_BUCKETS)
+    items = items[:limit]
     out = {"type": "rare_terms",
            "buckets": [_bucket_response(k, b, spec) for k, b in items]}
     if inter is not None and inter.sampled:
@@ -913,9 +922,13 @@ def _finalize_histogram(inter, spec) -> dict:
     buckets = dict(inter.data["buckets"]) if inter else {}
     interval = float(spec["interval"])
     offset = float(spec.get("offset") or 0.0)
-    min_doc_count = spec.get("min_doc_count")
-    min_doc_count = 1 if min_doc_count is None else int(min_doc_count)
     extended = spec.get("extended_bounds")
+    min_doc_count = spec.get("min_doc_count")
+    # default 0 when extended bounds requested, else 1
+    # (parity: aggs/mod.rs:1150)
+    if min_doc_count is None:
+        min_doc_count = 0 if extended is not None else 1
+    min_doc_count = int(min_doc_count)
     keys = sorted(buckets)
     if extended is not None and interval > 0:
         lo = _histogram_key(float(extended["min"]), interval, offset)
@@ -948,7 +961,8 @@ def _finalize_date_histogram(inter, spec) -> dict:
     buckets = dict(inter.data["buckets"]) if inter else {}
     fmt = spec.get("format")
     min_doc_count = spec.get("min_doc_count")
-    min_doc_count = 1 if min_doc_count is None else int(min_doc_count)
+    # date_histogram defaults to 0 (parity: aggs/mod.rs:1304)
+    min_doc_count = 0 if min_doc_count is None else int(min_doc_count)
     keys = sorted(buckets)
     out_buckets = []
     for k in keys:

@@ -151,6 +151,65 @@ class SortPlan:
     def primary_order(self) -> Optional[str]:
         return self.fields[0].order if self.fields else None
 
+    def build_keys_bulk(self, fast_fields, docs, scores, segment_ord: int
+                        ) -> list[SortKey]:
+        """Vectorized ``build_key`` over an array of doc ordinals.
+
+        ``docs``: sorted int array; ``scores``: float array aligned with
+        docs (ignored for field-only plans). Multi-valued fields pick
+        min for asc / max for desc; missing values become None.
+        """
+        import numpy as _np
+
+        n = len(docs)
+        per_field: list[list] = []
+        for f in self.fields:
+            if f.kind == "score":
+                per_field.append([float(s) for s in scores])
+                continue
+            col = fast_fields.column(f.field)
+            out: list = [None] * n
+            if col is not None and len(col.values):
+                lo = col.offsets[docs]
+                hi = col.offsets[_np.asarray(docs) + 1]
+                lens = (hi - lo).astype(_np.int64)
+                has = lens > 0
+                if has.any():
+                    lens_h = lens[has]
+                    starts = lo[has]
+                    cum = _np.cumsum(lens_h)
+                    total = int(cum[-1])
+                    pos = (_np.arange(total)
+                           - _np.repeat(cum - lens_h, lens_h)
+                           + _np.repeat(starts, lens_h))
+                    bounds = _np.concatenate([[0], cum[:-1]])
+                    if col.kind == "str":
+                        rank, sorted_vals = col.dict_ranks()
+                        vals = rank[col.values[pos]]
+                    else:
+                        vals = col.values[pos]
+                    if f.order == "asc":
+                        red = _np.minimum.reduceat(vals, bounds)
+                    else:
+                        red = _np.maximum.reduceat(vals, bounds)
+                    idxs = _np.flatnonzero(has)
+                    if col.kind == "str":
+                        for i, v in zip(idxs, red):
+                            out[i] = sorted_vals[int(v)]
+                    elif f.kind == "i64":
+                        for i, v in zip(idxs, red):
+                            out[i] = int(v)
+                    else:
+                        for i, v in zip(idxs, red):
+                            out[i] = float(v)
+            per_field.append(out)
+        orders = self.orders
+        return [
+            SortKey([per_field[j][i] for j in range(len(self.fields))],
+                    orders, segment_ord, int(docs[i]))
+            for i in range(n)
+        ]
+
     def build_key(self, fast_fields, doc: int, score: float,
                   segment_ord: int) -> SortKey:
         parts: list[Any] = []
