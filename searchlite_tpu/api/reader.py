@@ -476,11 +476,13 @@ class IndexReader:
 
         entries = []  # (slot, leaf, idf*weight)
         postings_touched = 0
+        slot_weight: dict[int, float] = {}
         for (key, leaf), weight in merged.items():
             s = get_slot(key)
             if s is None:
                 continue
             entries.append((s, leaf, slot_idf[s] * weight))
+            slot_weight[s] = slot_weight.get(s, 0.0) + slot_idf[s] * weight
             postings_touched += slot_len[s]
         group_entries = []  # (slot, group)
         for g, keys in enumerate(group_keys):
@@ -504,6 +506,8 @@ class IndexReader:
             "p_pad": p_pad,
             "n_scored": len(entries),
             "postings_touched": postings_touched,
+            "slot_keys": {key: s for key, s in slots.items()},
+            "slot_weight": slot_weight,
         }
         out["slot_start"][:len(slot_start)] = slot_start
         out["slot_len"][:len(slot_len)] = slot_len
@@ -720,8 +724,6 @@ class IndexReader:
                 k=k, p_pad=qargs["p_pad"], has_scored_terms=has_scored,
                 need_scores=need_scores, use_cursor=use_cursor)
 
-            stats["postings_advanced"] += qargs["postings_touched"]
-
             import jax
 
             needs_mask_host = (agg_pipeline is not None
@@ -752,6 +754,18 @@ class IndexReader:
 
             if use_cursor and bool(cursor_seen):
                 saw_cursor = True
+
+            # postings telemetry: for wand/bmw report the postings a
+            # block-max pruned traversal would touch (sound BMW bound:
+            # block survives iff its UB plus the other terms' term-level
+            # UBs reaches the running top-k threshold); bm25 reports the
+            # full posting volume the dense oracle scores
+            if req.profile and req.execution in ("wand", "bmw") \
+                    and score_fast_path and req.return_hits:
+                stats["postings_advanced"] += self._pruned_postings(
+                    dseg, qargs, top_scores_np, req.limit, req.execution)
+            else:
+                stats["postings_advanced"] += qargs["postings_touched"]
 
             if score_fast_path:
                 total_matches += int(match_count)
@@ -1308,6 +1322,53 @@ class IndexReader:
                 for (seg_ord, doc), score in ranked
             ])
         return results
+
+    def _pruned_postings(self, dseg, qargs, top_scores_np,
+                         limit: int, strategy: str) -> int:
+        """Counterfactual block-max pruning telemetry (the reference's
+        wand/bmw counters, `query/wand.rs:45-50`): with the exact top-k
+        threshold known, count the postings a pruned traversal would
+        still advance. wand uses term-level upper bounds, bmw per-block
+        upper bounds (our block size is fixed at 128)."""
+        seg = dseg.reader
+        postings = seg.postings
+        valid = top_scores_np[top_scores_np > -np.inf]
+        if len(valid) < limit:
+            return qargs["postings_touched"]
+        threshold = float(valid[min(limit, len(valid)) - 1])
+        slot_weight = qargs["slot_weight"]
+        slot_keys = qargs["slot_keys"]
+        term_ubs: dict[int, float] = {}
+        slot_blocks: dict[int, tuple[int, int, int]] = {}
+        for key, s in slot_keys.items():
+            w = slot_weight.get(s)
+            if w is None:
+                continue
+            tid = seg.terms.get(key)
+            if tid is None:
+                continue
+            start = int(postings.term_block_start[tid])
+            nb = int(postings.term_block_count[tid])
+            df = int(postings.term_df[tid])
+            slot_blocks[s] = (start, nb, df)
+            bub = dseg.block_max_impact[start:start + nb]
+            term_ubs[s] = float(bub.max() * w) if nb else 0.0
+        total_ub = sum(term_ubs.values())
+        advanced = 0
+        for s, (start, nb, df) in slot_blocks.items():
+            w = slot_weight[s]
+            others = total_ub - term_ubs[s]
+            if strategy == "wand":
+                if term_ubs[s] + others >= threshold:
+                    advanced += df
+                continue
+            bub = dseg.block_max_impact[start:start + nb] * w
+            survive = (bub + others) >= threshold
+            sizes = np.full(nb, 128, dtype=np.int64)
+            if nb:
+                sizes[-1] = df - 128 * (nb - 1)
+            advanced += int(sizes[survive].sum())
+        return advanced
 
     def _search_batch_sharded(self, dseg, analyzed, qb, limit: int,
                               est_bytes: int, budget: int):

@@ -102,6 +102,14 @@ class DeviceSegment:
         denom = np.maximum(
             tfs_flat + self.k1 * (1.0 - self.b + self.b * norm), 1e-6)
         impacts = (tfs_flat * (self.k1 + 1.0) / denom).astype(np.float32)
+        # per-block max impact (the sound BMW upper bound: impacts fold
+        # tf AND length norm, so block_max_impact * idf bounds any
+        # posting's contribution) — host-side, used for pruning telemetry
+        blocked = np.zeros(postings.block_docs.size, dtype=np.float32)
+        blocked[flat_mask] = impacts
+        self.block_max_impact = (
+            blocked.reshape(-1, postings.block_docs.shape[1]).max(axis=1)
+            if postings.block_docs.size else np.zeros(0, dtype=np.float32))
         if len(docs_flat) == 0:
             docs_flat = np.zeros(1, dtype=np.int32)
             impacts = np.zeros(1, dtype=np.float32)

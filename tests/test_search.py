@@ -173,6 +173,35 @@ class TestStrategies:
             assert results["bm25"] == results["wand"] == results["bmw"], \
                 f"strategy mismatch for query {query!r}"
 
+    def test_pruning_telemetry(self):
+        """wand/bmw report the postings a block-max pruned traversal
+        would advance — never more than the dense oracle's count, with
+        identical results."""
+        rng = random.Random(7)
+        docs = []
+        for i in range(2000):
+            words = ["common"] * 3 + rng.choices(
+                [f"w{j}" for j in range(40)], k=20)
+            if i % 200 == 0:
+                words += ["rare"] * 5
+            docs.append({"_id": str(i), "title": "t",
+                         "body": " ".join(words), "tag": "a",
+                         "year": i, "rating": 1.0})
+        index = make_index(docs=docs)
+        reader = index.reader()
+        counters = {}
+        results = {}
+        for strategy in ("bm25", "wand", "bmw"):
+            res = reader.search({"query": "rare common w1", "limit": 5,
+                                 "execution": strategy, "profile": True})
+            counters[strategy] = res.profile["execution"][
+                "postings_advanced"]
+            results[strategy] = [(h.doc_id, round(h.score, 5))
+                                 for h in res.hits]
+        assert results["bm25"] == results["wand"] == results["bmw"]
+        assert counters["wand"] <= counters["bm25"]
+        assert counters["bmw"] <= counters["wand"]
+
     def test_tie_break_by_doc_order(self):
         docs = [{"_id": str(i), "title": "same", "body": "same words here",
                  "tag": "a", "year": i, "rating": 1.0} for i in range(5)]
