@@ -130,6 +130,16 @@ def main():
 
     cpu_qps = cpu_reference_qps(reader, batches[0])
 
+    # p50 single-query latency (warm shapes; the BASELINE metric)
+    singles = batches[0][:9]
+    reader.search({"query": singles[0], "limit": K})  # warm compile
+    lat = []
+    for q in singles:
+        t1 = time.perf_counter()
+        reader.search({"query": q, "limit": K})
+        lat.append((time.perf_counter() - t1) * 1000)
+    p50_ms = sorted(lat)[len(lat) // 2]
+
     print(json.dumps({
         "metric": f"engine_batched_bm25_top{K}_qps_{N_DOCS // 1000}k_docs",
         "value": round(qps, 2),
@@ -138,6 +148,7 @@ def main():
         "detail": {
             "index_build_s": round(build_s, 2),
             "cpu_oracle_qps": round(cpu_qps, 2),
+            "p50_single_query_ms": round(p50_ms, 1),
             "batch": BATCH,
             "terms_per_query": TERMS_PER_QUERY,
         },

@@ -45,10 +45,14 @@ class HttpError(Exception):
 class AppState:
     def __init__(self, index_path: str, require_existing_index: bool = False,
                  refresh_on_commit: bool = True,
-                 max_body_bytes: int = DEFAULT_MAX_BODY):
+                 max_body_bytes: int = DEFAULT_MAX_BODY,
+                 max_concurrency: int = 64):
         self.index_path = index_path
         self.refresh_on_commit = refresh_on_commit
         self.max_body_bytes = max_body_bytes
+        # concurrency cap, parity with the reference's tower layer
+        # (`searchlite-http/src/lib.rs:319-325`, default 64)
+        self.concurrency = threading.BoundedSemaphore(max_concurrency)
         self.writer_lock = threading.Lock()
         self._index_lock = threading.Lock()
         self._index: Index | None = None
@@ -149,6 +153,10 @@ class Handler(BaseHTTPRequestHandler):
             self._send_json(404, _error_payload("not_found",
                                                 f"no route {method} {path}"))
             return
+        if not self.state.concurrency.acquire(timeout=30.0):
+            self._send_json(503, _error_payload(
+                "overloaded", "too many concurrent requests"))
+            return
         try:
             handler()
         except HttpError as e:
@@ -159,6 +167,8 @@ class Handler(BaseHTTPRequestHandler):
             self._send_json(500, _error_payload("internal", str(e)))
         except Exception as e:  # noqa: BLE001
             self._send_json(500, _error_payload("internal", str(e)))
+        finally:
+            self.state.concurrency.release()
 
     def do_GET(self):  # noqa: N802
         self._dispatch("GET")
@@ -299,9 +309,15 @@ def make_server(index_path: str, bind: str = "127.0.0.1:7700",
         refresh_on_commit=refresh_on_commit,
         max_body_bytes=int(os.environ.get("SEARCHLITE_MAX_BODY_BYTES",
                                           DEFAULT_MAX_BODY)),
+        max_concurrency=int(os.environ.get("SEARCHLITE_MAX_CONCURRENCY",
+                                           64)),
     )
 
-    handler = type("BoundHandler", (Handler,), {"state": state})
+    handler = type("BoundHandler", (Handler,), {
+        "state": state,
+        # per-connection socket timeout (reference request_timeout 30s)
+        "timeout": float(os.environ.get("SEARCHLITE_REQUEST_TIMEOUT", 30)),
+    })
     return ThreadingHTTPServer((host or "127.0.0.1", int(port)), handler)
 
 
