@@ -1,0 +1,127 @@
+"""Reader behavioral details: expansion caps, pattern normalization,
+profile/explain shapes, candidate_size (parity: reader unit tests,
+`api/reader.rs:3989-4542`)."""
+
+import pytest
+
+from searchlite_tpu.api.types import IndexOptions, StorageType
+from searchlite_tpu.errors import QueryError
+from searchlite_tpu.index import Index
+from searchlite_tpu.index.manifest import Schema
+
+
+def make_index(docs):
+    index = Index.create(
+        IndexOptions(path="", create_if_missing=True,
+                     storage=StorageType.IN_MEMORY),
+        Schema.from_json({
+            "text_fields": [{"name": "body", "analyzer": "default",
+                             "stored": True, "indexed": True}],
+            "keyword_fields": [{"name": "tag", "stored": True,
+                                "indexed": True, "fast": True}],
+        }))
+    writer = index.writer()
+    writer.add_documents(docs)
+    writer.commit()
+    return index
+
+
+class TestExpansionCaps:
+    def docs(self):
+        return [{"_id": str(i), "body": f"prefix{i:03d} other", "tag": "a"}
+                for i in range(20)]
+
+    def test_prefix_max_expansions_caps_matches(self):
+        index = make_index(self.docs())
+        res = index.reader().search({
+            "query": {"type": "prefix", "field": "body", "value": "prefix",
+                      "max_expansions": 5},
+            "limit": 50})
+        assert res.total_hits_estimate == 5
+
+    def test_prefix_default_expansions(self):
+        index = make_index(self.docs())
+        res = index.reader().search({
+            "query": {"type": "prefix", "field": "body", "value": "prefix"},
+            "limit": 50})
+        assert res.total_hits_estimate == 20  # under the default 50 cap
+
+    def test_wildcard_zero_expansions_matches_nothing(self):
+        index = make_index(self.docs())
+        res = index.reader().search({
+            "query": {"type": "wildcard", "field": "body",
+                      "value": "prefix*", "max_expansions": 0},
+            "limit": 10})
+        assert res.total_hits_estimate == 0
+
+    def test_wildcard_pattern_lowercased(self):
+        # uppercase pattern with an inner wildcard: the analyzer splits
+        # it, so the reference falls back to normalize_pattern
+        # (lowercase, structure preserved) — `api/reader.rs:1093-1107`
+        index = make_index(self.docs())
+        res = index.reader().search({
+            "query": {"type": "wildcard", "field": "body",
+                      "value": "PREFIX0?0"},
+            "limit": 50})
+        assert res.total_hits_estimate == 2  # prefix000, prefix010
+
+    def test_fuzzy_min_length_skips_short_terms(self):
+        index = make_index([{"_id": "1", "body": "cat dog", "tag": "a"}])
+        res = index.reader().search({
+            "query": "cot", "limit": 10,
+            "fuzzy": {"max_edits": 1, "prefix_length": 0, "min_length": 5}})
+        # "cot" is shorter than min_length → exact only → no match
+        assert res.total_hits_estimate == 0
+
+    def test_fuzzy_prefix_length_locks_prefix(self):
+        index = make_index([{"_id": "1", "body": "systems", "tag": "a"}])
+        res = index.reader().search({
+            "query": "zystems", "limit": 10,
+            "fuzzy": {"max_edits": 1, "prefix_length": 1}})
+        # first char differs but the prefix is locked → no expansion
+        assert res.total_hits_estimate == 0
+
+
+class TestRequestKnobs:
+    def test_candidate_size_bounds_results(self):
+        docs = [{"_id": str(i), "body": "match " * (1 + i % 5), "tag": "a"}
+                for i in range(100)]
+        index = make_index(docs)
+        res = index.reader().search({
+            "query": "match", "limit": 10, "candidate_size": 15})
+        assert len(res.hits) == 10
+        assert res.total_hits_estimate == 100
+
+    def test_profile_shape(self):
+        index = make_index([{"_id": "1", "body": "hello", "tag": "a"}])
+        res = index.reader().search({
+            "query": "hello", "limit": 5, "profile": True,
+            "rescore": {"window_size": 5,
+                        "query": {"type": "term", "field": "body",
+                                  "value": "hello"}}})
+        prof = res.profile
+        assert set(prof) == {"execution", "rescore", "timings"}
+        assert set(prof["execution"]) == {"scored_docs",
+                                          "candidates_examined",
+                                          "postings_advanced"}
+        assert "search_ms" in prof["timings"]
+        assert "rescore_ms" in prof["timings"]
+
+    def test_explain_function_breakdown(self):
+        index = make_index([{"_id": "1", "body": "hello", "tag": "a"}])
+        res = index.reader().search({
+            "query": {"type": "function_score",
+                      "query": {"type": "term", "field": "body",
+                                "value": "hello"},
+                      "functions": [{"type": "weight", "weight": 2.0}]},
+            "limit": 5, "explain": True})
+        expl = res.hits[0].explanation
+        assert expl["final_score"] == res.hits[0].score
+        assert any(f["type"] == "weight" and f["value"] == 2.0
+                   for f in expl["functions"])
+
+    def test_unknown_execution_strategy_rejected(self):
+        index = make_index([{"_id": "1", "body": "x", "tag": "a"}])
+        with pytest.raises(QueryError):
+            index.reader().search({"query": "x", "limit": 1,
+                                   "execution": "warp"})
