@@ -58,8 +58,12 @@ def build_m(jnp, docs_flat, impacts_flat, slot_start, slot_len,
     ends = jnp.cumsum(slot_len)
     total = ends[-1]
     positions = jnp.arange(p_pad, dtype=jnp.int32)
-    seg_id = jnp.searchsorted(ends, positions, side="right"
-                              ).astype(jnp.int32)
+    # seg_id[p] = #{s : ends[s] <= p} — computed as a scatter of 4k marks
+    # + cumsum instead of searchsorted (searchsorted over millions of
+    # positions runs ~7x slower than the whole scatter on TPU)
+    marks = jnp.zeros(p_pad, dtype=jnp.int32).at[ends].add(
+        1, mode="drop")
+    seg_id = jnp.cumsum(marks)
     valid = positions < total
     seg_safe = jnp.minimum(seg_id, s_count - 1)
     begin = ends - slot_len

@@ -225,8 +225,10 @@ def make_sharded_impact_scorer(mesh, n1: int):
         ends = jnp.cumsum(local_len)
         total = ends[-1]
         positions = jnp.arange(p_pad, dtype=jnp.int32)
-        seg_id = jnp.searchsorted(ends, positions, side="right"
-                                  ).astype(jnp.int32)
+        # marks+cumsum instead of searchsorted (see ops/impact.py)
+        marks = jnp.zeros(p_pad, dtype=jnp.int32).at[ends].add(
+            1, mode="drop")
+        seg_id = jnp.cumsum(marks)
         valid = positions < total
         seg_safe = jnp.minimum(seg_id, s_count - 1)
         begin = ends - local_len
