@@ -358,7 +358,6 @@ class CompiledQuery:
     def _build_executor(self):
         jnp = self._jnp
         jax = self._jax
-        k1, b = self.k1, self.b
 
         def run(docs_flat, impacts_flat, deleted,
                 slot_start, slot_len, w_leaf, leaf_ind, group_ind,
