@@ -226,6 +226,22 @@ def _collect_subaggs(seg, segment_ord, docs: np.ndarray,
     return out
 
 
+def _matched_value_selection(col, docs: np.ndarray):
+    """(values, owning_docs) of all column values belonging to matched
+    docs — one vectorized ragged gather."""
+    lo = col.offsets[docs]
+    hi = col.offsets[np.asarray(docs) + 1]
+    lens = (hi - lo).astype(np.int64)
+    total = int(lens.sum())
+    if total == 0:
+        return col.values[:0], np.zeros(0, dtype=np.int64)
+    pos = (np.arange(total)
+           - np.repeat(np.cumsum(lens) - lens, lens)
+           + np.repeat(lo, lens))
+    owners = np.repeat(np.asarray(docs), lens)
+    return col.values[pos], owners
+
+
 def _collect_terms(seg, segment_ord, matched, spec) -> Intermediate:
     docs, sampled = _sample_docs(matched, spec.get("sampling"), seg.meta.id)
     field = spec["field"]
@@ -234,6 +250,21 @@ def _collect_terms(seg, segment_ord, matched, spec) -> Intermediate:
     buckets: dict[Any, BucketIntermediate] = {}
     doc_lists: dict[Any, list[int]] = {}
     has_sub = bool(spec.get("aggs"))
+    if (col is not None and len(docs) and not has_sub
+            and missing is None and not col.is_list):
+        # vectorized fast path: single-valued column, no sub-aggs —
+        # one gather + bincount instead of a per-doc Python loop
+        vals, _owners = _matched_value_selection(col, docs)
+        if col.kind == "str":
+            counts = np.bincount(vals, minlength=len(col.dictionary))
+            for code in np.flatnonzero(counts):
+                buckets[col.dictionary[code]] = BucketIntermediate(
+                    doc_count=int(counts[code]))
+        else:
+            uniq, counts = np.unique(vals, return_counts=True)
+            for v, c in zip(uniq.tolist(), counts.tolist()):
+                buckets[v] = BucketIntermediate(doc_count=int(c))
+        return Intermediate("terms", {"buckets": buckets}, sampled)
     if col is not None and len(docs):
         offsets = col.offsets
         for doc in docs.tolist():
@@ -385,6 +416,18 @@ def _collect_histogram(seg, segment_ord, matched, spec) -> Intermediate:
     buckets: dict[float, BucketIntermediate] = {}
     doc_lists: dict[float, list[int]] = {}
     has_sub = bool(spec.get("aggs"))
+    col = seg.fast.column(field)
+    if (col is not None and col.kind != "str" and len(docs)
+            and not has_sub and missing is None and not col.is_list
+            and hard is None):
+        # vectorized fast path (single-valued, no sub-aggs/missing/bounds)
+        vals, _owners = _matched_value_selection(col, docs)
+        keys = (np.floor((vals.astype(np.float64) - offset) / interval)
+                * interval + offset)
+        uniq, counts = np.unique(keys, return_counts=True)
+        for k_val, c in zip(uniq.tolist(), counts.tolist()):
+            buckets[k_val] = BucketIntermediate(doc_count=int(c))
+        return Intermediate("histogram", {"buckets": buckets}, sampled)
     for doc in docs.tolist():
         vals = _numeric_doc_values(seg.fast, field, doc)
         if not vals and missing is not None:
@@ -530,24 +573,34 @@ def _key_sort(v):
 def _collect_stats(seg, segment_ord, matched, spec) -> Intermediate:
     field = spec["field"]
     missing = spec.get("missing")
+    col = seg.fast.column(field)
+    if col is not None and col.kind != "str" and len(matched):
+        vals, owners = _matched_value_selection(col, matched)
+        vals = vals.astype(np.float64)
+        if missing is not None:
+            n_missing = len(matched) - len(np.unique(owners))
+            if n_missing:
+                vals = np.concatenate(
+                    [vals, np.full(n_missing, float(missing))])
+        if len(vals):
+            return Intermediate("stats", {
+                "count": int(len(vals)),
+                "sum": float(vals.sum()),
+                "sum_sq": float((vals * vals).sum()),
+                "min": float(vals.min()),
+                "max": float(vals.max()),
+            })
     count = 0
-    total = 0.0
-    total_sq = 0.0
-    vmin = math.inf
-    vmax = -math.inf
-    for doc in matched.tolist():
-        vals = _numeric_doc_values(seg.fast, field, doc)
-        if not vals and missing is not None:
-            vals = [float(missing)]
-        for v in vals:
-            count += 1
-            total += v
-            total_sq += v * v
-            vmin = min(vmin, v)
-            vmax = max(vmax, v)
+    if missing is not None and len(matched):
+        count = len(matched)
+        v = float(missing)
+        return Intermediate("stats", {
+            "count": count, "sum": v * count, "sum_sq": v * v * count,
+            "min": v, "max": v,
+        })
     return Intermediate("stats", {
-        "count": count, "sum": total, "sum_sq": total_sq,
-        "min": vmin, "max": vmax,
+        "count": 0, "sum": 0.0, "sum_sq": 0.0,
+        "min": math.inf, "max": -math.inf,
     })
 
 
@@ -556,12 +609,12 @@ def _collect_value_count(seg, segment_ord, matched, spec) -> Intermediate:
     missing = spec.get("missing")
     count = 0
     col = seg.fast.column(field)
-    if col is not None:
-        for doc in matched.tolist():
-            n = int(col.offsets[doc + 1] - col.offsets[doc])
-            if n == 0 and missing is not None:
-                n = 1
-            count += n
+    if col is not None and len(matched):
+        lens = (col.offsets[np.asarray(matched) + 1]
+                - col.offsets[matched]).astype(np.int64)
+        count = int(lens.sum())
+        if missing is not None:
+            count += int((lens == 0).sum())
     elif missing is not None:
         count = len(matched)
     return Intermediate("value_count", {"value": count})
@@ -583,12 +636,16 @@ def _collect_cardinality(seg, segment_ord, matched, spec) -> Intermediate:
 def _collect_percentiles(seg, segment_ord, matched, spec) -> Intermediate:
     field = spec["field"]
     missing = spec.get("missing")
+    col = seg.fast.column(field)
     out: list[float] = []
-    for doc in matched.tolist():
-        vals = _numeric_doc_values(seg.fast, field, doc)
-        if not vals and missing is not None:
-            vals = [float(missing)]
-        out.extend(vals)
+    if col is not None and col.kind != "str" and len(matched):
+        vals, owners = _matched_value_selection(col, matched)
+        out = [float(v) for v in vals]
+        if missing is not None:
+            n_missing = len(matched) - len(np.unique(owners))
+            out.extend([float(missing)] * n_missing)
+    elif missing is not None:
+        out = [float(missing)] * len(matched)
     return Intermediate("percentiles", {"values": out, "spec": spec})
 
 
