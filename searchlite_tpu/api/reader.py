@@ -782,31 +782,57 @@ class IndexReader:
                         all_hits.append(RankedHit(key=key,
                                                   score=float(score)))
             else:
-                # general path: build keys for all matched docs host-side
+                # general path: vectorized rank arrays over the matched
+                # set; SortKey objects built only for the top slice.
+                # (i64 sort values beyond 2^53 lose rank precision in
+                # the float64 encoding — exactness restored by the final
+                # SortKey ordering of the selected slice.)
                 matched = np.flatnonzero(mask_np)
                 if adjusted_np is not None and len(matched):
-                    matched_scores = adjusted_np[matched]
+                    matched_scores = adjusted_np[matched].astype(
+                        np.float64)
                 else:
                     matched_scores = np.zeros(len(matched),
-                                              dtype=np.float32)
-                keys = sort_plan.build_keys_bulk(
-                    seg.fast, matched, matched_scores, dseg.ord)
-                seg_hits: list[RankedHit] = []
-                for key, score in zip(keys, matched_scores.tolist()):
-                    if cursor_key is not None and vector_plan is None:
-                        cmp = key._cmp(cursor_key)
-                        if cmp == 0:
-                            saw_cursor = True
-                        if cmp <= 0:
-                            mask_np[key.doc_id] = False
-                            continue
-                    total_matches += 1
-                    if req.return_hits:
-                        seg_hits.append(RankedHit(key=key,
-                                                  score=float(score)))
+                                              dtype=np.float64)
                 stats["scored_docs"] += len(matched)
                 stats["candidates_examined"] += len(matched)
-                all_hits.extend(seg_hits)
+                ranks = sort_plan.rank_arrays(seg.fast, matched,
+                                              matched_scores)
+                if cursor_key is not None and vector_plan is None \
+                        and len(matched):
+                    cr = sort_plan.cursor_ranks(cursor_key, seg.fast)
+                    gt = np.zeros(len(matched), dtype=bool)
+                    eq = np.ones(len(matched), dtype=bool)
+                    for rk, c in zip(ranks, cr):
+                        gt |= eq & (rk > c)
+                        eq &= rk == c
+                    if dseg.ord > cursor_key.segment_ord:
+                        tie_after = eq
+                    elif dseg.ord == cursor_key.segment_ord:
+                        tie_after = eq & (matched > cursor_key.doc_id)
+                        if bool((eq & (matched ==
+                                       cursor_key.doc_id)).any()):
+                            saw_cursor = True
+                    else:
+                        tie_after = np.zeros(len(matched), dtype=bool)
+                    keep = gt | tie_after
+                    mask_np[matched[~keep]] = False
+                    matched = matched[keep]
+                    matched_scores = matched_scores[keep]
+                    ranks = [r[keep] for r in ranks]
+                total_matches += len(matched)
+                if req.return_hits and len(matched):
+                    order = np.lexsort(
+                        tuple([matched.astype(np.float64)]
+                              + list(reversed(ranks))))
+                    top = order[:max(top_k, 1)]
+                    top_docs = matched[top]
+                    top_scores2 = matched_scores[top]
+                    keys = sort_plan.build_keys_bulk(
+                        seg.fast, top_docs, top_scores2, dseg.ord)
+                    all_hits.extend(
+                        RankedHit(key=key, score=float(s))
+                        for key, s in zip(keys, top_scores2.tolist()))
 
             if agg_pipeline is not None:
                 agg_results.append(agg_pipeline.collect_segment(

@@ -210,6 +210,84 @@ class SortPlan:
             for i in range(n)
         ]
 
+    def rank_arrays(self, fast_fields, docs, scores):
+        """Vectorized comparable ranks for the matched-doc array: one
+        float64 array per sort field where smaller sorts earlier
+        (order folded in via negation; missing always ranks +inf =
+        last). Used with np.lexsort for top-k selection without
+        materializing SortKey objects."""
+        import numpy as _np
+
+        n = len(docs)
+        out: list[_np.ndarray] = []
+        for f in self.fields:
+            if f.kind == "score":
+                vals = _np.asarray(scores, dtype=_np.float64)
+                rank = -vals if f.order == "desc" else vals.copy()
+                out.append(rank)
+                continue
+            rank = _np.full(n, _np.inf, dtype=_np.float64)
+            col = fast_fields.column(f.field)
+            if col is not None and len(col.values) and n:
+                lo = col.offsets[docs]
+                hi = col.offsets[_np.asarray(docs) + 1]
+                lens = (hi - lo).astype(_np.int64)
+                has = lens > 0
+                if has.any():
+                    lens_h = lens[has]
+                    starts = lo[has]
+                    cum = _np.cumsum(lens_h)
+                    pos = (_np.arange(int(cum[-1]))
+                           - _np.repeat(cum - lens_h, lens_h)
+                           + _np.repeat(starts, lens_h))
+                    bounds = _np.concatenate([[0], cum[:-1]])
+                    if col.kind == "str":
+                        dict_rank, _sorted_vals = col.dict_ranks()
+                        vals = dict_rank[col.values[pos]].astype(
+                            _np.float64)
+                    else:
+                        vals = col.values[pos].astype(_np.float64)
+                    if f.order == "asc":
+                        red = _np.minimum.reduceat(vals, bounds)
+                    else:
+                        red = -_np.maximum.reduceat(vals, bounds)
+                    rank[has] = red
+            out.append(rank)
+        return out
+
+    def cursor_ranks(self, cursor_key: "SortKey", fast_fields):
+        """The cursor key's rank tuple under the same encoding."""
+        import numpy as _np
+
+        ranks = []
+        for f, part in zip(self.fields, cursor_key.parts):
+            if part is None:
+                ranks.append(_np.inf)
+            elif f.kind == "score":
+                ranks.append(-float(part) if f.order == "desc"
+                             else float(part))
+            elif f.kind == "str":
+                col = fast_fields.column(f.field)
+                if col is None:
+                    ranks.append(_np.inf)
+                else:
+                    _rank, sorted_vals = col.dict_ranks()
+                    import bisect
+
+                    # rank of the string within this segment's dictionary
+                    # order; absent values get a half-rank so comparisons
+                    # remain consistent
+                    i = bisect.bisect_left(sorted_vals, part)
+                    if i < len(sorted_vals) and sorted_vals[i] == part:
+                        r = float(i)
+                    else:
+                        r = i - 0.5
+                    ranks.append(-r if f.order == "desc" else r)
+            else:
+                v = float(part)
+                ranks.append(-v if f.order == "desc" else v)
+        return ranks
+
     def build_key(self, fast_fields, doc: int, score: float,
                   segment_ord: int) -> SortKey:
         parts: list[Any] = []
