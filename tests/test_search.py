@@ -382,6 +382,37 @@ class TestSortingAndCursors:
                 break
         assert seen == [str(i) for i in reversed(range(25))]
 
+    def test_multi_field_sort_cursor_pagination(self):
+        """Mixed-type multi-field sort (keyword asc, numeric desc) with
+        cursor pagination must drain every doc exactly once in order."""
+        docs = []
+        for i in range(60):
+            docs.append({"_id": str(i), "title": "t", "body": "match",
+                         "tag": f"g{i % 4}", "year": i % 7,
+                         "rating": 1.0})
+        # some docs missing the sort fields → must sort last
+        docs.append({"_id": "nx", "title": "t", "body": "match"})
+        index = make_index(docs=docs)
+        reader = index.reader()
+        sort = [{"field": "tag", "order": "asc"},
+                {"field": "year", "order": "desc"}]
+        full = reader.search({"query": "match", "limit": 100,
+                              "sort": sort})
+        expected = [h.doc_id for h in full.hits]
+        assert expected[-1] == "nx"
+        seen = []
+        cursor = None
+        while True:
+            req = {"query": "match", "limit": 7, "sort": sort}
+            if cursor:
+                req["cursor"] = cursor
+            res = reader.search(req)
+            seen.extend(h.doc_id for h in res.hits)
+            cursor = res.next_cursor
+            if cursor is None:
+                break
+        assert seen == expected
+
     def test_cursor_stability_across_segments(self):
         docs = [{"_id": str(i), "title": "t", "body": "match word",
                  "tag": "a", "year": i, "rating": 1.0} for i in range(12)]
