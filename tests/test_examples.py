@@ -157,3 +157,64 @@ class TestVideoGamesQueries:
         assert parsed >= 10
         res = reader.search({"query": "speedrun", "limit": 5})
         assert res.total_hits_estimate == 1
+
+    def test_canned_queries_against_crafted_docs(self):
+        schema = json.load(open(f"{REF}/examples/video-games/schema.json"))
+        schema["keyword_fields"] = [
+            f for f in schema["keyword_fields"] if f["name"] != "doc_id"]
+        index = mem_index(schema)
+        writer = index.writer()
+        writer.add_documents([
+            {
+                "doc_id": "route-1", "doc_type": "speedrun_route",
+                "era": "retro", "category": "Any%",
+                "title": "Sub-100 route", "language": "en",
+                "text": "speedrun routing momentum preservation through "
+                        "the castle skip",
+                "target_time_minutes": 95,
+                "splits": [
+                    {"split": "castle escape", "target_time_min": 20},
+                    {"split": "boss rush momentum", "target_time_min": 45},
+                ],
+                "techniques": ["wall clip", "momentum preservation"],
+            },
+            {
+                "doc_id": "cheat-1", "doc_type": "cheat_codes",
+                "era": "retro", "title": "Classic cheats", "language": "en",
+                "platforms": ["NES"],
+                "text": "cheat code listing",
+                "codes": [
+                    {"input": "up up down down",
+                     "effect": "Infinite Lives granted in debug mode"},
+                ],
+            },
+            {
+                "doc_id": "review-1", "doc_type": "review", "era": "modern",
+                "title": "Modern review", "language": "en",
+                "text": "a modern masterpiece on ps5",
+                "platforms": ["ps5"], "release_year": 2023,
+                "review_score_out_of_10": 9.2,
+                "game": {"game_id": "g-1", "name": "Example Quest"},
+            },
+        ])
+        writer.commit()
+        reader = index.reader()
+        qdir = f"{REF}/examples/video-games/queries"
+
+        route = json.load(open(f"{qdir}/speedrun-route-sub100.json"))
+        res = reader.search(route)
+        assert [h.doc_id for h in res.hits] == ["route-1"]
+        assert res.hits[0].snippet is not None
+
+        cheat = json.load(open(f"{qdir}/retro-cheat-infinite-lives.json"))
+        res2 = reader.search(cheat)
+        assert [h.doc_id for h in res2.hits] == ["cheat-1"]
+
+        aggs = json.load(open(f"{qdir}/aggregations-era-platforms.json"))
+        res3 = reader.search(aggs)
+        assert res3.aggregations
+
+        # every canned query must execute without error on this corpus
+        for name in sorted(os.listdir(qdir)):
+            request = json.load(open(f"{qdir}/{name}"))
+            reader.search(request)
