@@ -177,6 +177,40 @@ class TestCustomAnalyzers:
         res2 = index.reader().search({"query": "flavor", "limit": 5})
         assert [h.doc_id for h in res2.hits] == ["1"]
 
+    def test_phrase_matches_through_synonym_variants(self):
+        """Phrase postings merge synonym variants at the same position
+        (parity: merge_postings_lists, `api/reader.rs:1748-1771`)."""
+        schema = {
+            "analyzers": [{
+                "name": "syn", "tokenizer": "default",
+                "filters": [{"type": "synonyms", "synonyms": [
+                    {"from": ["nyc"], "to": ["new", "york"]}]}],
+            }],
+            "text_fields": [{"name": "body", "analyzer": "syn",
+                             "stored": True, "indexed": True}],
+        }
+        docs = [{"_id": "1", "body": "nyc subway map"},
+                {"_id": "2", "body": "newark subway map"}]
+        index = make_index(schema, docs)
+        res = index.reader().search({
+            "query": {"type": "phrase", "field": "body",
+                      "terms": ["new", "subway"]},
+            "limit": 5})
+        assert [h.doc_id for h in res.hits] == ["1"]
+
+    def test_suggest_with_fuzzy_prefix(self):
+        docs = [{"_id": "1", "body": "chocolate chip cookies"},
+                {"_id": "2", "body": "chocolate cake"}]
+        index = make_index(BASIC_SCHEMA, docs)
+        res = index.reader().search({
+            "query": {"type": "match_all"}, "limit": 1,
+            "suggest": {"s": {"type": "completion", "field": "body",
+                              "prefix": "chok",
+                              "fuzzy": {"max_edits": 1,
+                                        "prefix_length": 3}}}})
+        texts = [o["text"] for o in res.suggest["s"]["options"]]
+        assert "chocolate" in texts
+
     def test_synonym_search(self):
         schema = {
             "analyzers": [{
