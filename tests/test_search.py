@@ -753,6 +753,36 @@ class TestHighlightCollapseRescore:
             assert h.inner_hits is not None
             assert len(h.inner_hits) == 2
 
+    def test_highlight_multiple_fragments(self):
+        docs = [{"_id": "1", "title": "t", "tag": "a", "year": 1,
+                 "rating": 1.0,
+                 "body": ("alpha start " + "filler word " * 30
+                          + "alpha middle " + "filler word " * 30
+                          + "alpha end")}]
+        index = make_index(docs=docs)
+        res = index.reader().search({
+            "query": "alpha", "limit": 1,
+            "highlight": {"fields": {"body": {
+                "fragment_size": 40, "number_of_fragments": 3,
+                "pre_tag": "[", "post_tag": "]"}}}})
+        frags = res.hits[0].highlights["body"]
+        assert len(frags) == 3
+        assert all("[alpha]" in f for f in frags)
+
+    def test_collapse_missing_value_groups_together(self):
+        docs = [
+            {"_id": "1", "title": "t", "body": "match", "tag": "g1",
+             "year": 1, "rating": 1.0},
+            {"_id": "2", "title": "t", "body": "match",
+             "year": 2, "rating": 1.0},
+            {"_id": "3", "title": "t", "body": "match",
+             "year": 3, "rating": 1.0},
+        ]
+        index = make_index(docs=docs)
+        res = index.reader().search({
+            "query": "match", "limit": 10, "collapse": {"field": "tag"}})
+        assert res.total_groups == 2  # g1 + the missing-value group
+
     def test_rescore_total(self):
         index = make_index(docs=DOCS)
         base = index.reader().search({"query": "systems", "limit": 10})
