@@ -1465,10 +1465,11 @@ class IndexReader:
     def _batched_scorer(self):
         from searchlite_tpu.ops.impact import make_impact_scorer
 
-        scorer = self._batched_scorers.get(0)
+        precision = os.environ.get("SEARCHLITE_PRECISION", "f32")
+        scorer = self._batched_scorers.get(precision)
         if scorer is None:
-            scorer = make_impact_scorer()
-            self._batched_scorers[0] = scorer
+            scorer = make_impact_scorer(precision)
+            self._batched_scorers[precision] = scorer
         return scorer
 
     def _compile(self, plan: QueryPlan, k1: float, b: float) -> CompiledQuery:

@@ -65,6 +65,22 @@ def test_sharded_batch_matches_unsharded(index, monkeypatch):
             [(d, round(s, 4)) for d, s in exp]
 
 
+def test_bf16_fast_mode_close_to_exact(index, monkeypatch):
+    reader = index.reader()
+    queries = ["w1 w2", "w5 w9 w12"]
+    exact = reader.search_batch(queries, limit=10)
+    monkeypatch.setenv("SEARCHLITE_PRECISION", "bf16")
+    reader2 = index.reader()
+    fast = reader2.search_batch(queries, limit=10)
+    for e, f in zip(exact, fast):
+        exact_ids = {d for d, _ in e}
+        fast_ids = {d for d, _ in f}
+        # near-ties may swap order; the sets must agree almost entirely
+        assert len(exact_ids & fast_ids) >= len(exact_ids) - 1
+        for (de, se), (df_, sf) in zip(e, f):
+            assert sf == pytest.approx(se, rel=2e-2, abs=1e-2)
+
+
 def test_batch_field_qualified(index):
     reader = index.reader()
     batch = reader.search_batch(["title:w5"], limit=5)
