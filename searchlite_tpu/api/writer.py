@@ -16,9 +16,11 @@ Parity with searchlite-core `api/writer.rs`:
 
 from __future__ import annotations
 
-from typing import Optional
+import logging
 
 from searchlite_tpu.errors import SearchliteError
+
+logger = logging.getLogger("searchlite_tpu.writer")
 from searchlite_tpu.index import Index
 from searchlite_tpu.index.manifest import Manifest
 from searchlite_tpu.index.segment import SegmentWriter
@@ -143,5 +145,9 @@ class IndexWriter:
                 raise SearchliteError(f"commit failed: {e}") from e
 
             self.index.set_manifest(manifest)
+            logger.debug(
+                "commit: %d new docs, %d tombstoned, generation %d",
+                len(pending_new), sum(len(s) for s in new_deleted.values()),
+                manifest.generation)
             self._ops.clear()
             self._generation = manifest.generation

@@ -17,8 +17,10 @@ The reference's hottest loop is a doc-at-a-time heap walk over postings
 
 Exactness: nothing is pruned — every posting of every query term is
 scored, so results are exact (the reference's ``bm25`` oracle strategy).
-WAND/BMW strategies share this exact path; block-max data is kept for a
-pruning fast path (see ops/wand.py) that must return identical top-k.
+WAND/BMW strategies share this exact path; block-max impact data feeds
+the pruning telemetry (`api/reader.py::_pruned_postings`), and a real
+pruned traversal is a future optimization that must return identical
+top-k.
 
 One ``CompiledQuery`` is built per query plan; its jitted executor is
 shape-polymorphic, so segments of different sizes reuse the same trace
