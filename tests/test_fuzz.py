@@ -1,0 +1,227 @@
+"""Seeded robustness fuzz: random corpora + random requests across the
+feature surface must either succeed or raise typed Searchlite errors —
+never crash with arbitrary exceptions."""
+
+import random
+
+import pytest
+
+from searchlite_tpu.api.types import IndexOptions, StorageType
+from searchlite_tpu.errors import SearchliteError
+from searchlite_tpu.index import Index
+from searchlite_tpu.index.manifest import Schema
+
+VOCAB = [f"w{i}" for i in range(40)] + ["café", "naïve"]
+TAGS = ["a", "b", "c", None]
+
+
+@pytest.fixture(scope="module")
+def index():
+    rng = random.Random(99)
+    schema = Schema.from_json({
+        "text_fields": [{"name": "body", "analyzer": "default",
+                         "stored": True, "indexed": True}],
+        "keyword_fields": [{"name": "tag", "stored": True, "indexed": True,
+                            "fast": True, "nullable": True}],
+        "numeric_fields": [{"name": "n", "i64": True, "fast": True,
+                            "stored": True, "nullable": True}],
+        "vector_fields": [{"name": "v", "dim": 3, "metric": "Cosine"}],
+    })
+    idx = Index.create(
+        IndexOptions(path="", create_if_missing=True,
+                     storage=StorageType.IN_MEMORY), schema)
+    writer = idx.writer()
+    for i in range(150):
+        doc = {"_id": str(i),
+               "body": " ".join(rng.choices(VOCAB, k=rng.randint(1, 15)))}
+        tag = rng.choice(TAGS)
+        if tag:
+            doc["tag"] = tag
+        if rng.random() < 0.8:
+            doc["n"] = rng.randint(-5, 100)
+        if rng.random() < 0.5:
+            doc["v"] = [rng.random() for _ in range(3)]
+        writer.add_document(doc)
+        if i == 70:
+            writer.commit()
+    writer.commit()
+    return idx
+
+
+def random_query(rng, depth=0):
+    kinds = ["string", "term", "prefix", "wildcard", "phrase", "match_all",
+             "fuzzy_string", "vector"]
+    if depth < 2:
+        kinds += ["bool", "dis_max", "function_score", "script_score",
+                  "constant_score"]
+    kind = rng.choice(kinds)
+    if kind == "string":
+        parts = rng.choices(VOCAB + ["-w1", 'tag:a', '"w1 w2"'],
+                            k=rng.randint(1, 3))
+        return " ".join(parts)
+    if kind == "fuzzy_string":
+        return rng.choice(VOCAB)[:-1] + "x"
+    if kind == "term":
+        return {"type": "term", "field": rng.choice(["body", "tag"]),
+                "value": rng.choice(VOCAB + ["a", "b"])}
+    if kind == "prefix":
+        return {"type": "prefix", "field": "body",
+                "value": rng.choice(VOCAB)[:2]}
+    if kind == "wildcard":
+        return {"type": "wildcard", "field": "body", "value": "w*"}
+    if kind == "phrase":
+        return {"type": "phrase", "field": "body",
+                "terms": rng.choices(VOCAB, k=2),
+                "slop": rng.choice([0, 1, 3])}
+    if kind == "match_all":
+        return {"type": "match_all"}
+    if kind == "vector":
+        return {"type": "vector", "field": "v",
+                "vector": [rng.random() for _ in range(3)],
+                "alpha": rng.choice([0.0, 0.5, 1.0])}
+    if kind == "bool":
+        return {"type": "bool",
+                "must": [random_query(rng, depth + 1)
+                         for _ in range(rng.randint(0, 2))],
+                "should": [random_query(rng, depth + 1)
+                           for _ in range(rng.randint(0, 2))],
+                "must_not": [random_query(rng, depth + 1)
+                             for _ in range(rng.randint(0, 1))],
+                "filter": [random_filter(rng)]
+                if rng.random() < 0.5 else []}
+    if kind == "dis_max":
+        return {"type": "dis_max",
+                "queries": [random_query(rng, depth + 1)
+                            for _ in range(rng.randint(1, 3))],
+                "tie_breaker": rng.choice([0.0, 0.3, 1.0])}
+    if kind == "function_score":
+        return {"type": "function_score",
+                "query": random_query(rng, depth + 1),
+                "functions": [
+                    rng.choice([
+                        {"type": "weight", "weight": 2.0},
+                        {"type": "field_value_factor", "field": "n",
+                         "factor": 0.5, "modifier": "log1p"},
+                        {"type": "decay", "field": "n", "origin": 50,
+                         "scale": 10},
+                    ])],
+                "score_mode": rng.choice(["sum", "multiply", "max"]),
+                "boost_mode": rng.choice(["multiply", "sum", "replace"])}
+    if kind == "script_score":
+        return {"type": "script_score",
+                "query": random_query(rng, depth + 1),
+                "script": rng.choice(["_score * 2", "n + 1",
+                                      "_score / (n + 0.5)"])}
+    if kind == "constant_score":
+        return {"type": "constant_score", "filter": random_filter(rng),
+                "boost": 1.5}
+    raise AssertionError(kind)
+
+
+def random_filter(rng, depth=0):
+    kinds = ["KeywordEq", "KeywordIn", "I64Range"]
+    if depth < 1:
+        kinds += ["And", "Or", "Not"]
+    kind = rng.choice(kinds)
+    if kind == "KeywordEq":
+        return {"KeywordEq": {"field": "tag",
+                              "value": rng.choice(["a", "b", "z"])}}
+    if kind == "KeywordIn":
+        return {"KeywordIn": {"field": "tag", "values": ["a", "c"]}}
+    if kind == "I64Range":
+        lo = rng.randint(-10, 50)
+        return {"I64Range": {"field": "n", "min": lo,
+                             "max": lo + rng.randint(0, 60)}}
+    if kind == "And":
+        return {"And": [random_filter(rng, depth + 1)
+                        for _ in range(rng.randint(1, 2))]}
+    if kind == "Or":
+        return {"Or": [random_filter(rng, depth + 1)
+                       for _ in range(rng.randint(1, 2))]}
+    return {"Not": random_filter(rng, depth + 1)}
+
+
+def random_aggs(rng):
+    out = {}
+    for _ in range(rng.randint(0, 2)):
+        name = f"a{rng.randint(0, 9)}"
+        out[name] = rng.choice([
+            {"type": "terms", "field": "tag"},
+            {"type": "stats", "field": "n"},
+            {"type": "histogram", "field": "n", "interval": 10},
+            {"type": "value_count", "field": "n"},
+            {"type": "cardinality", "field": "tag"},
+            {"type": "filter",
+             "filter": {"KeywordEq": {"field": "tag", "value": "a"}},
+             "aggs": {"s": {"type": "stats", "field": "n"}}},
+        ])
+    return out
+
+
+def test_fuzz_requests_never_crash(index):
+    rng = random.Random(2024)
+    reader = index.reader()
+    executed = 0
+    for i in range(60):
+        req = {"query": random_query(rng), "limit": rng.randint(1, 20)}
+        if rng.random() < 0.4:
+            req["filter"] = random_filter(rng)
+        if rng.random() < 0.3:
+            req["aggs"] = random_aggs(rng)
+        if rng.random() < 0.3:
+            req["sort"] = [{"field": rng.choice(["_score", "n", "tag"]),
+                            "order": rng.choice(["asc", "desc"])}]
+        if rng.random() < 0.3:
+            req["fuzzy"] = {"max_edits": rng.choice([1, 2])}
+        if rng.random() < 0.2:
+            req["return_stored"] = True
+            req["highlight_field"] = "body"
+        if rng.random() < 0.2:
+            req["collapse"] = {"field": "tag"}
+        if rng.random() < 0.2:
+            req["execution"] = rng.choice(["bm25", "wand", "bmw"])
+        if rng.random() < 0.15:
+            req["rescore"] = {"window_size": 5,
+                              "query": {"type": "term", "field": "body",
+                                        "value": "w1"}}
+        if rng.random() < 0.15:
+            req["explain"] = True
+        if rng.random() < 0.15:
+            req["profile"] = True
+        try:
+            res = reader.search(req)
+            assert res.total_hits_estimate >= len(res.hits) or \
+                res.total_hits_estimate >= 0
+            executed += 1
+        except SearchliteError:
+            pass  # typed errors are acceptable outcomes
+    assert executed >= 40  # the vast majority should succeed
+
+
+def test_fuzz_pagination_consistency(index):
+    """For random sortable requests, paginating must visit exactly the
+    docs of the one-shot result, in order."""
+    rng = random.Random(7)
+    reader = index.reader()
+    for _ in range(6):
+        base = {"query": rng.choice(["w1 w2 w3", "w4", "w5 w6"]),
+                "sort": rng.choice([[], [{"field": "n"}],
+                                    [{"field": "tag", "order": "desc"},
+                                     {"field": "n"}]])}
+        try:
+            full = reader.search(dict(base, limit=200))
+        except SearchliteError:
+            continue
+        expected = [h.doc_id for h in full.hits]
+        seen = []
+        cursor = None
+        for _page in range(100):
+            req = dict(base, limit=rng.randint(2, 9))
+            if cursor:
+                req["cursor"] = cursor
+            res = reader.search(req)
+            seen.extend(h.doc_id for h in res.hits)
+            cursor = res.next_cursor
+            if cursor is None:
+                break
+        assert seen == expected
