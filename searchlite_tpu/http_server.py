@@ -123,6 +123,14 @@ class Handler(BaseHTTPRequestHandler):
     def _read_body(self) -> bytes:
         length = int(self.headers.get("content-length") or 0)
         if length > self.state.max_body_bytes:
+            # drain the request in chunks (never buffering it) so the
+            # client can still read the 413 response
+            remaining = length
+            while remaining > 0:
+                chunk = self.rfile.read(min(remaining, 1 << 20))
+                if not chunk:
+                    break
+                remaining -= len(chunk)
             raise HttpError(413, "body_too_large",
                             "request body exceeds the configured limit")
         return self.rfile.read(length)

@@ -361,6 +361,20 @@ def _collect_range(seg, segment_ord, matched, spec) -> Intermediate:
                                          for _ in ranges]
     doc_lists: list[list[int]] = [[] for _ in ranges]
     has_sub = bool(spec.get("aggs"))
+    col = seg.fast.column(field)
+    if (col is not None and col.kind != "str" and len(docs)
+            and not has_sub and missing is None):
+        vals, owners = _matched_value_selection(col, docs)
+        vals = vals.astype(np.float64)
+        for i, r in enumerate(ranges):
+            in_range = np.ones(len(vals), dtype=bool)
+            if r.get("from") is not None:
+                in_range &= vals >= float(r["from"])
+            if r.get("to") is not None:
+                in_range &= vals < float(r["to"])
+            buckets[i].doc_count = int(
+                len(np.unique(owners[in_range])))
+        return Intermediate("range", {"buckets": buckets}, sampled)
     for doc in docs.tolist():
         vals = _numeric_doc_values(seg.fast, field, doc)
         if not vals and missing is not None:

@@ -194,6 +194,31 @@ class TestHttp:
                                  {"query": "rust", "limit": 5})
         assert body["total_hits_estimate"] == 1
 
+    def test_body_limit_413(self, server, monkeypatch):
+        self.call(server, "POST", "/init", {"schema": SCHEMA})
+        big = b'{"_id": "x", "body": "' + b"a" * (51 * 1024 * 1024) + b'"}'
+        status, body = self.call(server, "POST", "/add", raw=big,
+                                 content_type="application/x-ndjson")
+        assert status == 413
+        assert body["error"]["type"] == "body_too_large"
+
+    def test_concurrent_searches(self, server):
+        import concurrent.futures
+
+        self.call(server, "POST", "/init", {"schema": SCHEMA})
+        ndjson = "\n".join(json.dumps(d) for d in DOCS).encode()
+        self.call(server, "POST", "/add", raw=ndjson,
+                  content_type="application/x-ndjson")
+        self.call(server, "POST", "/commit")
+
+        def one(_):
+            return self.call(server, "POST", "/search",
+                             {"query": "rust", "limit": 3})[0]
+
+        with concurrent.futures.ThreadPoolExecutor(8) as pool:
+            statuses = list(pool.map(one, range(16)))
+        assert statuses == [200] * 16
+
     def test_error_shapes(self, server):
         self.call(server, "POST", "/init", {"schema": SCHEMA})
         status, body = self.call(server, "POST", "/bulk", {"docs": []})
