@@ -21,7 +21,10 @@
 #include <cstring>
 #include <string>
 #include <unordered_map>
+#include <unordered_set>
 #include <vector>
+
+#include "slt_porter2.h"
 
 namespace {
 
@@ -59,6 +62,8 @@ struct Builder {
   std::unordered_map<std::string, uint32_t> term_ids;
   std::vector<TermPostings> terms;
   std::vector<std::string> term_keys;
+  // optional analyzer filter chain (English profile)
+  std::unordered_set<std::string> stopwords;
 
   // finish() products
   std::vector<uint32_t> sorted_order;
@@ -106,42 +111,68 @@ void slt_add_token(void* handle, const char* key, int key_len, uint32_t doc,
   b->term(k).add(doc, pos, b->enable_positions && with_positions != 0);
 }
 
-// Tokenize one ASCII text value with the `default` tokenizer and add all
-// tokens under "{field_prefix}{token}". field_prefix includes the ':'.
-// position_offset is added to every token position (cross-value offsets).
+// Register a stopword for the builder's English filter profile.
+void slt_add_stopword(void* handle, const char* word, int len) {
+  auto* b = static_cast<Builder*>(handle);
+  b->stopwords.emplace(word, static_cast<size_t>(len));
+}
+
+// Expose the stemmer for cross-language equivalence tests.
+// Returns the stemmed length; writes at most out_cap bytes.
+int slt_stem(const char* word, int len, char* out, int out_cap) {
+  std::string stemmed =
+      slt_porter2::stem(std::string(word, static_cast<size_t>(len)));
+  int n = static_cast<int>(stemmed.size());
+  if (n > out_cap) n = out_cap;
+  std::memcpy(out, stemmed.data(), static_cast<size_t>(n));
+  return n;
+}
+
+// Tokenize one ASCII text value with the `default` tokenizer, optionally
+// apply the English filter chain (stopword removal then Snowball
+// stemming — positions resequence over surviving tokens, matching the
+// Python analyzer), and add all tokens under "{field_prefix}{token}".
+// field_prefix includes the ':'. position_offset is added to every token
+// position (cross-value offsets).
 //
 // Returns -1 (no side effects) if the text contains non-ASCII bytes;
-// otherwise the token count. out_max_pos receives the max token position
-// (un-offset), or 0xFFFFFFFF when no tokens were produced.
+// otherwise the surviving token count. out_max_pos receives the max
+// token position (un-offset), or 0xFFFFFFFF when no tokens survive.
 long long slt_add_text(void* handle, const char* field_prefix, int prefix_len,
                        uint32_t doc, const char* text, long long text_len,
-                       uint32_t position_offset, uint32_t* out_max_pos) {
+                       uint32_t position_offset, int use_stopwords,
+                       int use_stem, uint32_t* out_max_pos) {
   for (long long i = 0; i < text_len; ++i) {
     if (static_cast<unsigned char>(text[i]) >= 0x80) return -1;
   }
   auto* b = static_cast<Builder*>(handle);
-  std::string key(field_prefix, static_cast<size_t>(prefix_len));
-  const size_t base_len = key.size();
+  const std::string prefix(field_prefix, static_cast<size_t>(prefix_len));
+  std::string token;
+  std::string key;
   long long count = 0;
   uint32_t position = 0;
-  size_t token_start = std::string::npos;
   *out_max_pos = 0xFFFFFFFFu;
   for (long long i = 0; i <= text_len; ++i) {
     const bool alnum =
         i < text_len && is_ascii_alnum(static_cast<unsigned char>(text[i]));
     if (alnum) {
-      if (token_start == std::string::npos) token_start = key.size();
       char c = text[i];
       if (c >= 'A' && c <= 'Z') c = static_cast<char>(c + 32);
-      key.push_back(c);
-    } else if (token_start != std::string::npos) {
+      token.push_back(c);
+    } else if (!token.empty()) {
+      if (use_stopwords && b->stopwords.count(token)) {
+        token.clear();
+        continue;
+      }
+      if (use_stem) token = slt_porter2::stem(std::move(token));
+      key = prefix;
+      key += token;
       b->term(key).add(doc, position_offset + position,
                        b->enable_positions);
       *out_max_pos = position;
       ++position;
       ++count;
-      key.resize(base_len);
-      token_start = std::string::npos;
+      token.clear();
     }
   }
   return count;

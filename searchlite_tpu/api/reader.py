@@ -20,9 +20,11 @@ around dense device execution:
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import re
+import threading
 import time
 from dataclasses import dataclass
 from typing import Any, Optional
@@ -59,6 +61,13 @@ MAX_CURSOR_ADVANCE = 50_000
 DEFAULT_SUGGEST_SCAN = 64
 MAX_SUGGEST_CANDIDATES = 256
 CURSOR_VERSION = 3
+
+# Compiled executors are cached process-wide (keyed by plan structure +
+# schema fingerprint): readers are reopened on every commit and must not
+# retrigger XLA compilation for already-seen query shapes.
+_GLOBAL_COMPILED: dict[str, "CompiledQuery"] = {}
+_GLOBAL_SCORERS: dict[str, Any] = {}
+_GLOBAL_LOCK = threading.Lock()
 
 # vector-search clamps (parity: `api/reader.rs:133-163`)
 MAX_VECTOR_CLAUSES = 8
@@ -283,8 +292,9 @@ class IndexReader:
         ]
         self.generation = max(
             (s.generation for s in self.manifest.segments), default=0)
-        self._compiled_cache: dict[str, CompiledQuery] = {}
-        self._batched_scorers: dict[int, Any] = {}
+        self._schema_fingerprint = hashlib.sha256(
+            json.dumps(self.schema.to_json(),
+                       sort_keys=True).encode()).hexdigest()[:16]
 
     # -- term expansion (host, over per-segment dictionaries) ----------------
 
@@ -1466,21 +1476,23 @@ class IndexReader:
         from searchlite_tpu.ops.impact import make_impact_scorer
 
         precision = os.environ.get("SEARCHLITE_PRECISION", "f32")
-        scorer = self._batched_scorers.get(precision)
-        if scorer is None:
-            scorer = make_impact_scorer(precision)
-            self._batched_scorers[precision] = scorer
-        return scorer
+        with _GLOBAL_LOCK:
+            scorer = _GLOBAL_SCORERS.get(precision)
+            if scorer is None:
+                scorer = make_impact_scorer(precision)
+                _GLOBAL_SCORERS[precision] = scorer
+            return scorer
 
     def _compile(self, plan: QueryPlan, k1: float, b: float) -> CompiledQuery:
-        # cache by structural identity of the plan; plans are rebuilt per
-        # request, so key on a structural signature
-        sig = repr((_plan_sig(plan), k1, b))
-        cq = self._compiled_cache.get(sig)
-        if cq is None:
-            cq = CompiledQuery(plan, self.schema, k1, b)
-            self._compiled_cache[sig] = cq
-        return cq
+        # cache by plan structure + schema fingerprint, process-wide:
+        # readers are recreated on every commit and must reuse traces
+        sig = repr((_plan_sig(plan), self._schema_fingerprint, k1, b))
+        with _GLOBAL_LOCK:
+            cq = _GLOBAL_COMPILED.get(sig)
+            if cq is None:
+                cq = CompiledQuery(plan, self.schema, k1, b)
+                _GLOBAL_COMPILED[sig] = cq
+            return cq
 
     def _explain_functions(self, compiled: CompiledQuery, score_tree,
                            segment_ord: int, doc: int) -> list[dict]:

@@ -153,6 +153,52 @@ class TestBucketAggs:
         assert [b["doc_count"] for b in buckets] == [2, 1, 2]
         assert buckets[0]["key"].startswith("1970-01-01")
 
+    def test_date_histogram_calendar_month(self):
+        docs = [
+            {"_id": "1", "body": "match", "tag": "a", "price": 1,
+             "score": 0.0, "ts": 0, "day": "2024-01-05"},
+            {"_id": "2", "body": "match", "tag": "a", "price": 1,
+             "score": 0.0,
+             "ts": 1706918400000, "day": "2024-02-03"},  # 2024-02-03
+            {"_id": "3", "body": "match", "tag": "a", "price": 1,
+             "score": 0.0,
+             "ts": 1708732800000, "day": "2024-02-24"},  # 2024-02-24
+        ]
+        index = make_index(docs)
+        out = run_aggs(index, {
+            "m": {"type": "date_histogram", "field": "ts",
+                  "calendar_interval": "month",
+                  "format": "strict_date"}})
+        buckets = out["m"]["buckets"]
+        assert [(b["key"], b["doc_count"]) for b in buckets] == [
+            ("1970-01-01", 1), ("2024-02-01", 2)]
+
+    def test_date_histogram_fixed_interval_with_offset(self):
+        docs = [{"_id": str(i), "body": "match", "tag": "a", "price": 1,
+                 "score": 0.0, "ts": i * 3_600_000} for i in range(5)]
+        index = make_index(docs)
+        out = run_aggs(index, {
+            "h": {"type": "date_histogram", "field": "ts",
+                  "fixed_interval": "2h", "offset": "1h",
+                  "format": "epoch_millis"}})
+        buckets = {b["key"]: b["doc_count"] for b in out["h"]["buckets"]}
+        # buckets anchored at -1h, 1h, 3h
+        assert buckets == {str(-3_600_000): 1, str(3_600_000): 2,
+                           str(3 * 3_600_000): 2}
+
+    def test_composite_histogram_source(self):
+        index = make_index(DOCS)
+        out = run_aggs(index, {
+            "c": {"type": "composite", "size": 10,
+                  "sources": [
+                      {"type": "histogram", "name": "p", "field": "price",
+                       "interval": 20},
+                      {"type": "terms", "name": "t", "field": "tag"},
+                  ]}})
+        buckets = out["c"]["buckets"]
+        assert buckets[0]["key"] == {"p": 0.0, "t": "a"}
+        assert all("p" in b["key"] and "t" in b["key"] for b in buckets)
+
     def test_date_range(self):
         index = make_index(DOCS)
         out = run_aggs(index, {

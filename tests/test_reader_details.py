@@ -120,6 +120,20 @@ class TestRequestKnobs:
         assert any(f["type"] == "weight" and f["value"] == 2.0
                    for f in expl["functions"])
 
+    def test_compiled_plan_cache_survives_commits(self):
+        from searchlite_tpu.api import reader as reader_mod
+
+        index = make_index([{"_id": "1", "body": "hello", "tag": "a"}])
+        index.reader().search({"query": "hello world", "limit": 5})
+        before = len(reader_mod._GLOBAL_COMPILED)
+        writer = index.writer()
+        writer.add_document({"_id": "2", "body": "hello again", "tag": "b"})
+        writer.commit()
+        res = index.reader().search({"query": "hello world", "limit": 5})
+        assert res.total_hits_estimate == 2
+        # same plan structure + schema → no new compiled entry
+        assert len(reader_mod._GLOBAL_COMPILED) == before
+
     def test_unknown_execution_strategy_rejected(self):
         index = make_index([{"_id": "1", "body": "x", "tag": "a"}])
         with pytest.raises(QueryError):
