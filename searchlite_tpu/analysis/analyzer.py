@@ -42,7 +42,8 @@ class _EdgeNgram:
 class Analyzer:
     def __init__(self, tokenizer: str = "default",
                  filters: list[Callable[[list[Token]], list[Token]]] | None = None,
-                 lowercases: bool | None = None):
+                 lowercases: bool | None = None,
+                 descriptors: list[tuple] | None = None):
         if tokenizer not in TOKENIZERS:
             raise SchemaError(f"unknown tokenizer `{tokenizer}`")
         self._tokenizer_name = tokenizer
@@ -55,6 +56,20 @@ class Analyzer:
         # native (C++) ASCII fast path at ingest
         self.is_plain_default = (tokenizer == "default"
                                  and not self._filters)
+        # native (C++) filter profile: (stopwords frozenset|None, stem)
+        # when the chain is default-tokenizer + [stopwords?][stemmer?]
+        # (lowercase is a no-op for ASCII default tokens); None otherwise
+        self.native_profile = None
+        if tokenizer == "default":
+            kinds = [d for d in (descriptors or [])
+                     if d[0] != "lowercase"]
+            seq = [k for k, _payload in kinds]
+            if seq in ([], ["stopwords"], ["stemmer"],
+                       ["stopwords", "stemmer"]):
+                stop = next((payload for k, payload in kinds
+                             if k == "stopwords"), None)
+                stem = any(k == "stemmer" for k, _p in kinds)
+                self.native_profile = (stop, stem)
 
     def analyze(self, text: str) -> list[Token]:
         tokens = self._tokenize(text)
@@ -220,12 +235,29 @@ def analyzer_from_def(definition: dict) -> Analyzer:
     ``{"name": ..., "tokenizer": ..., "filters": [...]}``."""
     tokenizer = definition.get("tokenizer", "default")
     filters = []
+    descriptors: list[tuple] = []
     lowercases = tokenizer in ("default", "unicode")
     for fdef in definition.get("filters", []):
         fn, lc = _parse_filter_def(fdef)
         filters.append(fn)
         lowercases = lowercases or lc
-    return Analyzer(tokenizer, filters, lowercases=lowercases)
+        kind = fdef if isinstance(fdef, str) else fdef.get("type")
+        if kind is None and isinstance(fdef, dict):
+            for key in ("lowercase", "stopwords", "stemmer", "synonyms",
+                        "edge_ngram"):
+                if key in fdef:
+                    kind = key
+                    break
+        payload = None
+        if kind == "stopwords":
+            cfg = fdef.get("stopwords") if isinstance(fdef, dict) else None
+            if isinstance(cfg, str) and cfg.lower() in ("en", "english"):
+                payload = ENGLISH_STOPWORDS
+            elif isinstance(cfg, list):
+                payload = frozenset(cfg)
+        descriptors.append((kind, payload))
+    return Analyzer(tokenizer, filters, lowercases=lowercases,
+                    descriptors=descriptors)
 
 
 @dataclass

@@ -374,11 +374,23 @@ class SegmentWriter:
                             f"no analyzer configured for field `{field}`")
                     position_offset = 0
                     doc_len = 0
-                    use_native = native and analyzer.is_plain_default
+                    use_native = False
+                    native_flags = (False, False)
+                    if native and analyzer.native_profile is not None:
+                        stopwords, stem_flag = analyzer.native_profile
+                        if stopwords is None:
+                            use_native = True
+                            native_flags = (False, stem_flag)
+                        elif postings_builder.register_stopwords(stopwords):
+                            # one stopword set per segment builder; a
+                            # second distinct set falls back to Python
+                            use_native = True
+                            native_flags = (True, stem_flag)
                     for text in values:
                         if use_native:
                             fast = postings_builder.add_text(
-                                field, doc_ord, text, position_offset)
+                                field, doc_ord, text, position_offset,
+                                *native_flags)
                             if fast is not None:
                                 count, max_pos = fast
                                 doc_len += count

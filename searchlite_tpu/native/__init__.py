@@ -81,7 +81,13 @@ def get_lib():
         lib.slt_add_text.argtypes = [
             ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int,
             ctypes.c_uint32, ctypes.c_char_p, ctypes.c_longlong,
-            ctypes.c_uint32, ctypes.POINTER(ctypes.c_uint32)]
+            ctypes.c_uint32, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint32)]
+        lib.slt_add_stopword.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int]
+        lib.slt_stem.restype = ctypes.c_int
+        lib.slt_stem.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_char_p, ctypes.c_int]
         lib.slt_finish.argtypes = [ctypes.c_void_p]
         for name in ("slt_n_terms", "slt_n_blocks", "slt_n_postings",
                      "slt_n_positions", "slt_terms_bytes"):
@@ -106,6 +112,18 @@ def get_lib():
         return _LIB
 
 
+def native_stem(word: str) -> str | None:
+    """Stem through the C++ Porter2 (tests compare against the Python
+    implementation); None when the library is unavailable."""
+    lib = get_lib()
+    if lib is None or not word.isascii():
+        return None
+    raw = word.encode()
+    out = ctypes.create_string_buffer(len(raw) + 8)
+    n = lib.slt_stem(raw, len(raw), out, len(raw) + 8)
+    return out.raw[:n].decode()
+
+
 class NativeIndexBuilder:
     """Drop-in replacement for InvertedIndexBuilder backed by C++."""
 
@@ -116,6 +134,18 @@ class NativeIndexBuilder:
         self.enable_positions = enable_positions
         self._handle = self._lib.slt_new(1 if enable_positions else 0)
         self._count = 0
+        self._stopwords: frozenset | None = None
+
+    def register_stopwords(self, words: frozenset) -> bool:
+        """Register the builder's (single) stopword set. Returns False if
+        a DIFFERENT set is already registered (caller must fall back)."""
+        if self._stopwords is not None:
+            return self._stopwords == words
+        self._stopwords = frozenset(words)
+        for word in self._stopwords:
+            data = word.encode()
+            self._lib.slt_add_stopword(self._handle, data, len(data))
+        return True
 
     def __del__(self):
         handle = getattr(self, "_handle", None)
@@ -131,8 +161,10 @@ class NativeIndexBuilder:
         self._count += 1
 
     def add_text(self, field: str, doc: int, text: str,
-                 position_offset: int):
-        """Tokenize+add an ASCII text value natively.
+                 position_offset: int, use_stopwords: bool = False,
+                 use_stem: bool = False):
+        """Tokenize+add an ASCII text value natively (optionally through
+        the English stopword/stemmer chain).
 
         Returns (token_count, max_position) or None when the value
         contains non-ASCII bytes (caller must fall back per value)."""
@@ -143,7 +175,8 @@ class NativeIndexBuilder:
         out_max = ctypes.c_uint32(0)
         count = self._lib.slt_add_text(
             self._handle, prefix, len(prefix), doc, raw, len(raw),
-            position_offset, ctypes.byref(out_max))
+            position_offset, 1 if use_stopwords else 0,
+            1 if use_stem else 0, ctypes.byref(out_max))
         if count < 0:
             return None
         max_pos = None if out_max.value == 0xFFFFFFFF else int(out_max.value)

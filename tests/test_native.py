@@ -54,6 +54,78 @@ def test_non_ascii_rejected_without_side_effects():
     assert data.terms == ["body:ascii", "body:plain"]
 
 
+def test_native_stemmer_matches_python():
+    from searchlite_tpu.analysis import porter2
+    from searchlite_tpu.native import native_stem
+
+    words = ("running flies happily quantization nationalization "
+             "agreed controlled hopping sized authorization news "
+             "dying gently exceed generously").split()
+    for w in words:
+        assert native_stem(w) == porter2.stem(w), w
+
+
+def test_english_analyzer_native_matches_python(monkeypatch):
+    """Full english chain (stopwords en + stemmer) through the native
+    path must index identically to the Python analyzer."""
+    import numpy as np
+
+    from searchlite_tpu.api.types import IndexOptions, StorageType
+    from searchlite_tpu.index import Index
+    from searchlite_tpu.index.manifest import Schema
+    import searchlite_tpu.native as natmod
+
+    schema = {
+        "analyzers": [{
+            "name": "english", "tokenizer": "default",
+            "filters": [
+                {"type": "stopwords", "stopwords": "en"},
+                {"type": "stemmer", "stemmer": "english"},
+            ],
+        }],
+        "text_fields": [{"name": "body", "analyzer": "english",
+                         "stored": True, "indexed": True}],
+    }
+    docs = [
+        {"_id": "1", "body": "The running dogs were chasing the cats"},
+        {"_id": "2", "body": "a quantization of all the stopwords"},
+        {"_id": "3", "body": "café words force a fallback here"},
+        {"_id": "4", "body": ["multi valued running", "the second value"]},
+    ]
+
+    def build():
+        index = Index.create(
+            IndexOptions(path="", create_if_missing=True,
+                         storage=StorageType.IN_MEMORY),
+            Schema.from_json(schema))
+        w = index.writer()
+        w.add_documents(docs)
+        w.commit()
+        return index
+
+    idx_native = build()
+    monkeypatch.setenv("SEARCHLITE_DISABLE_NATIVE", "1")
+    monkeypatch.setattr(natmod, "_LIB", None)
+    monkeypatch.setattr(natmod, "_LIB_FAILED", False)
+    idx_python = build()
+    monkeypatch.delenv("SEARCHLITE_DISABLE_NATIVE")
+    monkeypatch.setattr(natmod, "_LIB", None)
+    monkeypatch.setattr(natmod, "_LIB_FAILED", False)
+
+    sn = idx_native.reader().segments[0]
+    sp = idx_python.reader().segments[0]
+    assert sn.terms.terms == sp.terms.terms
+    np.testing.assert_array_equal(sn.postings.block_docs,
+                                  sp.postings.block_docs)
+    np.testing.assert_array_equal(sn.postings.pos_values,
+                                  sp.postings.pos_values)
+    for query in ("running", "chase", "quantization", "café", "value"):
+        rn = idx_native.reader().search({"query": query, "limit": 10})
+        rp = idx_python.reader().search({"query": query, "limit": 10})
+        assert [(h.doc_id, round(h.score, 5)) for h in rn.hits] == \
+            [(h.doc_id, round(h.score, 5)) for h in rp.hits], query
+
+
 def test_segment_writer_same_output_with_and_without_native(monkeypatch):
     """Indexes built with and without the native path search identically,
     including mixed ASCII/Unicode documents."""
