@@ -3,12 +3,12 @@
 The reference exposes 5 unsafe extern fns for embedding from C
 (`searchlite-ffi/src/lib.rs:20-195`): index_open/close, add_json (adds
 AND commits), commit, search (query string or QueryNode JSON + optional
-aggs, result JSON out). A C ABI around a JAX runtime is a non-goal for
-the TPU build (documented divergence), but the same embedding contract
-is provided here as stable functions over opaque handles and JSON
-strings — callable from any host language that can embed Python
-(cffi/CPython API), and the basis for a future real shared-library
-binding.
+aggs, result JSON out). This module provides that contract as stable
+functions over opaque handles and JSON strings; the REAL C ABI lives in
+`native/slt_ffi.cpp` (built to `libsearchlite_tpu.so` with header
+`native/searchlite_tpu.h` via `searchlite_tpu.native.build_ffi_lib()`),
+which embeds CPython and delegates to these functions — so C hosts get
+the same 5 symbols the reference ships.
 """
 
 from __future__ import annotations

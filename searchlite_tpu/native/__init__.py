@@ -112,6 +112,47 @@ def get_lib():
         return _LIB
 
 
+def build_ffi_lib() -> str | None:
+    """Build (or reuse) the C embedding library `libsearchlite_tpu.so`
+    implementing the reference's 5-function C ABI
+    (`searchlite-ffi/src/lib.rs:20-195`) — see native/searchlite_tpu.h.
+    Returns the library path, or None when the toolchain or the CPython
+    embedding headers are unavailable."""
+    here = os.path.dirname(_source_path())
+    src = os.path.join(here, "slt_ffi.cpp")
+    if not os.path.exists(src):
+        return None
+    cache_dir = os.path.join(
+        os.environ.get("XDG_CACHE_HOME",
+                       os.path.expanduser("~/.cache")),
+        "searchlite_tpu")
+    os.makedirs(cache_dir, exist_ok=True)
+    out = os.path.join(cache_dir, "libsearchlite_tpu.so")
+    hdr = os.path.join(here, "searchlite_tpu.h")
+    newest = max(os.path.getmtime(src),
+                 os.path.getmtime(hdr) if os.path.exists(hdr) else 0)
+    if os.path.exists(out) and os.path.getmtime(out) >= newest:
+        return out
+    import sysconfig
+    include = sysconfig.get_path("include")
+    libdir = sysconfig.get_config_var("LIBDIR") or ""
+    ldlib = sysconfig.get_config_var("LDLIBRARY") or ""
+    pylib = ldlib.replace("lib", "", 1).split(".so")[0].split(".a")[0] \
+        if ldlib.startswith("lib") else f"python{sysconfig.get_python_version()}"
+    if not os.path.exists(os.path.join(include, "Python.h")):
+        return None
+    tmp = out + f".tmp{os.getpid()}"
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+           f"-I{include}", f"-I{here}", src, "-o", tmp,
+           f"-L{libdir}", f"-Wl,-rpath,{libdir}", f"-l{pylib}"]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=180)
+        os.replace(tmp, out)
+    except (subprocess.SubprocessError, FileNotFoundError, OSError):
+        return None
+    return out
+
+
 def native_stem(word: str) -> str | None:
     """Stem through the C++ Porter2 (tests compare against the Python
     implementation); None when the library is unavailable."""
