@@ -464,6 +464,8 @@ class IndexReader:
         slot_start: list[int] = []
         slot_len: list[int] = []
         slot_idf: list[float] = []
+        slot_bstart: list[int] = []
+        slot_bcnt: list[int] = []
 
         def get_slot(key: str):
             s = slots.get(key)
@@ -477,6 +479,8 @@ class IndexReader:
                 slot_start.append(int(dseg.posting_base[tid]))
                 slot_len.append(df)
                 slot_idf.append(bm25_idf(float(df), live))
+                slot_bstart.append(int(postings.term_block_start[tid]))
+                slot_bcnt.append(int(postings.term_block_count[tid]))
             return s
 
         merged: dict[tuple[str, int], float] = {}
@@ -501,15 +505,21 @@ class IndexReader:
                 if s is not None:
                     group_entries.append((s, g))
 
-        from searchlite_tpu.ops.impact import pow4_bucket
+        from searchlite_tpu.ops.impact import build_block_tables, pow4_bucket
 
         s_pad = next_pow2(max(len(slot_start), 8))
         p_pad = pow4_bucket(sum(slot_len))
+        blk_idx, slot_row, nb_pad = build_block_tables(
+            slot_bstart, slot_bcnt, sentinel_row=dseg.n_block_rows)
         L = max(n_leaves, 1)
         G = max(n_groups, 1)
         out = {
             "slot_start": np.zeros(s_pad, dtype=np.int32),
             "slot_len": np.zeros(s_pad, dtype=np.int32),
+            "blk_idx": blk_idx,
+            "slot_row": slot_row,
+            "nb_pad": nb_pad,
+            "s_pad": s_pad,
             "w_leaf": np.zeros((L, s_pad), dtype=np.float32),
             "leaf_ind": np.zeros((L, s_pad), dtype=np.float32),
             "group_ind": np.zeros((G, s_pad), dtype=np.float32),
@@ -721,9 +731,9 @@ class IndexReader:
             run = compiled.executor()
             (top_scores, top_idx, match_count, final_mask, adjusted,
              cursor_seen, text_mask) = run(
-                dseg.docs_flat, dseg.impacts_flat, dseg.deleted,
-                jnp.asarray(qargs["slot_start"]),
-                jnp.asarray(qargs["slot_len"]),
+                dseg.block_docs, dseg.block_impacts, dseg.deleted,
+                jnp.asarray(qargs["blk_idx"]),
+                jnp.asarray(qargs["slot_row"]),
                 jnp.asarray(qargs["w_leaf"]),
                 jnp.asarray(qargs["leaf_ind"]),
                 jnp.asarray(qargs["group_ind"]),
@@ -731,7 +741,7 @@ class IndexReader:
                 jnp.asarray(col_vals), jnp.asarray(col_has),
                 jnp.asarray(root_mask),
                 jnp.float32(cs), jnp.int32(eq_mode), jnp.int32(cdoc),
-                k=k, p_pad=qargs["p_pad"], has_scored_terms=has_scored,
+                k=k, s_pad=qargs["s_pad"], has_scored_terms=has_scored,
                 need_scores=need_scores, use_cursor=use_cursor)
 
             import jax
@@ -1333,11 +1343,11 @@ class IndexReader:
             if est_bytes <= m_budget_bytes:
                 k = min(limit, dseg.n1)
                 scores, ids = scorer(
-                    dseg.docs_flat, dseg.impacts_flat, dseg.deleted,
-                    jnp.asarray(qb["slot_start"]),
-                    jnp.asarray(qb["slot_len"]),
+                    dseg.block_docs, dseg.block_impacts, dseg.deleted,
+                    jnp.asarray(qb["blk_idx"]),
+                    jnp.asarray(qb["slot_row"]),
                     jnp.asarray(qb["w_idx"]), jnp.asarray(qb["w_val"]),
-                    k=k, p_pad=qb["p_pad"], n_queries=qb["n_queries"])
+                    k=k, s_pad=qb["s_pad"], n_queries=qb["n_queries"])
                 scores, ids = jax.device_get((scores, ids))
             else:
                 scores, ids = self._search_batch_sharded(
@@ -1424,7 +1434,7 @@ class IndexReader:
         shards = dseg.doc_shards(n_shards)
         width = shards["shard_width"]
         n_terms = shards["n_terms"]
-        scorer = self._batched_scorer()
+        scorer = self._flat_batched_scorer()
         tids = qb["slot_tids"]
         n_slots = qb["n_slots"]
         s_pad = len(qb["slot_start"])
@@ -1477,10 +1487,21 @@ class IndexReader:
 
         precision = os.environ.get("SEARCHLITE_PRECISION", "f32")
         with _GLOBAL_LOCK:
-            scorer = _GLOBAL_SCORERS.get(precision)
+            scorer = _GLOBAL_SCORERS.get(("block", precision))
             if scorer is None:
                 scorer = make_impact_scorer(precision)
-                _GLOBAL_SCORERS[precision] = scorer
+                _GLOBAL_SCORERS[("block", precision)] = scorer
+            return scorer
+
+    def _flat_batched_scorer(self):
+        from searchlite_tpu.ops.impact import make_flat_impact_scorer
+
+        precision = os.environ.get("SEARCHLITE_PRECISION", "f32")
+        with _GLOBAL_LOCK:
+            scorer = _GLOBAL_SCORERS.get(("flat", precision))
+            if scorer is None:
+                scorer = make_flat_impact_scorer(precision)
+                _GLOBAL_SCORERS[("flat", precision)] = scorer
             return scorer
 
     def _compile(self, plan: QueryPlan, k1: float, b: float) -> CompiledQuery:
@@ -1615,9 +1636,9 @@ class IndexReader:
             root_mask = np.ones(dseg.n1, dtype=bool)
             run = compiled.executor()
             (_ts, _ti, _mc, final_mask, adjusted, _cs, _tm) = run(
-                dseg.docs_flat, dseg.impacts_flat, dseg.deleted,
-                jnp.asarray(qargs["slot_start"]),
-                jnp.asarray(qargs["slot_len"]),
+                dseg.block_docs, dseg.block_impacts, dseg.deleted,
+                jnp.asarray(qargs["blk_idx"]),
+                jnp.asarray(qargs["slot_row"]),
                 jnp.asarray(qargs["w_leaf"]),
                 jnp.asarray(qargs["leaf_ind"]),
                 jnp.asarray(qargs["group_ind"]),
@@ -1625,7 +1646,7 @@ class IndexReader:
                 jnp.asarray(col_vals), jnp.asarray(col_has),
                 jnp.asarray(root_mask),
                 jnp.float32(0.0), jnp.int32(2), jnp.int32(0),
-                k=1, p_pad=qargs["p_pad"], has_scored_terms=has_scored,
+                k=1, s_pad=qargs["s_pad"], has_scored_terms=has_scored,
                 need_scores=True, use_cursor=False)
             seg_scores[dseg.ord] = np.asarray(adjusted)
             seg_masks[dseg.ord] = np.asarray(final_mask)

@@ -5,19 +5,22 @@ reader open (segments are immutable, so commits only upload the new
 segment — the incremental-write story mirrors the reference's segment
 model):
 
-- ``block_docs [B,128] int32`` — doc ordinals; padding remapped from -1
-  to the sentinel ordinal ``n_docs`` so scatters land in a dead slot of
-  the ``n_docs+1``-wide score arrays.
-- ``block_tfs [B,128] float32``
+- ``block_docs [B+1,128] int32`` — doc ordinals; padding remapped from
+  -1 to the sentinel ordinal ``n_docs`` (dead slot of the
+  ``n_docs+1``-wide score arrays); trailing all-sentinel row pads the
+  scorer's block gathers.
+- ``block_impacts [B+1,128] float32`` — precomputed BM25 impacts
+  (tf-saturation × length norm; query-independent), pads 0.
+- ``block_tfs [B,128] float32`` (raw tfs, block-scatter path + mesh).
 - ``doc_len [n_len_fields, n_docs+1] float32`` — per-field BM25 doc
   lengths (from the ``_len:{field}`` fast columns).
 - ``avgdl [n_len_fields]``, ``deleted [n_docs+1] bool``.
 
-Scoring gathers query-term block ranges out of these arrays and
-scatter-adds BM25 partials into dense per-leaf score rows (see
-``ops/score.py``). Scoring uses segment-local df / live-doc count /
-avgdl, matching the reference's per-segment semantics
-(`api/reader.rs:2985-3002`).
+Scoring row-gathers query-term block ranges out of these arrays,
+densifies them into the impact matrix M with one unique-index scatter,
+and runs ``W @ M`` on the MXU (see ``ops/impact.py``/``ops/score.py``).
+Scoring uses segment-local df / live-doc count / avgdl, matching the
+reference's per-segment semantics (`api/reader.rs:2985-3002`).
 """
 
 from __future__ import annotations
@@ -46,8 +49,12 @@ class DeviceSegment:
             bt = np.zeros((1, 128), dtype=np.float32)
         else:
             bt = postings.block_tfs
-        self.block_docs = jnp.asarray(
-            np.where(bd < 0, self.n_docs, bd).astype(np.int32))
+        bd = np.where(bd < 0, self.n_docs, bd).astype(np.int32)
+        # trailing all-sentinel row: pads blk_idx gathers (every entry
+        # routes to the scatter dump zone — see build_m_from_blocks)
+        self.n_block_rows = bd.shape[0]
+        self.block_docs = jnp.asarray(np.concatenate(
+            [bd, np.full((1, 128), self.n_docs, dtype=np.int32)]))
         self.block_tfs = jnp.asarray(bt)
 
         # doc-length matrix over fields that have _len columns, plus one
@@ -110,11 +117,38 @@ class DeviceSegment:
         self.block_max_impact = (
             blocked.reshape(-1, postings.block_docs.shape[1]).max(axis=1)
             if postings.block_docs.size else np.zeros(0, dtype=np.float32))
+        # 2D impact blocks (pads 0) + sentinel row, mirroring block_docs:
+        # the batch scorer's M build row-gathers these (element gathers
+        # over flat CSR measure ~10 cycles/elem on TPU; 128-wide row
+        # gathers run at memory speed)
+        if postings.block_docs.size:
+            bi = blocked.reshape(-1, 128)
+        else:
+            bi = np.zeros((1, 128), dtype=np.float32)
+        self.block_impacts = jnp.asarray(np.concatenate(
+            [bi, np.zeros((1, 128), dtype=np.float32)]))
         if len(docs_flat) == 0:
             docs_flat = np.zeros(1, dtype=np.int32)
             impacts = np.zeros(1, dtype=np.float32)
-        self.docs_flat = jnp.asarray(docs_flat.astype(np.int32))
-        self.impacts_flat = jnp.asarray(impacts)
+        # host flat CSR (doc-shard builder); device copies are lazy —
+        # only the doc-sharded and multi-chip paths use them
+        self.docs_flat_np = docs_flat.astype(np.int32)
+        self.impacts_flat_np = impacts
+        self._docs_flat = None
+        self._impacts_flat = None
+        self._jnp = jnp
+
+    @property
+    def docs_flat(self):
+        if self._docs_flat is None:
+            self._docs_flat = self._jnp.asarray(self.docs_flat_np)
+        return self._docs_flat
+
+    @property
+    def impacts_flat(self):
+        if self._impacts_flat is None:
+            self._impacts_flat = self._jnp.asarray(self.impacts_flat_np)
+        return self._impacts_flat
 
     def field_id(self, field: str) -> int:
         return self.len_field_ids.get(field, self._no_len_field)
@@ -133,8 +167,8 @@ class DeviceSegment:
         cached = getattr(self, "_doc_shards", None)
         if cached is not None and cached["n_shards"] == n_shards:
             return cached
-        docs_flat = np.asarray(self.docs_flat)
-        impacts_flat = np.asarray(self.impacts_flat)
+        docs_flat = self.docs_flat_np
+        impacts_flat = self.impacts_flat_np
         n_terms = len(self.reader.postings.terms)
         term_df = self.reader.postings.term_df.astype(np.int64)
         term_of_posting = np.repeat(

@@ -49,11 +49,46 @@ def pow4_bucket(n: int, minimum: int = 4096) -> int:
     return out
 
 
+def build_m_from_blocks(jnp, block_docs, block_impacts, blk_idx,
+                        slot_row, n1: int, s_count: int):
+    """Densify term slots into M [s_count, n1] from the 128-wide block
+    layout. Measured on v5e: 5-7x faster than the flat-CSR variant
+    below, because the ragged per-slot posting expansion becomes ONE
+    row gather of [nb, 128] blocks (lane-aligned, ~memory speed) where
+    the flat path needs two 1-elem/step gathers plus a cumsum over
+    millions of positions (element gathers: ~10 cycles/elem on TPU).
+
+    block_docs/block_impacts: [n_blocks+1, 128] with a trailing
+    all-sentinel row (doc = n1-1, impact 0) used for padding blk_idx.
+    blk_idx [nb]: segment block rows for each slot, concatenated.
+    slot_row [nb]: owning slot of each gathered block.
+    Block pads (doc == sentinel) and gather pads route to the dump zone
+    past s_count*n1 at unique positions, so the scatter stays
+    unique-index (update-count-bound, ~7 cycles/update; sortedness
+    doesn't matter — measured)."""
+    nb = blk_idx.shape[0]
+    docs2d = block_docs[blk_idx]
+    imps2d = block_impacts[blk_idx]
+    pos = jnp.arange(nb * 128, dtype=jnp.int32).reshape(nb, 128)
+    is_pad = docs2d == (n1 - 1)
+    flat_idx = jnp.where(
+        is_pad,
+        s_count * n1 + pos,
+        slot_row[:, None] * n1 + docs2d).reshape(-1)
+    m_flat = jnp.zeros(s_count * n1 + nb * 128, dtype=jnp.float32)
+    m_flat = m_flat.at[flat_idx].set(
+        imps2d.reshape(-1), unique_indices=True,
+        mode="promise_in_bounds")
+    return m_flat[: s_count * n1].reshape(s_count, n1)
+
+
 def build_m(jnp, docs_flat, impacts_flat, slot_start, slot_len,
             n1: int, p_pad: int):
     """Densify the batch's term slots into M [S, n1] with one
-    sorted-unique scatter (the XLA fast path). Shared by the batched
-    scorer below and the single-query executor (ops/score.py)."""
+    sorted-unique scatter from flat CSR postings. Still used where
+    postings arrive without the block layout (doc-sharded slices,
+    multi-chip posting shards); the block variant above is the fast
+    path on whole segments."""
     s_count = slot_start.shape[0]
     ends = jnp.cumsum(slot_len)
     total = ends[-1]
@@ -83,7 +118,9 @@ def build_m(jnp, docs_flat, impacts_flat, slot_start, slot_len,
 
 
 def make_impact_scorer(precision: str = "f32"):
-    """precision="bf16" runs the scoring matmul with bf16 inputs and f32
+    """Batched scorer over the block layout (the fast path).
+
+    precision="bf16" runs the scoring matmul with bf16 inputs and f32
     accumulation: ~2x MXU throughput and half the M memory traffic, at
     ~3 decimal digits of score precision — top-k order can differ on
     near-ties, so it is an explicit opt-in (SEARCHLITE_PRECISION=bf16),
@@ -93,15 +130,46 @@ def make_impact_scorer(precision: str = "f32"):
 
     use_bf16 = precision == "bf16"
 
+    @partial(jax.jit, static_argnames=("k", "s_pad", "n_queries"))
+    def scorer(block_docs, block_impacts, deleted, blk_idx, slot_row,
+               w_idx, w_val, *, k: int, s_pad: int, n_queries: int):
+        """block_docs/block_impacts: [n_blocks+1, 128] segment posting
+        blocks (+sentinel row). blk_idx/slot_row: [nb] gathered block
+        rows and their owning slots. (w_idx, w_val): sorted COO of the
+        [Q, S] idf·boost weight matrix (w_idx = q*S + s; pads point
+        past Q*S). Returns (scores [Q, k], ids [Q, k])."""
+        n1 = deleted.shape[0]
+        m = build_m_from_blocks(jnp, block_docs, block_impacts,
+                                blk_idx, slot_row, n1, s_pad)
+        w_flat = jnp.zeros(n_queries * s_pad + w_idx.shape[0],
+                           dtype=jnp.float32)
+        w_flat = w_flat.at[w_idx].set(
+            w_val, indices_are_sorted=True, unique_indices=True,
+            mode="promise_in_bounds")
+        w = w_flat[: n_queries * s_pad].reshape(n_queries, s_pad)
+        if use_bf16:
+            w = w.astype(jnp.bfloat16)
+            m = m.astype(jnp.bfloat16)
+        scores = jnp.dot(w, m, preferred_element_type=jnp.float32)
+        masked = jnp.where((scores > 0.0) & ~deleted[None, :],
+                           scores, -jnp.inf)
+        return jax.lax.top_k(masked, k)
+
+    return scorer
+
+
+def make_flat_impact_scorer(precision: str = "f32"):
+    """Batched scorer over flat CSR posting slices — used by the
+    doc-sharded path, whose per-shard slices have no block layout."""
+    import jax
+    import jax.numpy as jnp
+
+    use_bf16 = precision == "bf16"
+
     @partial(jax.jit, static_argnames=("k", "p_pad", "n_queries"))
     def scorer(docs_flat, impacts_flat, deleted,
                slot_start, slot_len, w_idx, w_val,
                *, k: int, p_pad: int, n_queries: int):
-        """docs_flat/impacts_flat: [nnz] segment posting arrays
-        (term-major, doc-ascending). slot_start/slot_len: [S] posting
-        ranges of the batch's distinct terms. (w_idx, w_val): sorted COO
-        of the [Q, S] idf·boost weight matrix (w_idx = q*S + s; pads
-        point past Q*S). Returns (scores [Q, k], ids [Q, k])."""
         n1 = deleted.shape[0]
         s_count = slot_start.shape[0]
         m = build_m(jnp, docs_flat, impacts_flat, slot_start, slot_len,
@@ -136,6 +204,8 @@ def build_impact_batch(seg, dseg, queries: list[list[tuple[str, str]]],
     slot_len: list[int] = []
     slot_idf: list[float] = []
     slot_tids: list[int] = []
+    slot_bstart: list[int] = []
+    slot_bcnt: list[int] = []
     rows: list[dict[int, float]] = []
     for query in queries:
         row: dict[int, float] = {}
@@ -154,6 +224,8 @@ def build_impact_batch(seg, dseg, queries: list[list[tuple[str, str]]],
                 slot_len.append(length)
                 slot_idf.append(bm25_idf(float(length), live))
                 slot_tids.append(int(tid))
+                slot_bstart.append(int(postings.term_block_start[tid]))
+                slot_bcnt.append(int(postings.term_block_count[tid]))
             row[slot] = row.get(slot, 0.0) + slot_idf[slot]
         rows.append(row)
     s_pad = next_pow2(max(len(slot_start), slot_bucket))
@@ -174,19 +246,45 @@ def build_impact_batch(seg, dseg, queries: list[list[tuple[str, str]]],
     # pads point past Q*S into the dump zone, keeping indices sorted+unique
     for i in range(len(w_entries), w_pad):
         w_idx[i] = q * s_pad + (i - len(w_entries))
+    blk_idx, slot_row, nb_pad = build_block_tables(
+        slot_bstart, slot_bcnt, sentinel_row=dseg.n_block_rows)
     out = {
         "slot_start": np.zeros(s_pad, dtype=np.int32),
         "slot_len": np.zeros(s_pad, dtype=np.int32),
         "w_idx": w_idx,
         "w_val": w_val,
         "p_pad": pow4_bucket(int(sum(slot_len))),
+        "blk_idx": blk_idx,
+        "slot_row": slot_row,
+        "nb_pad": nb_pad,
+        "s_pad": s_pad,
         "n_queries": q,
         "slot_tids": np.asarray(slot_tids, dtype=np.int64),
         "n_slots": len(slot_start),
     }
     out["slot_start"][:len(slot_start)] = slot_start
     out["slot_len"][:len(slot_len)] = slot_len
-    if s_pad * (dseg.n1) + out["p_pad"] >= 2**31:
+    if s_pad * (dseg.n1) + nb_pad * 128 >= 2**31:
         raise OverflowError(
             "impact matrix exceeds int32 indexing; shard the doc space")
     return out
+
+
+def build_block_tables(slot_bstart, slot_bcnt, sentinel_row: int,
+                       min_blocks: int = 32):
+    """Expand per-slot block ranges into (blk_idx, slot_row) gather
+    tables, padded to a pow-4 block bucket with the segment's sentinel
+    block row (all pad docs → dump zone)."""
+    starts = np.asarray(slot_bstart, dtype=np.int64)
+    cnts = np.asarray(slot_bcnt, dtype=np.int64)
+    total = int(cnts.sum())
+    nb_pad = pow4_bucket(max(total, 1), minimum=min_blocks)
+    blk_idx = np.full(nb_pad, sentinel_row, dtype=np.int32)
+    slot_row = np.zeros(nb_pad, dtype=np.int32)
+    if total:
+        prev = np.concatenate([[0], np.cumsum(cnts)[:-1]])
+        blk_idx[:total] = (np.repeat(starts - prev, cnts)
+                           + np.arange(total)).astype(np.int32)
+        slot_row[:total] = np.repeat(
+            np.arange(len(cnts), dtype=np.int32), cnts)
+    return blk_idx, slot_row, nb_pad

@@ -361,13 +361,13 @@ class CompiledQuery:
         jnp = self._jnp
         jax = self._jax
 
-        def run(docs_flat, impacts_flat, deleted,
-                slot_start, slot_len, w_leaf, leaf_ind, group_ind,
+        def run(block_docs, block_impacts, deleted,
+                blk_idx, slot_row, w_leaf, leaf_ind, group_ind,
                 phrase_masks, filter_masks, col_vals, col_has,
                 root_mask, cursor_score, cursor_eq_mode, cursor_doc,
-                *, k: int, p_pad: int, has_scored_terms: bool,
+                *, k: int, s_pad: int, has_scored_terms: bool,
                 need_scores: bool, use_cursor: bool):
-            from searchlite_tpu.ops.impact import build_m
+            from searchlite_tpu.ops.impact import build_m_from_blocks
 
             n1 = deleted.shape[0]
 
@@ -375,8 +375,8 @@ class CompiledQuery:
             zeros = jnp.zeros(n1, dtype=jnp.float32)
 
             # --- densify the query's term slots, score on the MXU ---
-            m = build_m(jnp, docs_flat, impacts_flat, slot_start,
-                        slot_len, n1, p_pad)
+            m = build_m_from_blocks(jnp, block_docs, block_impacts,
+                                    blk_idx, slot_row, n1, s_pad)
             m_pos = (m > 0).astype(jnp.float32)
             leaf_scores = jnp.dot(w_leaf, m,
                                   preferred_element_type=jnp.float32)
@@ -453,7 +453,7 @@ class CompiledQuery:
                     adjusted, cursor_seen, text_mask)
 
         return jax.jit(run, static_argnames=(
-            "k", "p_pad", "has_scored_terms", "need_scores", "use_cursor"))
+            "k", "s_pad", "has_scored_terms", "need_scores", "use_cursor"))
 
     def executor(self):
         if "run" not in self._jit_cache:
