@@ -1287,8 +1287,6 @@ class IndexReader:
         Queries containing phrases/negations or requests needing filters
         should use :meth:`search`.
         """
-        from searchlite_tpu.ops.batch import make_batched_scorer
-
         import jax.numpy as jnp
 
         if limit <= 0:
@@ -1296,32 +1294,40 @@ class IndexReader:
         if fields is None:
             fields = [f.name for f in self.schema.text_fields]
 
-        # analyze every query into (field, token) lists
+        # analyze every query into (field, token) lists; memoize per
+        # (field, raw-term) — batches repeat terms heavily
+        from searchlite_tpu.query.parser import parse_query
+
+        token_cache: dict[tuple[str, str], list[tuple[str, str]]] = {}
+
+        def term_pairs(field: str, raw_term: str):
+            key = (field, raw_term)
+            hit = token_cache.get(key)
+            if hit is None:
+                kind = self.schema.field_kind(field)
+                if kind == "keyword":
+                    hit = [(field, raw_term.lower())]
+                else:
+                    analyzer = self.analysis.search_analyzer(field)
+                    hit = ([] if analyzer is None else
+                           [(field, tok.text)
+                            for tok in analyzer.analyze(raw_term)])
+                token_cache[key] = hit
+            return hit
+
         analyzed: list[list[tuple[str, str]]] = []
         for raw in queries:
             pairs: list[tuple[str, str]] = []
-            from searchlite_tpu.query.parser import parse_query
-
             parsed = parse_query(raw)
             for term in parsed.terms:
                 term_fields = ([term.field] if term.field is not None
                                else fields)
                 for field in term_fields:
-                    kind = self.schema.field_kind(field)
-                    if kind == "keyword":
-                        pairs.append((field, term.term.lower()))
-                        continue
-                    analyzer = self.analysis.search_analyzer(field)
-                    if analyzer is None:
-                        continue
-                    for tok in analyzer.analyze(term.term):
-                        pairs.append((field, tok.text))
+                    pairs.extend(term_pairs(field, term.term))
             analyzed.append(pairs)
 
         # per-segment batched scoring, merged across segments per query
-        merged: list[dict] = [dict() for _ in queries]
-        from searchlite_tpu.ops.batch import build_query_batch
-
+        per_segment: list[tuple[int, np.ndarray, np.ndarray]] = []
         from searchlite_tpu.ops.impact import build_impact_batch
 
         # memory budget for the dense M + score matrices on one chip; past
@@ -1352,14 +1358,34 @@ class IndexReader:
             else:
                 scores, ids = self._search_batch_sharded(
                     dseg, analyzed, qb, limit, est_bytes, m_budget_bytes)
+            per_segment.append((dseg.ord, np.asarray(scores),
+                                np.asarray(ids)))
+
+        results: list[list[tuple[str, float]]] = []
+        if len(per_segment) == 1:
+            # single-segment fast path: top_k output is already in the
+            # merge order (score desc, doc asc — lowest-index-first ties)
+            seg_ord, scores, ids = per_segment[0]
+            seg = self.segments[seg_ord]
+            doc_id = seg.doc_id
+            for qi in range(len(queries)):
+                row = []
+                for score, doc in zip(scores[qi].tolist(),
+                                      ids[qi].tolist()):
+                    if score == -np.inf:
+                        continue
+                    row.append((doc_id(int(doc)), score))
+                results.append(row)
+            return results
+
+        merged: list[dict] = [dict() for _ in queries]
+        for seg_ord, scores, ids in per_segment:
             for qi in range(len(queries)):
                 for score, doc in zip(scores[qi].tolist(),
                                       ids[qi].tolist()):
                     if score == -np.inf:
                         continue
-                    merged[qi][(dseg.ord, int(doc))] = float(score)
-
-        results: list[list[tuple[str, float]]] = []
+                    merged[qi][(seg_ord, int(doc))] = float(score)
         for qi in range(len(queries)):
             ranked = sorted(merged[qi].items(),
                             key=lambda kv: (-kv[1], kv[0]))[:limit]
