@@ -695,6 +695,15 @@ class IndexReader:
 
         import jax.numpy as jnp
 
+        # phase 1 — launch: per-segment host prep + async dispatch. All
+        # segments' device work runs while later segments' host prep
+        # proceeds; nothing blocks until the single bulk fetch below.
+        needs_mask_host = (agg_pipeline is not None
+                           or not score_fast_path
+                           or req.collapse is not None)
+        use_cursor = (cursor_key is not None and score_fast_path
+                      and vector_plan is None)
+        pending = []  # (dseg, qargs, fetch_refs)
         for dseg in self.device_segments:
             seg = dseg.reader
             if seg.doc_count == 0:
@@ -714,8 +723,6 @@ class IndexReader:
                     seg.fast, [req.filter])
                 root_mask[seg.doc_count] = False
 
-            use_cursor = (cursor_key is not None and score_fast_path
-                          and vector_plan is None)
             if use_cursor:
                 cs = float(cursor_key.parts[0])
                 if dseg.ord < cursor_key.segment_ord:
@@ -744,12 +751,6 @@ class IndexReader:
                 k=k, s_pad=qargs["s_pad"], has_scored_terms=has_scored,
                 need_scores=need_scores, use_cursor=use_cursor)
 
-            import jax
-
-            needs_mask_host = (agg_pipeline is not None
-                               or not score_fast_path
-                               or req.collapse is not None)
-            # one host<->device round trip for everything this segment needs
             fetch = [top_scores, top_idx, match_count, cursor_seen]
             if needs_mask_host:
                 fetch.append(final_mask)
@@ -757,7 +758,21 @@ class IndexReader:
                 fetch.append(text_mask)
             if need_scores and not score_fast_path:
                 fetch.append(adjusted)
-            fetched = list(jax.device_get(tuple(fetch)))
+            pending.append((dseg, qargs, fetch))
+
+        import jax
+
+        # one host<->device round trip for everything every segment needs
+        flat_refs = [ref for _dseg, _qargs, fetch in pending
+                     for ref in fetch]
+        flat_vals = list(jax.device_get(tuple(flat_refs)))
+
+        # phase 2 — host processing, in segment order
+        vals_cursor = 0
+        for dseg, qargs, fetch in pending:
+            seg = dseg.reader
+            fetched = flat_vals[vals_cursor:vals_cursor + len(fetch)]
+            vals_cursor += len(fetch)
             top_scores_np, top_idx_np, match_count, cursor_seen = \
                 fetched[:4]
             cursor = 4
@@ -1452,7 +1467,7 @@ class IndexReader:
         import jax
         import jax.numpy as jnp
 
-        from searchlite_tpu.ops.impact import pow4_bucket
+        from searchlite_tpu.ops.impact import build_block_tables
 
         n_shards = 1
         while est_bytes // n_shards > budget:
@@ -1460,40 +1475,37 @@ class IndexReader:
         shards = dseg.doc_shards(n_shards)
         width = shards["shard_width"]
         n_terms = shards["n_terms"]
-        scorer = self._flat_batched_scorer()
+        scorer = self._batched_scorer()
         tids = qb["slot_tids"]
-        n_slots = qb["n_slots"]
-        s_pad = len(qb["slot_start"])
+        s_pad = qb["s_pad"]
         q = qb["n_queries"]
         per_shard = []
-        # uniform p_pad bucket across shards to share one compile
-        max_total = 0
+        # uniform block bucket across shards to share one compile
         shard_tables = []
+        max_blocks = 1
         for d in range(n_shards):
             keys = d * n_terms + tids
-            starts = shards["base"][keys]
-            lens = shards["counts"][keys]
-            slot_start = np.zeros(s_pad, dtype=np.int32)
-            slot_len = np.zeros(s_pad, dtype=np.int32)
-            slot_start[:n_slots] = starts
-            slot_len[:n_slots] = lens
-            shard_tables.append((slot_start, slot_len))
-            max_total = max(max_total, int(lens.sum()))
-        p_pad = pow4_bucket(max_total)
+            bstarts = shards["block_base"][keys]
+            bcnts = shards["blocks"][keys]
+            shard_tables.append((bstarts, bcnts))
+            max_blocks = max(max_blocks, int(bcnts.sum()))
         deleted_np = dseg.deleted_np
         for d in range(n_shards):
             lo = d * width
             hi = min(lo + width, dseg.n1)
-            local_deleted = np.ones(width, dtype=bool)
+            local_deleted = np.ones(width + 1, dtype=bool)
             local_deleted[: hi - lo] = deleted_np[lo:hi]
-            slot_start, slot_len = shard_tables[d]
+            bstarts, bcnts = shard_tables[d]
+            blk_idx, slot_row, _ = build_block_tables(
+                bstarts, bcnts, sentinel_row=shards["sentinel_row"],
+                min_blocks=max_blocks)
             k = min(limit, width)
             scores, ids = scorer(
-                shards["docs_flat"], shards["impacts_flat"],
+                shards["block_docs"], shards["block_impacts"],
                 jnp.asarray(local_deleted),
-                jnp.asarray(slot_start), jnp.asarray(slot_len),
+                jnp.asarray(blk_idx), jnp.asarray(slot_row),
                 jnp.asarray(qb["w_idx"]), jnp.asarray(qb["w_val"]),
-                k=k, p_pad=p_pad, n_queries=q)
+                k=k, s_pad=s_pad, n_queries=q)
             per_shard.append((scores, ids, lo))
         all_scores = []
         all_ids = []

@@ -176,22 +176,41 @@ class DeviceSegment:
         shard_width = -(-self.n1 // n_shards)
         shard_of = (docs_flat // shard_width).astype(np.int32)
         order = np.lexsort((docs_flat, term_of_posting, shard_of))
-        docs_sh = docs_flat[order] - shard_of[order].astype(np.int64) \
-            * shard_width
+        docs_sh = (docs_flat[order] - shard_of[order].astype(np.int64)
+                   * shard_width).astype(np.int32)
         imps_sh = impacts_flat[order]
-        # per-(term, shard) posting range starts: group key sorted by
+        # per-(term, shard) posting counts: group key sorted by
         # (shard, term), so offsets come from a bincount over key ids
         key = shard_of[order].astype(np.int64) * n_terms + \
             term_of_posting[order]
         counts = np.bincount(key, minlength=n_shards * n_terms)
         base = np.concatenate([[0], np.cumsum(counts)])
+        # re-blocked 128-wide layout per (term, shard) run, so shards
+        # score through the same block-gather M build as whole segments;
+        # local sentinel doc = shard_width (per-shard n1 = width+1)
+        blocks = -(-counts // 128)
+        block_base = np.concatenate([[0], np.cumsum(blocks)])
+        total_blocks = int(block_base[-1])
+        bdocs = np.full((total_blocks + 1, 128), shard_width,
+                        dtype=np.int32)
+        bimps = np.zeros((total_blocks + 1, 128), dtype=np.float32)
+        if len(docs_sh):
+            run_of = np.repeat(np.arange(len(counts), dtype=np.int64),
+                               counts)
+            offset = np.arange(len(docs_sh), dtype=np.int64) \
+                - base[:-1][run_of]
+            dest = block_base[:-1][run_of] * 128 + offset
+            bdocs.reshape(-1)[dest] = docs_sh
+            bimps.reshape(-1)[dest] = imps_sh
         cached = {
             "n_shards": n_shards,
             "shard_width": int(shard_width),
-            "docs_flat": jnp.asarray(docs_sh.astype(np.int32)),
-            "impacts_flat": jnp.asarray(imps_sh.astype(np.float32)),
-            # start[shard*n_terms + term], len likewise (host numpy)
-            "base": base,
+            "block_docs": jnp.asarray(bdocs),
+            "block_impacts": jnp.asarray(bimps),
+            # block range of key = shard*n_terms + term (host numpy)
+            "block_base": block_base,
+            "blocks": blocks,
+            "sentinel_row": total_blocks,
             "counts": counts,
             "n_terms": n_terms,
         }

@@ -85,8 +85,10 @@ def test_c_host_end_to_end(ffi_lib, tmp_path):
     env = dict(os.environ)
     env["PYTHONPATH"] = here + os.pathsep + env.get("PYTHONPATH", "")
     env["JAX_PLATFORMS"] = "cpu"
+    # generous timeout: the C host cold-starts an embedded CPython + jax
+    # import, which can take minutes on a loaded machine
     proc = subprocess.run([str(exe), str(idx_dir)], capture_output=True,
-                          text=True, timeout=300, env=env)
+                          text=True, timeout=560, env=env)
     assert proc.returncode == 0, (proc.returncode, proc.stdout, proc.stderr)
 
     lines = dict(line.split(" ", 1) for line in
