@@ -1351,13 +1351,16 @@ class IndexReader:
         m_budget_bytes = int(os.environ.get(
             "SEARCHLITE_M_BUDGET_BYTES", 2 * 1024**3))
 
+        import jax
+
+        # launch every segment async; fetch everything in one round trip
+        launched: list[tuple[int, Any, Any]] = []
         for dseg in self.device_segments:
             seg = dseg.reader
             if seg.doc_count == 0:
                 continue
             qb = build_impact_batch(seg, dseg, analyzed)
             scorer = self._batched_scorer()
-            import jax
 
             s_pad = len(qb["slot_start"])
             est_bytes = (s_pad + len(analyzed)) * dseg.n1 * 4
@@ -1369,12 +1372,15 @@ class IndexReader:
                     jnp.asarray(qb["slot_row"]),
                     jnp.asarray(qb["w_idx"]), jnp.asarray(qb["w_val"]),
                     k=k, s_pad=qb["s_pad"], n_queries=qb["n_queries"])
-                scores, ids = jax.device_get((scores, ids))
             else:
                 scores, ids = self._search_batch_sharded(
                     dseg, analyzed, qb, limit, est_bytes, m_budget_bytes)
-            per_segment.append((dseg.ord, np.asarray(scores),
-                                np.asarray(ids)))
+            launched.append((dseg.ord, scores, ids))
+        fetched = jax.device_get(tuple(
+            x for _ord, scores, ids in launched for x in (scores, ids)))
+        for i, (seg_ord, _s, _i) in enumerate(launched):
+            per_segment.append((seg_ord, np.asarray(fetched[2 * i]),
+                                np.asarray(fetched[2 * i + 1])))
 
         results: list[list[tuple[str, float]]] = []
         if len(per_segment) == 1:
@@ -1467,7 +1473,7 @@ class IndexReader:
         import jax
         import jax.numpy as jnp
 
-        from searchlite_tpu.ops.impact import build_block_tables
+        from searchlite_tpu.ops.impact import build_block_tables, pow4_bucket
 
         n_shards = 1
         while est_bytes // n_shards > budget:
@@ -1480,7 +1486,8 @@ class IndexReader:
         s_pad = qb["s_pad"]
         q = qb["n_queries"]
         per_shard = []
-        # uniform block bucket across shards to share one compile
+        # uniform pow-4 block bucket across shards AND batches so all
+        # shard launches share one compiled trace
         shard_tables = []
         max_blocks = 1
         for d in range(n_shards):
@@ -1489,6 +1496,7 @@ class IndexReader:
             bcnts = shards["blocks"][keys]
             shard_tables.append((bstarts, bcnts))
             max_blocks = max(max_blocks, int(bcnts.sum()))
+        max_blocks = pow4_bucket(max_blocks, minimum=32)
         deleted_np = dseg.deleted_np
         for d in range(n_shards):
             lo = d * width
