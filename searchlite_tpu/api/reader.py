@@ -1302,17 +1302,31 @@ class IndexReader:
         Queries containing phrases/negations or requests needing filters
         should use :meth:`search`.
         """
+        return self.search_batch_many([queries], limit=limit,
+                                      fields=fields)[0]
+
+    def search_batch_many(self, batches: list[list[str]], limit: int = 10,
+                          fields: Optional[list[str]] = None
+                          ) -> list[list[list[tuple[str, float]]]]:
+        """Pipelined form of :meth:`search_batch` for a stream of
+        batches: every batch's device work is dispatched asynchronously
+        before ANY result is fetched, so host prep, device compute, and
+        the host<->device round trip all overlap across batches (the
+        sustained-throughput serving pattern). Results are identical to
+        calling ``search_batch`` per batch."""
+        import jax
         import jax.numpy as jnp
+
+        from searchlite_tpu.ops.impact import build_impact_batch
+        from searchlite_tpu.query.parser import parse_query
 
         if limit <= 0:
             raise QueryError("limit must be > 0")
         if fields is None:
             fields = [f.name for f in self.schema.text_fields]
 
-        # analyze every query into (field, token) lists; memoize per
-        # (field, raw-term) — batches repeat terms heavily
-        from searchlite_tpu.query.parser import parse_query
-
+        # token analysis memoized per (field, raw-term) across ALL
+        # batches — workloads repeat terms heavily
         token_cache: dict[tuple[str, str], list[tuple[str, str]]] = {}
 
         def term_pairs(field: str, raw_term: str):
@@ -1330,58 +1344,70 @@ class IndexReader:
                 token_cache[key] = hit
             return hit
 
-        analyzed: list[list[tuple[str, str]]] = []
-        for raw in queries:
-            pairs: list[tuple[str, str]] = []
-            parsed = parse_query(raw)
-            for term in parsed.terms:
-                term_fields = ([term.field] if term.field is not None
-                               else fields)
-                for field in term_fields:
-                    pairs.extend(term_pairs(field, term.term))
-            analyzed.append(pairs)
-
-        # per-segment batched scoring, merged across segments per query
-        per_segment: list[tuple[int, np.ndarray, np.ndarray]] = []
-        from searchlite_tpu.ops.impact import build_impact_batch
-
-        # memory budget for the dense M + score matrices on one chip; past
-        # it, loop host-defined doc shards (each shard's postings stay
-        # term-major/doc-ascending so the sorted-unique M build holds)
+        # memory budget for the dense M + score matrices on one chip;
+        # past it, loop host-defined doc shards
         m_budget_bytes = int(os.environ.get(
             "SEARCHLITE_M_BUDGET_BYTES", 2 * 1024**3))
 
-        import jax
+        # phase 1 — per batch: analyze, build args, dispatch all segments
+        launches = []  # per batch: list of (seg_ord, scores, ids)
+        for queries in batches:
+            analyzed: list[list[tuple[str, str]]] = []
+            for raw in queries:
+                pairs: list[tuple[str, str]] = []
+                parsed = parse_query(raw)
+                for term in parsed.terms:
+                    term_fields = ([term.field] if term.field is not None
+                                   else fields)
+                    for field in term_fields:
+                        pairs.extend(term_pairs(field, term.term))
+                analyzed.append(pairs)
 
-        # launch every segment async; fetch everything in one round trip
-        launched: list[tuple[int, Any, Any]] = []
-        for dseg in self.device_segments:
-            seg = dseg.reader
-            if seg.doc_count == 0:
-                continue
-            qb = build_impact_batch(seg, dseg, analyzed)
-            scorer = self._batched_scorer()
+            launched: list[tuple[int, Any, Any]] = []
+            for dseg in self.device_segments:
+                seg = dseg.reader
+                if seg.doc_count == 0:
+                    continue
+                qb = build_impact_batch(seg, dseg, analyzed)
+                scorer = self._batched_scorer()
+                s_pad = len(qb["slot_start"])
+                est_bytes = (s_pad + len(analyzed)) * dseg.n1 * 4
+                if est_bytes <= m_budget_bytes:
+                    k = min(limit, dseg.n1)
+                    scores, ids = scorer(
+                        dseg.block_docs, dseg.block_impacts, dseg.deleted,
+                        jnp.asarray(qb["blk_idx"]),
+                        jnp.asarray(qb["slot_row"]),
+                        jnp.asarray(qb["w_idx"]), jnp.asarray(qb["w_val"]),
+                        k=k, s_pad=qb["s_pad"], n_queries=qb["n_queries"])
+                else:
+                    scores, ids = self._search_batch_sharded(
+                        dseg, analyzed, qb, limit, est_bytes,
+                        m_budget_bytes)
+                launched.append((dseg.ord, scores, ids))
+            launches.append(launched)
 
-            s_pad = len(qb["slot_start"])
-            est_bytes = (s_pad + len(analyzed)) * dseg.n1 * 4
-            if est_bytes <= m_budget_bytes:
-                k = min(limit, dseg.n1)
-                scores, ids = scorer(
-                    dseg.block_docs, dseg.block_impacts, dseg.deleted,
-                    jnp.asarray(qb["blk_idx"]),
-                    jnp.asarray(qb["slot_row"]),
-                    jnp.asarray(qb["w_idx"]), jnp.asarray(qb["w_val"]),
-                    k=k, s_pad=qb["s_pad"], n_queries=qb["n_queries"])
-            else:
-                scores, ids = self._search_batch_sharded(
-                    dseg, analyzed, qb, limit, est_bytes, m_budget_bytes)
-            launched.append((dseg.ord, scores, ids))
-        fetched = jax.device_get(tuple(
-            x for _ord, scores, ids in launched for x in (scores, ids)))
-        for i, (seg_ord, _s, _i) in enumerate(launched):
-            per_segment.append((seg_ord, np.asarray(fetched[2 * i]),
-                                np.asarray(fetched[2 * i + 1])))
+        # phase 2 — ONE bulk fetch for every batch and segment
+        flat_refs = [x for launched in launches
+                     for _ord, scores, ids in launched
+                     for x in (scores, ids)]
+        flat_vals = list(jax.device_get(tuple(flat_refs)))
 
+        # phase 3 — host merge per batch
+        out: list[list[list[tuple[str, float]]]] = []
+        cursor = 0
+        for queries, launched in zip(batches, launches):
+            per_segment = []
+            for seg_ord, _s, _i in launched:
+                per_segment.append((seg_ord,
+                                    np.asarray(flat_vals[cursor]),
+                                    np.asarray(flat_vals[cursor + 1])))
+                cursor += 2
+            out.append(self._merge_batch_results(
+                queries, per_segment, limit))
+        return out
+
+    def _merge_batch_results(self, queries, per_segment, limit: int):
         results: list[list[tuple[str, float]]] = []
         if len(per_segment) == 1:
             # single-segment fast path: top_k output is already in the

@@ -86,3 +86,15 @@ def test_batch_field_qualified(index):
     batch = reader.search_batch(["title:w5"], limit=5)
     single = reader.search({"query": "title:w5", "limit": 5})
     assert [d for d, _ in batch[0]] == [h.doc_id for h in single.hits]
+
+
+def test_search_batch_many_matches_sequential(index):
+    rng = random.Random(12)
+    reader = index.reader()
+    batches = [[" ".join(rng.sample([f"w{i}" for i in range(60)],
+                                    k=rng.randint(1, 4)))
+                for _ in range(8)] for _ in range(3)]
+    pipelined = reader.search_batch_many(batches, limit=10)
+    sequential = [reader.search_batch(batch, limit=10)
+                  for batch in batches]
+    assert pipelined == sequential
