@@ -3,6 +3,7 @@
 Route parity with searchlite-http (`searchlite-http/src/lib.rs:327-344`):
 GET  /healthz /inspect /stats
 POST /init /add (x-ndjson) /bulk /delete /commit /refresh /compact /search
+/search_batch (TPU extension: one device launch per batch)
 
 Error shape ``{"error": {"type": ..., "reason": ...}}``
 (`lib.rs:110-120`). Config knobs mirror ServeArgs with SEARCHLITE_* env
@@ -155,6 +156,7 @@ class Handler(BaseHTTPRequestHandler):
             ("POST", "/refresh"): self.handle_refresh,
             ("POST", "/compact"): self.handle_compact,
             ("POST", "/search"): self.handle_search,
+            ("POST", "/search_batch"): self.handle_search_batch,
         }
         handler = routes.get((method, path))
         if handler is None:
@@ -294,6 +296,29 @@ class Handler(BaseHTTPRequestHandler):
         except (QueryError, CursorError, SchemaError) as e:
             raise HttpError(400, "search_failed", str(e)) from e
         self._send_json(200, result.to_json())
+
+    def handle_search_batch(self):
+        """TPU extension beyond the reference surface: score a batch of
+        query strings in one device launch.
+        Body: {"queries": [...], "limit": N, "fields": [...]?}
+        Response: {"results": [[{"doc_id", "score"}...] per query]}."""
+        reader = self.state.reader()
+        body = self._json_body()
+        queries = body.get("queries")
+        if not isinstance(queries, list) or \
+                not all(isinstance(q, str) for q in queries):
+            raise HttpError(400, "bad_request",
+                            "`queries` must be a list of strings")
+        limit = body.get("limit", 10)
+        fields = body.get("fields")
+        try:
+            rows = reader.search_batch(queries, limit=int(limit),
+                                       fields=fields)
+        except (QueryError, CursorError, SchemaError) as e:
+            raise HttpError(400, "search_failed", str(e)) from e
+        self._send_json(200, {"results": [
+            [{"doc_id": doc_id, "score": score} for doc_id, score in row]
+            for row in rows]})
 
     def handle_inspect(self):
         index = self.state.require_index()

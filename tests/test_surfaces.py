@@ -2,6 +2,7 @@
 and the searchlite-http README smoke flow)."""
 
 import json
+import os
 import threading
 import urllib.request
 
@@ -167,6 +168,16 @@ class TestHttp:
         assert body["total_hits_estimate"] == 1
         assert body["hits"][0]["doc_id"] == "doc-1"
 
+        status, body = self.call(server, "POST", "/search_batch",
+                                 {"queries": ["rust", "nosuchterm"],
+                                  "limit": 5})
+        assert status == 200
+        assert body["results"][0][0]["doc_id"] == "doc-1"
+        assert body["results"][1] == []
+        status, body = self.call(server, "POST", "/search_batch",
+                                 {"queries": "rust"})
+        assert status == 400
+
         status, body = self.call(server, "GET", "/stats")
         assert status == 200 and body["documents"] == 3
 
@@ -230,3 +241,16 @@ class TestHttp:
                                  {"query": "x", "limit": 0})
         assert status == 400
         assert body["error"]["type"] == "search_failed"
+
+
+def test_openapi_spec_parses_and_covers_routes():
+    """openapi.yaml must stay valid YAML and document every HTTP route."""
+    yaml = pytest.importorskip("yaml")
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(here, "openapi.yaml")) as fh:
+        spec = yaml.safe_load(fh)
+    documented = set(spec["paths"])
+    for route in ("/healthz", "/init", "/add", "/bulk", "/delete",
+                  "/commit", "/refresh", "/compact", "/search",
+                  "/search_batch", "/inspect", "/stats"):
+        assert route in documented, route
