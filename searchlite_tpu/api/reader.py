@@ -1126,9 +1126,10 @@ class IndexReader:
                 search_k = min(max(clause.candidate_size, clause.k),
                                seg.doc_count)
                 query = np.asarray([clause.vector], dtype=np.float32)
+                vf = self.schema.vector_field(clause.field)
                 scores, ids = vector_topk(
-                    vdata.vectors, vdata.present, base_mask, query,
-                    search_k, clause.metric)
+                    vdata, base_mask, query, search_k, clause.metric,
+                    quantization=(vf.quantization if vf else None))
                 for score, doc in zip(scores[0].tolist(), ids[0].tolist()):
                     if score == -np.inf:
                         continue

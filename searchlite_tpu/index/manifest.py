@@ -156,6 +156,12 @@ class VectorField:
     name: str
     dim: int
     metric: str = "cosine"  # "cosine" | "l2"
+    # device-side quantization (None | "bf16" | "int8") — realizes the
+    # reference's quantization stub (`vectors/quant.rs:1-3`) as an
+    # opt-in: vectors are stored f32 on disk and quantized at upload
+    # (bf16: half the HBM + 2x MXU; int8: quarter HBM, int8 MXU matmul
+    # with per-vector f32 scales). Scores become approximate.
+    quantization: Optional[str] = None
 
     @classmethod
     def from_json(cls, obj: dict) -> "VectorField":
@@ -164,13 +170,26 @@ class VectorField:
             metric = metric.lower()
         if metric not in ("cosine", "l2"):
             raise SchemaError(f"unknown vector metric `{metric}`")
-        return cls(name=obj["name"], dim=int(obj["dim"]), metric=metric)
+        quant = obj.get("quantization")
+        if isinstance(quant, str):
+            quant = quant.lower()
+            if quant in ("none", ""):
+                quant = None
+        if quant not in (None, "bf16", "int8"):
+            raise SchemaError(
+                f"unknown vector quantization `{quant}` "
+                "(expected bf16 or int8)")
+        return cls(name=obj["name"], dim=int(obj["dim"]), metric=metric,
+                   quantization=quant)
 
     def to_json(self) -> dict:
-        return {
+        out = {
             "name": self.name, "dim": self.dim,
             "metric": "Cosine" if self.metric == "cosine" else "L2",
         }
+        if self.quantization is not None:
+            out["quantization"] = self.quantization
+        return out
 
 
 @dataclass

@@ -1,4 +1,4 @@
-"""Exact vector similarity on the MXU.
+"""Exact vector similarity on the MXU, with opt-in quantization.
 
 Replaces the reference's single-layer HNSW graph (`vectors/hnsw.rs`) —
 a pointer-chasing beam search that maps badly to TPUs — with exact
@@ -8,10 +8,22 @@ ANN graph on recall and is faster on this hardware for corpus sizes the
 reference targets; it also realizes the reference's stubbed ``gpu``
 rerank path (`gpu/rerank.rs:1-6`).
 
+Quantization (realizing the reference's stub `vectors/quant.rs:1-3`,
+opt-in per vector field via the schema):
+- ``bf16``: vectors and queries cast to bfloat16 with f32 accumulation
+  (half the HBM residency, ~2x MXU throughput, ~3 significant digits).
+- ``int8``: symmetric per-vector quantization ``q = round(v·127/max|v|)``
+  with f32 scales; the dot runs as an int8 MXU matmul accumulating in
+  int32, rescaled ``dot·scale_v·scale_q`` in f32. L2 uses the exact f32
+  norms with the quantized cross-term.
+
 Metric semantics parity (`vectors/mod.rs:83-129`):
 - cosine: dot product over ingest-normalized vectors
 - l2: negated euclidean distance (higher is better)
 Missing vectors never match (the caller blends the missing penalty).
+
+Device residency: quantized (or f32) vector buffers are cached on the
+``VectorData`` object, so repeated searches re-upload only the query.
 """
 
 from __future__ import annotations
@@ -25,20 +37,31 @@ def make_vector_topk():
     import jax
     import jax.numpy as jnp
 
-    @partial(jax.jit, static_argnames=("k", "metric"))
-    def run(vectors, present, mask, queries, *, k: int, metric: str):
-        """vectors [N, D]; present/mask [N]; queries [Q, D] →
-        (scores [Q, k], ids [Q, k])."""
-        if metric == "cosine":
-            sims = jnp.dot(queries, vectors.T,
-                           preferred_element_type=jnp.float32)
+    @partial(jax.jit, static_argnames=("k", "metric", "quantization"))
+    def run(vectors, v_scale, v_sq, present, mask, queries, q_scale,
+            *, k: int, metric: str, quantization: str):
+        """vectors [N, D] (f32 / bf16 / int8); v_scale/v_sq [N] f32;
+        present/mask [N]; queries [Q, D] (matching dtype); q_scale [Q]
+        f32 → (scores [Q, k], ids [Q, k])."""
+        if quantization == "int8":
+            dots = jnp.dot(queries.astype(jnp.int8), vectors.T,
+                           preferred_element_type=jnp.int32)
+            dots = dots.astype(jnp.float32) * \
+                (q_scale[:, None] * v_scale[None, :])
         else:
-            # -||v - q|| expanded via the MXU-friendly identity
-            v_sq = jnp.sum(vectors * vectors, axis=1)[None, :]
-            q_sq = jnp.sum(queries * queries, axis=1)[:, None]
             dots = jnp.dot(queries, vectors.T,
                            preferred_element_type=jnp.float32)
-            sims = -jnp.sqrt(jnp.maximum(v_sq + q_sq - 2.0 * dots, 0.0))
+        if metric == "cosine":
+            sims = dots
+        else:
+            # -||v - q|| expanded via the MXU-friendly identity,
+            # with exact f32 norms regardless of quantization
+            q_sq = jnp.sum(
+                (queries.astype(jnp.float32) * q_scale[:, None]
+                 if quantization == "int8"
+                 else queries.astype(jnp.float32)) ** 2, axis=1)
+            sims = -jnp.sqrt(jnp.maximum(
+                v_sq[None, :] + q_sq[:, None] - 2.0 * dots, 0.0))
         ok = (present & mask)[None, :]
         masked = jnp.where(ok, sims, -jnp.inf)
         return jax.lax.top_k(masked, k)
@@ -49,19 +72,70 @@ def make_vector_topk():
 _TOPK = None
 
 
-def vector_topk(vectors: np.ndarray, present: np.ndarray, mask: np.ndarray,
-                queries: np.ndarray, k: int, metric: str):
+def quantize_int8(vectors: np.ndarray):
+    """Symmetric per-row int8: returns (q [N,D] int8, scale [N] f32)."""
+    amax = np.abs(vectors).max(axis=1) if vectors.size else \
+        np.zeros(vectors.shape[0], dtype=np.float32)
+    scale = np.where(amax > 0, amax / 127.0, 1.0).astype(np.float32)
+    q = np.clip(np.rint(vectors / scale[:, None]), -127, 127)
+    return q.astype(np.int8), scale
+
+
+def _device_vectors(vdata, quantization: str):
+    """Upload (and cache on vdata) the device-resident buffers for the
+    requested quantization level."""
+    import jax.numpy as jnp
+
+    cache = vdata.__dict__.setdefault("_device_cache", {})
+    hit = cache.get(quantization)
+    if hit is not None:
+        return hit
+    vecs = vdata.vectors
+    v_sq = np.sum(vecs.astype(np.float32) ** 2, axis=1)
+    if quantization == "int8":
+        q, scale = quantize_int8(vecs)
+        entry = (jnp.asarray(q), jnp.asarray(scale), jnp.asarray(v_sq),
+                 jnp.asarray(vdata.present))
+    elif quantization == "bf16":
+        entry = (jnp.asarray(vecs, dtype=jnp.bfloat16),
+                 jnp.ones(vecs.shape[0], jnp.float32),
+                 jnp.asarray(v_sq), jnp.asarray(vdata.present))
+    else:
+        entry = (jnp.asarray(vecs),
+                 jnp.ones(vecs.shape[0], jnp.float32),
+                 jnp.asarray(v_sq), jnp.asarray(vdata.present))
+    cache[quantization] = entry
+    return entry
+
+
+def vector_topk(vdata, mask: np.ndarray, queries: np.ndarray, k: int,
+                metric: str, quantization: str | None = None):
+    """vdata: VectorData (vectors [N,D] f32 + present [N]). Returns
+    (scores [Q,k], ids [Q,k]) numpy."""
     global _TOPK
     import jax.numpy as jnp
 
     if _TOPK is None:
         _TOPK = make_vector_topk()
-    k = min(k, vectors.shape[0]) if vectors.shape[0] else 0
-    if k == 0 or vectors.shape[0] == 0:
+    quant = quantization or "none"
+    n = vdata.vectors.shape[0]
+    k = min(k, n) if n else 0
+    if k == 0 or n == 0:
         q = queries.shape[0]
         return (np.zeros((q, 0), dtype=np.float32),
                 np.zeros((q, 0), dtype=np.int64))
-    scores, ids = _TOPK(
-        jnp.asarray(vectors), jnp.asarray(present), jnp.asarray(mask),
-        jnp.asarray(queries), k=k, metric=metric)
+    vectors, v_scale, v_sq, present = _device_vectors(vdata, quant)
+    if quant == "int8":
+        q_int8, q_scale = quantize_int8(queries.astype(np.float32))
+        dq = jnp.asarray(q_int8)
+        dqs = jnp.asarray(q_scale)
+    elif quant == "bf16":
+        dq = jnp.asarray(queries, dtype=jnp.bfloat16)
+        dqs = jnp.ones(queries.shape[0], jnp.float32)
+    else:
+        dq = jnp.asarray(queries)
+        dqs = jnp.ones(queries.shape[0], jnp.float32)
+    scores, ids = _TOPK(vectors, v_scale, v_sq, present,
+                        jnp.asarray(mask), dq, dqs,
+                        k=k, metric=metric, quantization=quant)
     return np.asarray(scores), np.asarray(ids)

@@ -210,3 +210,71 @@ class TestVectorMultiSegment:
                       "vector": [1.0, 0.0, 0.0, 0.0], "alpha": 0.0},
             "limit": 3})
         assert [h.doc_id for h in res.hits][:2] == ["a", "e"]
+
+
+class TestQuantization:
+    def make_index(self, quantization, metric="Cosine", dim=8, n=40):
+        rng = np.random.default_rng(3)
+        schema = Schema.from_json({
+            "text_fields": [{"name": "body", "analyzer": "default",
+                             "stored": False, "indexed": True}],
+            "vector_fields": [{"name": "embedding", "dim": dim,
+                               "metric": metric,
+                               "quantization": quantization}],
+        })
+        index = Index.create(
+            IndexOptions(path="", create_if_missing=True,
+                         storage=StorageType.IN_MEMORY), schema)
+        writer = index.writer()
+        vecs = rng.normal(size=(n, dim)).astype(np.float32)
+        for i in range(n):
+            writer.add_document({"_id": str(i), "body": "doc",
+                                 "embedding": vecs[i].tolist()})
+        writer.commit()
+        return index, vecs
+
+    @pytest.mark.parametrize("metric", ["Cosine", "L2"])
+    @pytest.mark.parametrize("quant", ["bf16", "int8"])
+    def test_quantized_recall(self, metric, quant):
+        index, vecs = self.make_index(quant, metric=metric)
+        exact, _ = self.make_index(None, metric=metric)
+        q = vecs[7] + 0.01
+        req = {"query": {"type": "vector", "field": "embedding",
+                         "vector": q.tolist(), "alpha": 0.0},
+               "limit": 10}
+        got = [h.doc_id for h in index.reader().search(req).hits]
+        want = [h.doc_id for h in exact.reader().search(req).hits]
+        # approximate: require >= 8/10 overlap and the true top-1
+        assert got[0] == want[0]
+        assert len(set(got) & set(want)) >= 8
+
+    def test_int8_matches_numpy_quantized_oracle(self):
+        from searchlite_tpu.ops.vector import quantize_int8, vector_topk
+        from searchlite_tpu.index.segment import VectorData
+
+        rng = np.random.default_rng(5)
+        vecs = rng.normal(size=(30, 8)).astype(np.float32)
+        vdata = VectorData(dim=8, metric="cosine", vectors=vecs,
+                           present=np.ones(30, dtype=bool))
+        query = rng.normal(size=(1, 8)).astype(np.float32)
+        scores, ids = vector_topk(vdata, np.ones(30, dtype=bool), query,
+                                  5, "cosine", quantization="int8")
+        qv, vs = quantize_int8(vecs)
+        qq, qs = quantize_int8(query)
+        sims = (qq.astype(np.int32) @ qv.astype(np.int32).T
+                ).astype(np.float32) * (qs[:, None] * vs[None, :])
+        order = np.argsort(-sims[0], kind="stable")[:5]
+        np.testing.assert_array_equal(ids[0], order)
+        np.testing.assert_allclose(scores[0], sims[0][order], rtol=1e-6)
+
+    def test_bad_quantization_rejected(self):
+        from searchlite_tpu.errors import SchemaError
+        with pytest.raises(SchemaError):
+            Schema.from_json({"vector_fields": [
+                {"name": "v", "dim": 4, "quantization": "fp4"}]})
+
+    def test_quantization_roundtrips_in_manifest(self):
+        schema = Schema.from_json({"vector_fields": [
+            {"name": "v", "dim": 4, "quantization": "INT8"}]})
+        out = schema.to_json()
+        assert out["vector_fields"][0]["quantization"] == "int8"
