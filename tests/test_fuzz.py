@@ -2,8 +2,10 @@
 feature surface must either succeed or raise typed Searchlite errors —
 never crash with arbitrary exceptions."""
 
+import math
 import random
 
+import numpy as np
 import pytest
 
 from searchlite_tpu.api.types import IndexOptions, StorageType
@@ -225,3 +227,76 @@ def test_fuzz_pagination_consistency(index):
             if cursor is None:
                 break
         assert seen == expected
+
+
+def test_fuzz_aggs_match_naive_oracle(index):
+    """Aggregation VALUES (not just no-crash): random filters, compare
+    terms/value_count/stats/histogram against a naive python recount
+    over the documents the engine itself reports as stored."""
+    rng = random.Random(31)
+    reader = index.reader()
+
+    # reconstruct the corpus from stored fields (via match_all paging)
+    docs = {}
+    res = reader.search({"query": {"type": "match_all"}, "limit": 1000,
+                         "return_stored": True})
+    for h in res.hits:
+        docs[h.doc_id] = h.fields
+
+    for _trial in range(25):
+        flt = random_filter(rng)
+        request = {"query": {"type": "match_all"}, "limit": 1,
+                   "return_hits": False,
+                   "aggs": {
+                       "t": {"type": "terms", "field": "tag"},
+                       "c": {"type": "value_count", "field": "n"},
+                       "s": {"type": "stats", "field": "n"},
+                       "h": {"type": "histogram", "field": "n",
+                             "interval": 25},
+                   }}
+        if flt is not None:
+            request["filter"] = flt
+        out = reader.search(request)
+        aggs = out.aggregations
+
+        from searchlite_tpu.query.filters import compute_filters_mask
+        matched_ids = set()
+        for seg in reader.segments:
+            mask = compute_filters_mask(
+                seg.fast, [_filter_obj(flt)]) if flt is not None else \
+                np.ones(seg.doc_count, dtype=bool)
+            for doc in np.flatnonzero(mask):
+                if not seg.is_deleted(int(doc)):
+                    matched_ids.add(seg.doc_id(int(doc)))
+
+        values = [docs[d].get("n") for d in matched_ids
+                  if docs[d].get("n") is not None]
+        tags = [docs[d].get("tag") for d in matched_ids
+                if docs[d].get("tag") is not None]
+
+        got_terms = {b["key"]: b["doc_count"]
+                     for b in aggs["t"]["buckets"]}
+        want_terms = {}
+        for t in tags:
+            want_terms[t] = want_terms.get(t, 0) + 1
+        assert got_terms == want_terms, flt
+
+        assert aggs["c"]["value"] == len(values), flt
+        if values:
+            assert aggs["s"]["count"] == len(values)
+            assert aggs["s"]["min"] == min(values)
+            assert aggs["s"]["max"] == max(values)
+            assert abs(aggs["s"]["sum"] - sum(values)) < 1e-6
+            want_h = {}
+            for v in values:
+                key = math.floor(v / 25) * 25.0
+                want_h[key] = want_h.get(key, 0) + 1
+            got_h = {b["key"]: b["doc_count"]
+                     for b in aggs["h"]["buckets"]
+                     if b["doc_count"] > 0}
+            assert got_h == want_h, flt
+
+
+def _filter_obj(flt):
+    from searchlite_tpu.api.types import Filter
+    return Filter.from_json(flt)
