@@ -138,24 +138,32 @@ def make_impact_scorer(precision: str = "f32"):
         rows and their owning slots. (w_idx, w_val): sorted COO of the
         [Q, S] idf·boost weight matrix (w_idx = q*S + s; pads point
         past Q*S). Returns (scores [Q, k], ids [Q, k])."""
-        n1 = deleted.shape[0]
         m = build_m_from_blocks(jnp, block_docs, block_impacts,
-                                blk_idx, slot_row, n1, s_pad)
-        w_flat = jnp.zeros(n_queries * s_pad + w_idx.shape[0],
-                           dtype=jnp.float32)
-        w_flat = w_flat.at[w_idx].set(
-            w_val, indices_are_sorted=True, unique_indices=True,
-            mode="promise_in_bounds")
-        w = w_flat[: n_queries * s_pad].reshape(n_queries, s_pad)
-        if use_bf16:
-            w = w.astype(jnp.bfloat16)
-            m = m.astype(jnp.bfloat16)
-        scores = jnp.dot(w, m, preferred_element_type=jnp.float32)
-        masked = jnp.where((scores > 0.0) & ~deleted[None, :],
-                           scores, -jnp.inf)
-        return jax.lax.top_k(masked, k)
+                                blk_idx, slot_row, deleted.shape[0],
+                                s_pad)
+        return _score_m(jax, jnp, m, deleted, w_idx, w_val,
+                        k, s_pad, n_queries, use_bf16)
 
     return scorer
+
+
+def _score_m(jax, jnp, m, deleted, w_idx, w_val, k, s_count, n_queries,
+             use_bf16):
+    """Shared scorer tail: densify the COO weight matrix, W @ M on the
+    MXU, mask non-matches/deleted, top-k."""
+    w_flat = jnp.zeros(n_queries * s_count + w_idx.shape[0],
+                       dtype=jnp.float32)
+    w_flat = w_flat.at[w_idx].set(
+        w_val, indices_are_sorted=True, unique_indices=True,
+        mode="promise_in_bounds")
+    w = w_flat[: n_queries * s_count].reshape(n_queries, s_count)
+    if use_bf16:
+        w = w.astype(jnp.bfloat16)
+        m = m.astype(jnp.bfloat16)
+    scores = jnp.dot(w, m, preferred_element_type=jnp.float32)
+    masked = jnp.where((scores > 0.0) & ~deleted[None, :],
+                       scores, -jnp.inf)
+    return jax.lax.top_k(masked, k)
 
 
 def make_flat_impact_scorer(precision: str = "f32"):
@@ -170,23 +178,11 @@ def make_flat_impact_scorer(precision: str = "f32"):
     def scorer(docs_flat, impacts_flat, deleted,
                slot_start, slot_len, w_idx, w_val,
                *, k: int, p_pad: int, n_queries: int):
-        n1 = deleted.shape[0]
         s_count = slot_start.shape[0]
         m = build_m(jnp, docs_flat, impacts_flat, slot_start, slot_len,
-                    n1, p_pad)
-        w_flat = jnp.zeros(n_queries * s_count + w_idx.shape[0],
-                           dtype=jnp.float32)
-        w_flat = w_flat.at[w_idx].set(
-            w_val, indices_are_sorted=True, unique_indices=True,
-            mode="promise_in_bounds")
-        w = w_flat[: n_queries * s_count].reshape(n_queries, s_count)
-        if use_bf16:
-            w = w.astype(jnp.bfloat16)
-            m = m.astype(jnp.bfloat16)
-        scores = jnp.dot(w, m, preferred_element_type=jnp.float32)
-        masked = jnp.where((scores > 0.0) & ~deleted[None, :],
-                           scores, -jnp.inf)
-        return jax.lax.top_k(masked, k)
+                    deleted.shape[0], p_pad)
+        return _score_m(jax, jnp, m, deleted, w_idx, w_val,
+                        k, s_count, n_queries, use_bf16)
 
     return scorer
 
