@@ -154,6 +154,21 @@ def cmd_search(args) -> int:
     return 0
 
 
+def cmd_search_batch(args) -> int:
+    """TPU extension: batch of query strings, one device launch."""
+    index = Index.open(options(args.index, False))
+    reader = index.reader()
+    queries = list(args.query or [])
+    if args.queries_file:
+        with open(args.queries_file) as f:
+            queries.extend(line.strip() for line in f if line.strip())
+    rows = reader.search_batch(queries, limit=args.limit)
+    print(json.dumps({"results": [
+        [{"doc_id": d, "score": s} for d, s in row] for row in rows
+    ]}, indent=2, ensure_ascii=False))
+    return 0
+
+
 def cmd_inspect(args) -> int:
     index = Index.open(options(args.index, False))
     print(json.dumps(index.manifest.to_json(), indent=2))
@@ -228,6 +243,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--aggs")
     p.add_argument("--aggs-file")
     p.set_defaults(fn=cmd_search)
+
+    p = sub.add_parser(
+        "search-batch",
+        help="Batched search: many query strings in one device launch")
+    p.add_argument("index")
+    p.add_argument("-q", "--query", action="append",
+                   help="query string (repeatable)")
+    p.add_argument("--queries-file",
+                   help="file with one query string per line")
+    p.add_argument("--limit", type=int, default=10)
+    p.set_defaults(fn=cmd_search_batch)
 
     p = sub.add_parser("http", help="Start the HTTP server for one index")
     p.add_argument("index")

@@ -98,6 +98,20 @@ class TestCli:
         out = json.loads(capsys.readouterr().out)
         assert out["total_hits_estimate"] == 0
 
+    def test_search_batch_subcommand(self, index_dir, capsys, tmp_path):
+        idx = index_dir / "idx"
+        self.run("init", idx, index_dir / "schema.json")
+        self.run("add", idx, index_dir / "docs.jsonl")
+        self.run("commit", idx)
+        qfile = tmp_path / "queries.txt"
+        qfile.write_text("database\n")
+        capsys.readouterr()
+        assert self.run("search-batch", idx, "-q", "rust",
+                        "--queries-file", qfile, "--limit", 3) == 0
+        out = json.loads(capsys.readouterr().out)
+        assert out["results"][0][0]["doc_id"] == "doc-1"
+        assert out["results"][1][0]["doc_id"] == "doc-2"
+
     def test_sort_and_aggs_flags(self, index_dir, capsys):
         idx = index_dir / "idx"
         self.run("init", idx, index_dir / "schema.json")
