@@ -6,8 +6,10 @@ A from-scratch rebuild of the capabilities of davidkelley/searchlite
 - The on-disk inverted index is loaded into an HBM-resident layout:
   postings padded into fixed-width ``[n_blocks, 128]`` doc-id/tf blocks
   with per-block max-score sidecars.
-- BM25 scoring runs as batched block kernels on the VPU with on-device
-  top-k instead of a per-posting heap.
+- BM25 scoring is an MXU matrix product: per-posting impacts are
+  precomputed at upload, query terms densified into an impact matrix
+  with a block row gather + unique-index scatter, and scores computed
+  as ``W @ M`` with on-device top-k instead of a per-posting heap.
 - Fast-field filters are vectorized columnar predicates producing doc
   masks fused into the scoring pass.
 - Vector search is exact brute-force distance on the MXU.
