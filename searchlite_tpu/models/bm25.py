@@ -22,7 +22,13 @@ DEFAULT_B = 0.4
 
 
 def idf(df: float, docs: float) -> float:
-    return max(math.log((docs - df + 0.5) / (df + 0.5)), 0.0) + 1.0
+    ratio = (docs - df + 0.5) / (df + 0.5)
+    if ratio <= 0.0:
+        # degenerate segment (e.g. every doc tombstoned): the reference
+        # computes ln(<=0) = NaN and Rust's f64::max(NaN, 0.0) -> 0.0,
+        # so idf collapses to 1.0 (`query/bm25.rs:1-6`)
+        return 1.0
+    return max(math.log(ratio), 0.0) + 1.0
 
 
 def bm25(tf: float, df: float, doc_len: float, avgdl: float, docs: float,

@@ -140,3 +140,46 @@ class TestCompactionSafety:
         res2 = index.reader().search(
             {"query": {"type": "match_all"}, "limit": 10})
         assert res2.total_hits_estimate == 2
+
+
+class TestCrashWindow:
+    def test_manifest_durable_but_wal_not_truncated_reapplies_batch(self):
+        """The documented crash window (reference README.md:22-24): a
+        crash after the manifest is durable but before the WAL is
+        truncated makes the next writer replay the batch into a
+        duplicate generation — no data loss, no duplicate results
+        (upserts tombstone the earlier copies), compaction cleans up."""
+        index = Index.create(mem_options(), Schema.from_json(SCHEMA))
+        writer = index.writer()
+        writer.add_document({"_id": "a", "body": "alpha text", "tag": "t"})
+        writer.add_document({"_id": "b", "body": "beta text", "tag": "t"})
+        writer.commit()
+        gen_before = index.manifest.generation
+        segs_before = len(index.manifest.segments)
+
+        # simulate the window: the committed batch's ops are back in the
+        # WAL with no Commit marker (as if the crash hit between
+        # manifest.store() and wal.truncate())
+        wal = Wal(index.storage)
+        wal.append_add_doc({"_id": "a", "body": "alpha text", "tag": "t"})
+        wal.append_add_doc({"_id": "b", "body": "beta text", "tag": "t"})
+
+        writer2 = index.writer()  # replays pending ops
+        writer2.commit()
+
+        manifest = index.manifest
+        assert manifest.generation > gen_before
+        assert len(manifest.segments) == segs_before + 1  # duplicate gen
+        reader = index.reader()
+        res = reader.search({"query": "alpha", "limit": 10,
+                             "return_stored": True})
+        assert [h.doc_id for h in res.hits] == ["a"]  # no duplicates
+        res = reader.search({"query": "text", "limit": 10})
+        assert sorted(h.doc_id for h in res.hits) == ["a", "b"]
+        # WAL is clean again: a fresh writer has nothing to replay
+        assert Wal.replay(index.storage) == []
+
+        index.compact()
+        assert len(index.manifest.segments) == 1
+        res = index.reader().search({"query": "text", "limit": 10})
+        assert sorted(h.doc_id for h in res.hits) == ["a", "b"]
