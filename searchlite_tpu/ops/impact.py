@@ -13,9 +13,13 @@ scatter entirely:
    (``DeviceSegment.impacts_flat`` — "impact-ordered postings").
 
 2. **Query time**: the batch's distinct terms become rows of a dense
-   matrix ``M [S, n_docs]`` built with ONE scatter whose flat indices
-   are globally sorted and unique (slot-major, doc-ascending, pads in a
-   dump zone) — XLA's fully-vectorized scatter path.
+   matrix ``M [S, n_docs]``: the terms' posting BLOCKS are pulled with
+   one lane-aligned row gather of ``[nb, 128]`` (element gathers cost
+   ~10 cycles/elem on TPU; 128-wide rows move at memory speed) and
+   placed with ONE unique-index scatter (update-count-bound,
+   ~7 cycles/update; pads route to a dump zone past ``S·n1`` so
+   indices stay unique and XLA keeps its vectorized path — COLLIDING
+   scatters serialize to ~1 elem/cycle).
 
 3. Scoring is a matmul on the MXU:
 
