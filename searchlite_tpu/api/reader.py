@@ -536,6 +536,11 @@ class IndexReader:
             out["leaf_ind"][leaf, s] = 1.0
         for s, g in group_entries:
             out["group_ind"][g, s] = 1.0
+        if s_pad * dseg.n1 + nb_pad * 128 >= 2**31:
+            raise QueryError(
+                "query expands beyond int32 device indexing "
+                f"({len(slot_start)} terms x {dseg.n1} docs); lower "
+                "max_expansions or split the corpus into more segments")
         return out
 
     def _segment_phrase_masks(self, seg: SegmentReader, phrase_specs
