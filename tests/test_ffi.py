@@ -85,8 +85,14 @@ def test_c_host_end_to_end(ffi_lib, tmp_path):
     env = dict(os.environ)
     env["PYTHONPATH"] = here + os.pathsep + env.get("PYTHONPATH", "")
     env["JAX_PLATFORMS"] = "cpu"
-    # generous timeout: the C host cold-starts an embedded CPython + jax
-    # import, which can take minutes on a loaded machine
+    # drop any remote-TPU plugin wiring: this environment's
+    # sitecustomize registers (and eagerly initializes) a tunneled TPU
+    # backend whenever PALLAS_AXON_POOL_IPS is set, which overrides
+    # JAX_PLATFORMS and hangs the embedded interpreter if the tunnel is
+    # unhealthy — the C host must run pure-CPU
+    for var in list(env):
+        if var.startswith(("PALLAS_AXON", "AXON_", "TPU_")):
+            env.pop(var)
     proc = subprocess.run([str(exe), str(idx_dir)], capture_output=True,
                           text=True, timeout=560, env=env)
     assert proc.returncode == 0, (proc.returncode, proc.stdout, proc.stderr)
