@@ -1375,17 +1375,12 @@ class IndexReader:
                 if seg.doc_count == 0:
                     continue
                 qb = build_impact_batch(seg, dseg, analyzed)
-                scorer = self._batched_scorer()
                 s_pad = len(qb["slot_start"])
                 est_bytes = (s_pad + len(analyzed)) * dseg.n1 * 4
                 if est_bytes <= m_budget_bytes:
                     k = min(limit, dseg.n1)
-                    scores, ids = scorer(
-                        dseg.block_docs, dseg.block_impacts, dseg.deleted,
-                        jnp.asarray(qb["blk_idx"]),
-                        jnp.asarray(qb["slot_row"]),
-                        jnp.asarray(qb["w_idx"]), jnp.asarray(qb["w_val"]),
-                        k=k, s_pad=qb["s_pad"], n_queries=qb["n_queries"])
+                    scores, ids = self._launch_batch_segment(
+                        dseg, qb, k)
                 else:
                     scores, ids = self._search_batch_sharded(
                         dseg, analyzed, qb, limit, est_bytes,
@@ -1559,6 +1554,54 @@ class IndexReader:
         order = np.lexsort((cat_ids, -cat_scores), axis=-1)[:, :limit]
         return (np.take_along_axis(cat_scores, order, axis=1),
                 np.take_along_axis(cat_ids, order, axis=1))
+
+    def _launch_batch_segment(self, dseg, qb, k: int):
+        """Dispatch one segment's batched scoring. With
+        SEARCHLITE_DENSE_M_BYTES set, high-df slots route through
+        precomputed dense impact rows (row gather + second matmul)
+        instead of the update-bound scatter — identical results."""
+        import jax.numpy as jnp
+
+        dense_budget = int(os.environ.get("SEARCHLITE_DENSE_M_BYTES", 0))
+        if dense_budget > 0:
+            from searchlite_tpu.ops.impact import split_impact_batch
+
+            dense = dseg.dense_rows(dense_budget)
+            if dense is not None:
+                split = split_impact_batch(
+                    qb, dense["row_of_tid"],
+                    pad_row=len(dense["row_of_tid"]), n1=dseg.n1)
+                if split is not None:
+                    scorer = self._split_batched_scorer()
+                    return scorer(
+                        dseg.block_docs, dseg.block_impacts,
+                        dense["m_dense"], dseg.deleted,
+                        jnp.asarray(split["blk_idx"]),
+                        jnp.asarray(split["slot_row"]),
+                        jnp.asarray(split["dense_sel"]),
+                        jnp.asarray(split["wd_idx"]),
+                        jnp.asarray(split["wd_val"]),
+                        jnp.asarray(split["ws_idx"]),
+                        jnp.asarray(split["ws_val"]),
+                        k=k, d_pad=split["d_pad"], s_pad=split["s_pad"],
+                        n_queries=qb["n_queries"])
+        scorer = self._batched_scorer()
+        return scorer(
+            dseg.block_docs, dseg.block_impacts, dseg.deleted,
+            jnp.asarray(qb["blk_idx"]), jnp.asarray(qb["slot_row"]),
+            jnp.asarray(qb["w_idx"]), jnp.asarray(qb["w_val"]),
+            k=k, s_pad=qb["s_pad"], n_queries=qb["n_queries"])
+
+    def _split_batched_scorer(self):
+        from searchlite_tpu.ops.impact import make_split_impact_scorer
+
+        precision = os.environ.get("SEARCHLITE_PRECISION", "f32")
+        with _GLOBAL_LOCK:
+            scorer = _GLOBAL_SCORERS.get(("split", precision))
+            if scorer is None:
+                scorer = make_split_impact_scorer(precision)
+                _GLOBAL_SCORERS[("split", precision)] = scorer
+            return scorer
 
     def _batched_scorer(self):
         from searchlite_tpu.ops.impact import make_impact_scorer

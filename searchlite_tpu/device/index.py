@@ -153,6 +153,41 @@ class DeviceSegment:
     def field_id(self, field: str) -> int:
         return self.len_field_ids.get(field, self._no_len_field)
 
+    def dense_rows(self, budget_bytes: int):
+        """Precomputed dense impact rows for the highest-df terms
+        (df >= n1/128, highest first) within ``budget_bytes`` of HBM.
+        Zipf head terms carry most postings, so batch M builds can
+        row-gather these instead of scattering their postings —
+        the scatter is update-count-bound (~7 cycles/update) while wide
+        row gathers run near memory speed. Returns None when nothing
+        qualifies, else {"row_of_tid": dict, "m_dense": [n_rows+1, n1]
+        jnp (last row zeros, the gather pad)}."""
+        cached = getattr(self, "_dense_rows", None)
+        if cached is not None and cached[0] == budget_bytes:
+            return cached[1]
+        import jax.numpy as jnp  # noqa: PLC0415
+
+        postings = self.reader.postings
+        term_df = postings.term_df.astype(np.int64)
+        max_rows = budget_bytes // (self.n1 * 4)
+        order = np.argsort(-term_df, kind="stable")
+        out = None
+        rows = [tid for tid in order[:max_rows]
+                if term_df[tid] * 128 >= self.n1]
+        if rows:
+            m = np.zeros((len(rows) + 1, self.n1), dtype=np.float32)
+            for i, tid in enumerate(rows):
+                start = int(self.posting_base[tid])
+                df = int(term_df[tid])
+                docs = self.docs_flat_np[start:start + df]
+                m[i, docs] = self.impacts_flat_np[start:start + df]
+            out = {
+                "row_of_tid": {int(t): i for i, t in enumerate(rows)},
+                "m_dense": jnp.asarray(m),
+            }
+        self._dense_rows = (budget_bytes, out)
+        return out
+
     # -- doc-sharded layout (large corpora) --------------------------------
     # Postings re-sorted by (doc_shard, term, doc): each shard's slice is
     # still term-major/doc-ascending, so the sorted-unique M build works

@@ -98,3 +98,47 @@ def test_search_batch_many_matches_sequential(index):
     sequential = [reader.search_batch(batch, limit=10)
                   for batch in batches]
     assert pipelined == sequential
+
+
+def test_dense_split_path_matches_plain(index, monkeypatch):
+    """SEARCHLITE_DENSE_M_BYTES routes high-df slots through precomputed
+    dense impact rows; results must match the plain block-scatter path
+    (scores to f32 summation-order tolerance)."""
+    reader = index.reader()
+    rng = random.Random(21)
+    queries = [" ".join(rng.sample([f"w{i}" for i in range(60)],
+                                   k=rng.randint(1, 4)))
+               for _ in range(12)]
+    plain = reader.search_batch(queries, limit=10)
+    monkeypatch.setenv("SEARCHLITE_DENSE_M_BYTES", str(64 * 1024 * 1024))
+    # fresh reader: dense rows are cached per DeviceSegment
+    split = index.reader().search_batch(queries, limit=10)
+    for p_row, s_row in zip(plain, split):
+        assert [d for d, _ in p_row] == [d for d, _ in s_row]
+        for (pd, ps), (sd, ss) in zip(p_row, s_row):
+            assert abs(ps - ss) < 1e-4 * max(1.0, abs(ps))
+
+
+def test_dense_rows_selection(index):
+    """dense_rows picks only terms with df >= n1/128 within budget."""
+    dseg = index.reader().device_segments[0]
+    dense = dseg.dense_rows(64 * 1024 * 1024)
+    assert dense is not None
+    postings = dseg.reader.postings
+    for tid in dense["row_of_tid"]:
+        assert int(postings.term_df[tid]) * 128 >= dseg.n1
+    # the pad row is zeros
+    import numpy as np
+    m = np.asarray(dense["m_dense"])
+    assert (m[-1] == 0).all()
+    # and a representative batch actually routes slots to dense rows
+    from searchlite_tpu.ops.impact import (
+        build_impact_batch,
+        split_impact_batch,
+    )
+    qb = build_impact_batch(dseg.reader, dseg,
+                            [[("body", "w1")], [("body", "w2")]])
+    split = split_impact_batch(qb, dense["row_of_tid"],
+                               pad_row=len(dense["row_of_tid"]),
+                               n1=dseg.n1)
+    assert split is not None and (split["dense_sel"] >= 0).any()
