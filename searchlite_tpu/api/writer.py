@@ -113,8 +113,9 @@ class IndexWriter:
                     compress=self.index.options.compress_docstore)
                 next_gen = max(
                     (s.generation for s in manifest.segments), default=0) + 1
+                # docs were validated in add_document (WAL-first path)
                 new_segment = writer.write_segment(
-                    list(pending_new.values()), next_gen)
+                    list(pending_new.values()), next_gen, validate=False)
 
             old_manifest_json = manifest.to_json()
             for seg_meta in manifest.segments:

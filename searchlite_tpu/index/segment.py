@@ -325,8 +325,11 @@ class SegmentWriter:
         self.enable_positions = enable_positions
         self.compress = compress
 
-    def write_segment(self, docs: Iterable[dict],
-                      generation: int) -> SegmentMeta:
+    def write_segment(self, docs: Iterable[dict], generation: int,
+                      validate: bool = True) -> SegmentMeta:
+        """validate=False skips per-doc schema validation for docs that
+        already passed it (writer.add_document validates before the WAL
+        append; compaction re-reads docs a previous commit validated)."""
         seg_id = uuid_mod.uuid4().hex
         paths = directory.segment_paths(seg_id)
         analyzers = self.schema.build_analyzers()
@@ -358,7 +361,8 @@ class SegmentWriter:
         try:
             for doc in docs:
                 doc_ord = len(doc_ids)
-                self.schema.validate_document(doc)
+                if validate:
+                    self.schema.validate_document(doc)
                 collected = collect_document(self.schema, doc, resolved)
                 doc_key = collected.doc_id
                 doc_ids.append(doc_key)
