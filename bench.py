@@ -99,6 +99,30 @@ def main():
     from searchlite_tpu.index import Index
     from searchlite_tpu.index.manifest import Schema
 
+    # backend-init watchdog: a wedged device tunnel can hang
+    # jax.devices() forever (observed). Emit an explicit error line
+    # instead of hanging the harness. Fires ONLY if backend init itself
+    # never returns — slow compiles happen after init and can't trip it.
+    import threading
+
+    init_done = threading.Event()
+
+    def _watchdog():
+        if not init_done.wait(timeout=300):
+            print(json.dumps({
+                "metric": "engine_batched_bm25_top10_qps_100k_docs",
+                "value": 0, "unit": "qps", "vs_baseline": 0,
+                "error": "device backend init did not complete in 300s "
+                         "(tunnel unreachable)"}), flush=True)
+            import os
+            os._exit(2)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
+    import jax
+
+    jax.devices()
+    init_done.set()
+
     t_build = time.perf_counter()
     docs = build_docs()
     index = Index.create(
