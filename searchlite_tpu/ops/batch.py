@@ -54,54 +54,3 @@ def make_batched_scorer():
         return jax.vmap(score_one)(q_blk, q_weight, q_field, q_valid)
 
     return scorer
-
-
-def next_pow2(n: int) -> int:
-    return 1 if n <= 1 else 1 << (n - 1).bit_length()
-
-
-def build_query_batch(seg, dseg, queries: list[list[tuple[str, str]]],
-                      k1: float, b: float, min_slots: int = 64):
-    """Host-side prep: queries as lists of (field, token) → padded
-    per-block-slot arrays for one segment.
-
-    Slot counts round up to a power of two (min ``min_slots``) so batch
-    shapes bucket coarsely — each new bucket costs one XLA compile."""
-    from searchlite_tpu.models.bm25 import idf as bm25_idf
-
-    postings = seg.postings
-    live = float(max(dseg.live_docs, 0))
-    rows = []
-    for query in queries:
-        blks: list[int] = []
-        weights: list[float] = []
-        fields: list[int] = []
-        for field, token in query:
-            tid = seg.terms.get(f"{field}:{token}")
-            if tid is None:
-                continue
-            df = float(postings.term_df[tid])
-            w = bm25_idf(df, live)
-            start = int(postings.term_block_start[tid])
-            count = int(postings.term_block_count[tid])
-            fid = dseg.field_id(field)
-            blks.extend(range(start, start + count))
-            weights.extend([w] * count)
-            fields.extend([fid] * count)
-        rows.append((blks, weights, fields))
-    t_max = next_pow2(max(max((len(r[0]) for r in rows), default=1),
-                          min_slots))
-    q = len(rows)
-    out = {
-        "q_blk": np.zeros((q, t_max), dtype=np.int32),
-        "q_weight": np.zeros((q, t_max), dtype=np.float32),
-        "q_field": np.zeros((q, t_max), dtype=np.int32),
-        "q_valid": np.zeros((q, t_max), dtype=bool),
-    }
-    for i, (blks, weights, fields) in enumerate(rows):
-        n = len(blks)
-        out["q_blk"][i, :n] = blks
-        out["q_weight"][i, :n] = weights
-        out["q_field"][i, :n] = fields
-        out["q_valid"][i, :n] = True
-    return out
