@@ -173,3 +173,21 @@ def test_segment_writer_same_output_with_and_without_native(monkeypatch):
         rp = idx_python.reader().search({"query": query, "limit": 10})
         assert [(h.doc_id, round(h.score, 5)) for h in rn.hits] == \
             [(h.doc_id, round(h.score, 5)) for h in rp.hits]
+
+
+def test_native_stemmer_fuzz_matches_python():
+    """Property fuzz: the C++ Porter2 must agree with the Python
+    implementation on arbitrary lowercase ASCII tokens (the only input
+    the default tokenizer can feed it)."""
+    from searchlite_tpu.analysis import porter2
+    from searchlite_tpu.native import native_stem
+
+    rng = random.Random(1234)
+    alphabet = "abcdefghijklmnopqrstuvwxyz"
+    suffixes = ["", "s", "es", "ed", "ing", "ly", "ation", "ization",
+                "fulness", "ational", "iveness", "ement", "ities", "e",
+                "y", "ies"]
+    for _ in range(5000):
+        stem = "".join(rng.choices(alphabet, k=rng.randint(1, 12)))
+        word = stem + rng.choice(suffixes)
+        assert native_stem(word) == porter2.stem(word), word
