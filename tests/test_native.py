@@ -191,3 +191,28 @@ def test_native_stemmer_fuzz_matches_python():
         stem = "".join(rng.choices(alphabet, k=rng.randint(1, 12)))
         word = stem + rng.choice(suffixes)
         assert native_stem(word) == porter2.stem(word), word
+
+
+def test_native_tokenizer_fuzz_arbitrary_ascii():
+    """Arbitrary printable-ASCII values must index byte-identically
+    through the native and Python paths (punctuation, digits, case,
+    repeated separators, empty tokens)."""
+    from searchlite_tpu.native import NativeIndexBuilder
+
+    rng = random.Random(77)
+    chars = ("abcdefgh XYZ 0123 !@#$%^&*()-_=+[]{};:'\",.<>/?\\|`~\t\n"
+             "qrstuv 789")
+    analyzer = Analyzer("default")
+    nb = NativeIndexBuilder(True)
+    pb = InvertedIndexBuilder(True)
+    for doc in range(400):
+        text = "".join(rng.choices(chars, k=rng.randint(0, 60)))
+        assert nb.add_text("f", doc, text, 0) is not None
+        for tok in analyzer.analyze(text):
+            pb.add_term(f"f:{tok.text}", doc, tok.position)
+    pn, pp = nb.build(), pb.build()
+    assert pn.terms == pp.terms
+    np.testing.assert_array_equal(pn.block_docs, pp.block_docs)
+    np.testing.assert_array_equal(pn.block_tfs, pp.block_tfs)
+    np.testing.assert_array_equal(pn.pos_values, pp.pos_values)
+    np.testing.assert_array_equal(pn.pos_offsets, pp.pos_offsets)
