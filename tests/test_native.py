@@ -216,3 +216,65 @@ def test_native_tokenizer_fuzz_arbitrary_ascii():
     np.testing.assert_array_equal(pn.block_tfs, pp.block_tfs)
     np.testing.assert_array_equal(pn.pos_values, pp.pos_values)
     np.testing.assert_array_equal(pn.pos_offsets, pp.pos_offsets)
+
+
+def test_native_english_chain_fuzz(monkeypatch):
+    """Random texts heavy with stopwords through the full english chain:
+    native vs Python must produce identical segments (exercises
+    position resequencing over dropped tokens, all-stopword values,
+    cross-value offsets)."""
+    from searchlite_tpu.api.types import IndexOptions, StorageType
+    from searchlite_tpu.index import Index
+    from searchlite_tpu.index.manifest import Schema
+    import searchlite_tpu.native as natmod
+
+    rng = random.Random(5)
+    stop_heavy = ("the and of to in is was for with running quickly "
+                  "nationalization dogs cats a an it".split())
+    docs = []
+    for i in range(120):
+        values = [" ".join(rng.choices(stop_heavy,
+                                       k=rng.randint(0, 12)))
+                  for _ in range(rng.randint(1, 3))]
+        docs.append({"_id": str(i), "body": values})
+    schema = {
+        "analyzers": [{"name": "english", "tokenizer": "default",
+                       "filters": [
+                           {"type": "stopwords", "stopwords": "en"},
+                           {"type": "stemmer", "stemmer": "english"}]}],
+        "text_fields": [{"name": "body", "analyzer": "english",
+                         "stored": False, "indexed": True}],
+    }
+
+    def build():
+        index = Index.create(
+            IndexOptions(path="", create_if_missing=True,
+                         storage=StorageType.IN_MEMORY),
+            Schema.from_json(schema))
+        w = index.writer()
+        w.add_documents(docs)
+        w.commit()
+        return index.reader().segments[0]
+
+    sn = build()
+    monkeypatch.setenv("SEARCHLITE_DISABLE_NATIVE", "1")
+    monkeypatch.setattr(natmod, "_LIB", None)
+    monkeypatch.setattr(natmod, "_LIB_FAILED", False)
+    sp = build()
+    monkeypatch.delenv("SEARCHLITE_DISABLE_NATIVE")
+    monkeypatch.setattr(natmod, "_LIB", None)
+    monkeypatch.setattr(natmod, "_LIB_FAILED", False)
+
+    assert sn.terms.terms == sp.terms.terms
+    np.testing.assert_array_equal(sn.postings.block_docs,
+                                  sp.postings.block_docs)
+    np.testing.assert_array_equal(sn.postings.block_tfs,
+                                  sp.postings.block_tfs)
+    np.testing.assert_array_equal(sn.postings.pos_values,
+                                  sp.postings.pos_values)
+    np.testing.assert_array_equal(sn.postings.pos_offsets,
+                                  sp.postings.pos_offsets)
+    col_n = sn.fast.column("_len:body")
+    col_p = sp.fast.column("_len:body")
+    np.testing.assert_array_equal(col_n.row_ids, col_p.row_ids)
+    np.testing.assert_array_equal(col_n.values, col_p.values)
