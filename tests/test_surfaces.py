@@ -268,3 +268,39 @@ def test_openapi_spec_parses_and_covers_routes():
                   "/commit", "/refresh", "/compact", "/search",
                   "/search_batch", "/inspect", "/stats"):
         assert route in documented, route
+
+
+class TestHttpConcurrency:
+    def test_parallel_searches(self, tmp_path):
+        """ThreadingHTTPServer serves concurrent searches; results must
+        be correct and complete under parallel load (the reference uses
+        a concurrency-limited tower stack; ours is a semaphore)."""
+        import concurrent.futures
+
+        from searchlite_tpu.http_server import make_server
+
+        server = make_server(str(tmp_path / "idx"), bind="127.0.0.1:0")
+        thread = threading.Thread(target=server.serve_forever, daemon=True)
+        thread.start()
+        host, port = server.server_address
+        base = f"http://{host}:{port}"
+        call = TestHttp.call.__get__(TestHttp())
+        try:
+            assert call(base, "POST", "/init", {"schema": SCHEMA})[0] == 200
+            ndjson = "\n".join(json.dumps(d) for d in DOCS).encode()
+            call(base, "POST", "/add", raw=ndjson,
+                 content_type="application/x-ndjson")
+            call(base, "POST", "/commit")
+
+            def one(i):
+                q = ["rust", "database", "algebra"][i % 3]
+                status, body = call(base, "POST", "/search",
+                                    {"query": q, "limit": 5})
+                return status, body["total_hits_estimate"]
+
+            with concurrent.futures.ThreadPoolExecutor(8) as pool:
+                results = list(pool.map(one, range(48)))
+            assert all(status == 200 for status, _ in results)
+            assert all(total == 1 for _, total in results)
+        finally:
+            server.shutdown()
