@@ -67,6 +67,11 @@ CURSOR_VERSION = 3
 # retrigger XLA compilation for already-seen query shapes.
 _GLOBAL_COMPILED: dict[str, "CompiledQuery"] = {}
 _GLOBAL_SCORERS: dict[str, Any] = {}
+# Segments are immutable (tombstone changes produce a new cache key),
+# so their host arrays and HBM uploads are shared across the readers
+# that commits keep reopening. Bounded FIFO eviction.
+_GLOBAL_SEGMENTS: dict[tuple, tuple] = {}
+_MAX_CACHED_SEGMENTS = 64
 _GLOBAL_LOCK = threading.Lock()
 
 # vector-search clamps (parity: `api/reader.rs:133-163`)
@@ -274,6 +279,27 @@ def decode_cursor(raw: str, generation: int, sort_plan: SortPlan,
 # Reader
 # ---------------------------------------------------------------------------
 
+def _cached_segment(storage, meta, ordinal: int, k1: float, b: float):
+    """(SegmentReader, DeviceSegment) for an immutable segment, shared
+    process-wide. Keyed by segment uuid + tombstone state + BM25 params:
+    commits that only ADD segments reuse every existing upload; merging
+    tombstones into a segment changes its key and rebuilds it. Segment
+    ordinals are stable for a given id (the manifest list is
+    append-only; compaction mints a new id)."""
+    key = (meta.id, tuple(meta.deleted_docs), float(k1), float(b))
+    with _GLOBAL_LOCK:
+        hit = _GLOBAL_SEGMENTS.get(key)
+    if hit is not None and hit[1].ord == ordinal:
+        return hit
+    seg = SegmentReader(meta, storage)
+    dseg = DeviceSegment(seg, ordinal, k1=k1, b=b)
+    with _GLOBAL_LOCK:
+        _GLOBAL_SEGMENTS[key] = (seg, dseg)
+        while len(_GLOBAL_SEGMENTS) > _MAX_CACHED_SEGMENTS:
+            _GLOBAL_SEGMENTS.pop(next(iter(_GLOBAL_SEGMENTS)))
+    return seg, dseg
+
+
 class IndexReader:
     def __init__(self, index):
         self.index = index
@@ -281,15 +307,14 @@ class IndexReader:
         self.schema = self.manifest.schema
         self.options = index.options
         self.analysis = self.schema.build_analyzers()
-        self.segments: list[SegmentReader] = [
-            SegmentReader(meta, index.storage)
-            for meta in self.manifest.segments
-        ]
-        self.device_segments: list[DeviceSegment] = [
-            DeviceSegment(seg, i, k1=self.options.bm25_k1,
-                          b=self.options.bm25_b)
-            for i, seg in enumerate(self.segments)
-        ]
+        self.segments: list[SegmentReader] = []
+        self.device_segments: list[DeviceSegment] = []
+        for i, meta in enumerate(self.manifest.segments):
+            seg, dseg = _cached_segment(
+                index.storage, meta, i,
+                self.options.bm25_k1, self.options.bm25_b)
+            self.segments.append(seg)
+            self.device_segments.append(dseg)
         self.generation = max(
             (s.generation for s in self.manifest.segments), default=0)
         self._schema_fingerprint = hashlib.sha256(

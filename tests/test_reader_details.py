@@ -139,3 +139,41 @@ class TestRequestKnobs:
         with pytest.raises(QueryError):
             index.reader().search({"query": "x", "limit": 1,
                                    "execution": "warp"})
+
+
+def test_segment_upload_cache_shared_across_readers():
+    """Immutable segments are uploaded once: reopening a reader after an
+    add-only commit reuses the old segment's objects; merging a
+    tombstone into a segment invalidates just that segment."""
+    from searchlite_tpu.api.types import IndexOptions, StorageType
+    from searchlite_tpu.index import Index
+    from searchlite_tpu.index.manifest import Schema
+
+    index = Index.create(
+        IndexOptions(path="", create_if_missing=True,
+                     storage=StorageType.IN_MEMORY),
+        Schema.from_json({"text_fields": [
+            {"name": "body", "analyzer": "default", "stored": True,
+             "indexed": True}]}))
+    w = index.writer()
+    w.add_document({"_id": "1", "body": "first segment doc"})
+    w.commit()
+    r1 = index.reader()
+
+    w2 = index.writer()
+    w2.add_document({"_id": "2", "body": "second segment doc"})
+    w2.commit()
+    r2 = index.reader()
+    assert r2.device_segments[0] is r1.device_segments[0]
+    assert r2.segments[0] is r1.segments[0]
+    assert len(r2.segments) == 2
+
+    # tombstone merged into segment 1 -> that segment rebuilds
+    w3 = index.writer()
+    w3.delete_document("1")
+    w3.commit()
+    r3 = index.reader()
+    assert r3.device_segments[0] is not r2.device_segments[0]
+    assert r3.device_segments[1] is r2.device_segments[1]
+    res = r3.search({"query": "doc", "limit": 10})
+    assert [h.doc_id for h in res.hits] == ["2"]
