@@ -72,3 +72,33 @@ def test_shipped_example(suite, query_path):
 def test_examples_present():
     assert len(EXAMPLES) >= 2
     assert len(list(example_cases())) >= 10
+
+
+def test_library_catalog_on_disk_roundtrip(tmp_path):
+    """The richest example suite through FsStorage: write, reopen from
+    disk (checksum verification included), and run every canned query."""
+    d = os.path.join(HERE, "examples", "library-catalog")
+    with open(os.path.join(d, "schema.json")) as f:
+        schema = Schema.from_json(json.load(f))
+    index = Index.create(
+        IndexOptions(path=str(tmp_path / "idx"), create_if_missing=True),
+        schema)
+    writer = index.writer()
+    with open(os.path.join(d, "docs.jsonl")) as f:
+        for line in f:
+            if line.strip():
+                writer.add_document(json.loads(line))
+    writer.commit()
+    del index
+
+    reopened = Index.open(IndexOptions(path=str(tmp_path / "idx"),
+                                       create_if_missing=False))
+    for qpath in sorted(glob.glob(os.path.join(d, "queries", "*.json"))):
+        with open(qpath) as f:
+            raw = json.load(f)
+        expects = {k: raw.pop(k) for k in list(raw)
+                   if k.startswith("expect_")}
+        result = reopened.reader().search(raw)
+        ids = [h.doc_id for h in result.hits]
+        if "expect_ids" in expects:
+            assert ids == expects["expect_ids"], (qpath, ids)
