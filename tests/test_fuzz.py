@@ -300,3 +300,84 @@ def test_fuzz_aggs_match_naive_oracle(index):
 def _filter_obj(flt):
     from searchlite_tpu.api.types import Filter
     return Filter.from_json(flt)
+
+
+def test_fuzz_sort_drain_matches_naive_oracle():
+    """Field sorts + cursor pagination against a naive oracle of the
+    reference sort semantics: multi-valued fields take min (asc) / max
+    (desc), missing sorts last, ties break by (segment, doc)."""
+    rng = random.Random(63)
+    schema = Schema.from_json({
+        "text_fields": [{"name": "body", "analyzer": "default",
+                         "stored": True, "indexed": True}],
+        "keyword_fields": [{"name": "k", "stored": True, "indexed": True,
+                            "fast": True, "nullable": True}],
+        "numeric_fields": [{"name": "n", "i64": True, "fast": True,
+                            "stored": True, "nullable": True}],
+    })
+    idx = Index.create(
+        IndexOptions(path="", create_if_missing=True,
+                     storage=StorageType.IN_MEMORY), schema)
+    writer = idx.writer()
+    corpus = {}
+    for i in range(90):
+        doc = {"_id": f"d{i:03d}", "body": "common token"}
+        if rng.random() < 0.85:
+            vals = [rng.randint(0, 9) for _ in range(rng.randint(1, 3))]
+            doc["n"] = vals if len(vals) > 1 else vals[0]
+        if rng.random() < 0.85:
+            vals = [rng.choice("abcdef") for _ in range(rng.randint(1, 2))]
+            doc["k"] = vals if len(vals) > 1 else vals[0]
+        corpus[doc["_id"]] = doc
+        writer.add_document(doc)
+        if i == 44:
+            writer.commit()  # two segments
+    writer.commit()
+    reader = idx.reader()
+
+    # engine doc order for tie-break: (segment_ord, doc ordinal)
+    engine_rank = {}
+    for seg_ord, seg in enumerate(reader.segments):
+        for ordinal in range(seg.doc_count):
+            engine_rank[seg.doc_id(ordinal)] = (seg_ord, ordinal)
+
+    def oracle_key(doc_id, spec):
+        parts = []
+        for field, order in spec:
+            v = corpus[doc_id].get(field)
+            vals = v if isinstance(v, list) else ([v] if v is not None
+                                                  else [])
+            if not vals:
+                parts.append((1, 0))  # missing last regardless of order
+                continue
+            chosen = min(vals) if order == "asc" else max(vals)
+            rankv = chosen if order == "asc" else _neg(chosen)
+            parts.append((0, rankv))
+        return tuple(parts) + (engine_rank[doc_id],)
+
+    def _neg(v):
+        if isinstance(v, str):
+            # descending strings: invert char ranks (ascii subset)
+            return tuple(-ord(c) for c in v)
+        return -v
+
+    for _trial in range(10):
+        n_fields = rng.randint(1, 2)
+        spec = []
+        for f in rng.sample(["n", "k"], k=n_fields):
+            spec.append((f, rng.choice(["asc", "desc"])))
+        want = sorted(corpus, key=lambda d: oracle_key(d, spec))
+
+        got = []
+        cursor = None
+        sort_json = [{"field": f, "order": o} for f, o in spec]
+        for _page in range(40):
+            req = {"query": "common", "limit": 7, "sort": sort_json}
+            if cursor:
+                req["cursor"] = cursor
+            res = reader.search(req)
+            got.extend(h.doc_id for h in res.hits)
+            cursor = res.next_cursor
+            if not cursor:
+                break
+        assert got == want, (spec, got[:10], want[:10])
