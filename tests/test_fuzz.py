@@ -381,3 +381,61 @@ def test_fuzz_sort_drain_matches_naive_oracle():
             if not cursor:
                 break
         assert got == want, (spec, got[:10], want[:10])
+
+
+def test_fuzz_phrase_slop_matches_naive_oracle():
+    """Phrase matching with slop vs a brute-force oracle over token
+    positions (reference semantics: recursive ordered match where each
+    next term may sit up to `slop` positions past the previous match)."""
+    from searchlite_tpu.query.phrase import matches_phrase
+
+    rng = random.Random(17)
+    vocab = ["p", "q", "r", "s"]
+    idx = Index.create(
+        IndexOptions(path="", create_if_missing=True,
+                     storage=StorageType.IN_MEMORY),
+        Schema.from_json({"text_fields": [
+            {"name": "body", "analyzer": "default", "stored": True,
+             "indexed": True}]}))
+    writer = idx.writer()
+    texts = {}
+    for i in range(80):
+        toks = rng.choices(vocab, k=rng.randint(2, 12))
+        texts[str(i)] = toks
+        writer.add_document({"_id": str(i), "body": " ".join(toks)})
+    writer.commit()
+    reader = idx.reader()
+
+    def oracle(tokens, terms, slop):
+        # TOTAL gap budget across the phrase (parity: query/phrase.rs)
+        positions = [[p for p, t in enumerate(tokens) if t == term]
+                     for term in terms]
+        if any(not p for p in positions):
+            return False
+
+        def walk(level, prev, remaining):
+            if level == len(positions):
+                return True
+            for pos in positions[level]:
+                if pos <= prev:
+                    continue
+                gap = max(pos - prev - 1, 0)
+                if gap > remaining:
+                    return False
+                if walk(level + 1, pos, remaining - gap):
+                    return True
+            return False
+
+        return any(walk(1, p0, slop) for p0 in positions[0])
+
+    for _trial in range(30):
+        terms = rng.choices(vocab, k=rng.randint(2, 3))
+        slop = rng.choice([0, 1, 2])
+        res = reader.search({
+            "query": {"type": "phrase", "field": "body", "terms": terms,
+                      "slop": slop},
+            "limit": 100})
+        got = sorted(h.doc_id for h in res.hits)
+        want = sorted(d for d, toks in texts.items()
+                      if oracle(toks, terms, slop))
+        assert got == want, (terms, slop, got[:5], want[:5])
