@@ -439,3 +439,73 @@ def test_fuzz_phrase_slop_matches_naive_oracle():
         want = sorted(d for d, toks in texts.items()
                       if oracle(toks, terms, slop))
         assert got == want, (terms, slop, got[:5], want[:5])
+
+
+def _lev(a: str, b: str, cap: int = 3) -> int:
+    if abs(len(a) - len(b)) > cap:
+        return cap + 1
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_fuzz_fuzzy_expansion_matches_naive_oracle():
+    """Fuzzy term matching vs brute-force Levenshtein over the corpus
+    vocabulary: same matched doc sets under max_edits/prefix_length/
+    min_length (reference: api/reader.rs:1394-1465 + fuzzy defaults)."""
+    rng = random.Random(29)
+    vocab = ["stone", "stork", "story", "shore", "chore", "spore",
+             "sting", "stable", "cable", "fable"]
+    idx = Index.create(
+        IndexOptions(path="", create_if_missing=True,
+                     storage=StorageType.IN_MEMORY),
+        Schema.from_json({"text_fields": [
+            {"name": "body", "analyzer": "default", "stored": True,
+             "indexed": True}]}))
+    writer = idx.writer()
+    docs = {}
+    for i in range(60):
+        words = rng.sample(vocab, k=rng.randint(1, 3))
+        docs[str(i)] = set(words)
+        writer.add_document({"_id": str(i), "body": " ".join(words)})
+    writer.commit()
+    reader = idx.reader()
+
+    for _trial in range(25):
+        base = rng.choice(vocab)
+        # random 0-2 edit typo
+        word = list(base)
+        for _ in range(rng.randint(0, 2)):
+            op = rng.choice(["sub", "del", "ins"])
+            pos = rng.randrange(1, max(len(word), 2))
+            if op == "sub" and pos < len(word):
+                word[pos] = rng.choice("abcdefghijklmnop")
+            elif op == "del" and len(word) > 2 and pos < len(word):
+                del word[pos]
+            else:
+                word.insert(pos, rng.choice("abcdefghijklmnop"))
+        query = "".join(word)
+        max_edits = rng.choice([1, 2])
+        prefix_len = rng.choice([0, 1, 2])
+        res = reader.search({
+            "query": {"type": "term", "field": "body", "value": query},
+            "fuzzy": {"enabled": True, "max_edits": max_edits,
+                      "prefix_length": prefix_len, "min_length": 3,
+                      "max_expansions": 50},
+            "limit": 100})
+        got = sorted(h.doc_id for h in res.hits)
+        if len(query) < 3:
+            # below min_length only exact matches qualify
+            matching = {t for t in vocab if t == query}
+        else:
+            matching = {t for t in vocab
+                        if t[:prefix_len] == query[:prefix_len]
+                        and _lev(query, t) <= max_edits}
+        want = sorted(d for d, words in docs.items() if words & matching)
+        assert got == want, (query, max_edits, prefix_len,
+                             sorted(matching), got[:5], want[:5])
