@@ -183,3 +183,51 @@ class TestCrashWindow:
         assert len(index.manifest.segments) == 1
         res = index.reader().search({"query": "text", "limit": 10})
         assert sorted(h.doc_id for h in res.hits) == ["a", "b"]
+
+
+class TestConcurrentReadWrite:
+    def test_searches_during_commits(self):
+        """Readers (and the process-global segment cache) stay
+        consistent while a writer commits new segments concurrently:
+        every search sees a complete manifest snapshot and never
+        errors."""
+        import threading
+
+        index = Index.create(mem_options(), Schema.from_json(SCHEMA))
+        w = index.writer()
+        w.add_document({"_id": "seed", "body": "common seed doc",
+                        "tag": "t"})
+        w.commit()
+
+        errors: list[Exception] = []
+        stop = threading.Event()
+
+        def searcher():
+            try:
+                while not stop.is_set():
+                    reader = index.reader()
+                    res = reader.search({"query": "common", "limit": 50})
+                    # every committed doc contains "common": the count
+                    # must equal that reader's snapshot doc count
+                    expect = sum(s.doc_count for s in reader.segments) \
+                        - sum(len(s.deleted) for s in reader.segments)
+                    assert res.total_hits_estimate == expect
+            except Exception as e:  # noqa: BLE001
+                errors.append(e)
+
+        threads = [threading.Thread(target=searcher) for _ in range(4)]
+        for t in threads:
+            t.start()
+        try:
+            for i in range(15):
+                w2 = index.writer()
+                w2.add_document({"_id": f"d{i}", "body": "common doc",
+                                 "tag": "t"})
+                w2.commit()
+        finally:
+            stop.set()
+            for t in threads:
+                t.join(timeout=30)
+        assert not errors, errors[:1]
+        final = index.reader().search({"query": "common", "limit": 50})
+        assert final.total_hits_estimate == 16
