@@ -80,7 +80,8 @@ def main():
         return build_m(jnp, df, imf, ss, sl, N1, P)
 
     m_const = make_m(docs_flat, impacts_flat, slot_start, slot_len)
-    scores_const = jax.block_until_ready(f_mm_only(m_const, w_dense))
+    # full [NQ, N1] score matrix for the top-k stages
+    scores_const = jax.jit(lambda m, w: w @ m)(m_const, w_dense)
     # force m materialized
     _ = jax.device_get(m_const[:1, :4])
 
