@@ -509,3 +509,51 @@ def test_fuzz_fuzzy_expansion_matches_naive_oracle():
         want = sorted(d for d, words in docs.items() if words & matching)
         assert got == want, (query, max_edits, prefix_len,
                              sorted(matching), got[:5], want[:5])
+
+
+def test_fuzz_wildcard_and_regex_match_naive_oracle():
+    """Wildcard and anchored-regex expansion vs fnmatch/re over the
+    corpus vocabulary (reference: api/reader.rs:1212-1374 — `*`/`?`
+    wildcards, anchored regex, analyzer-lowercased patterns)."""
+    import fnmatch
+    import re
+
+    rng = random.Random(41)
+    vocab = ["walk", "walked", "walker", "wall", "wind", "window",
+             "winter", "wander", "tent", "tint", "taint"]
+    idx = Index.create(
+        IndexOptions(path="", create_if_missing=True,
+                     storage=StorageType.IN_MEMORY),
+        Schema.from_json({"text_fields": [
+            {"name": "body", "analyzer": "default", "stored": True,
+             "indexed": True}]}))
+    writer = idx.writer()
+    docs = {}
+    for i in range(70):
+        words = rng.sample(vocab, k=rng.randint(1, 3))
+        docs[str(i)] = set(words)
+        writer.add_document({"_id": str(i), "body": " ".join(words)})
+    writer.commit()
+    reader = idx.reader()
+
+    wild_patterns = ["w*", "w?nd*", "*er", "wal?", "t?nt", "w*er", "zz*"]
+    for pattern in wild_patterns:
+        res = reader.search({
+            "query": {"type": "wildcard", "field": "body",
+                      "value": pattern},
+            "limit": 100})
+        got = sorted(h.doc_id for h in res.hits)
+        matching = {t for t in vocab if fnmatch.fnmatchcase(t, pattern)}
+        want = sorted(d for d, ws in docs.items() if ws & matching)
+        assert got == want, (pattern, sorted(matching))
+
+    regex_patterns = ["w.*", "w(al|in).*", ".*er", "t.nt", "w[ai]..(er)?"]
+    for pattern in regex_patterns:
+        res = reader.search({
+            "query": {"type": "regex", "field": "body",
+                      "value": pattern},
+            "limit": 100})
+        got = sorted(h.doc_id for h in res.hits)
+        matching = {t for t in vocab if re.fullmatch(pattern, t)}
+        want = sorted(d for d, ws in docs.items() if ws & matching)
+        assert got == want, (pattern, sorted(matching))
