@@ -342,13 +342,14 @@ class IndexReader:
                     if group.expansion == "exact":
                         tokens = [t.text for t in analyzer.analyze(group.term)]
                     else:
-                        tokens = [t.text for t in analyzer.analyze(group.term)]
-                        if not tokens:
-                            tokens = [analyzer.normalize_pattern(group.term)]
-                        elif len(tokens) > 1:
-                            # patterns split by analysis fall back to the
-                            # normalized raw pattern
-                            tokens = [analyzer.normalize_pattern(group.term)]
+                        # Patterns (prefix/wildcard/regex/fuzzy source) are
+                        # never tokenized: analysis strips the very
+                        # metacharacters that make them patterns (`w*` would
+                        # tokenize to `w` and silently become an exact
+                        # match). Apply only structure-preserving
+                        # normalization (analyzer.rs:33-46 normalize_pattern;
+                        # expansion itself: api/reader.rs:1212-1374).
+                        tokens = [analyzer.normalize_pattern(group.term)]
                     seen_tokens: set[str] = set()
                     for token in tokens:
                         if token in seen_tokens:
