@@ -13,12 +13,28 @@ Prints ONE JSON line:
 vs_baseline compares against a single-thread numpy implementation of the
 same exact scoring over the same index (a stand-in for the reference's
 single-node CPU engine until the Rust baseline runs on this host).
+
+Robustness (the device tunnel has been observed to wedge hard enough
+that even ``jax.devices()`` hangs forever in fresh processes):
+
+1. A SUBPROCESS pre-flight probes backend init + one device round-trip
+   with a bounded timeout and retries — a wedged tunnel can't hang the
+   bench process itself.
+2. If every probe fails, the bench falls back to the CPU backend and
+   still emits an honest measurement, flagged ``"platform":
+   "cpu-fallback"`` (never a bare value-0 line).
+3. An overall deadline watchdog emits whatever was measured so far as a
+   partial-but-honest JSON line instead of hanging the harness.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import random
+import subprocess
+import sys
+import threading
 import time
 
 import numpy as np
@@ -30,6 +46,50 @@ BATCH = 1024
 N_BATCHES = 3
 TERMS_PER_QUERY = 4
 K = 10
+
+METRIC = f"engine_batched_bm25_top{K}_qps_{N_DOCS // 1000}k_docs"
+
+# Mutable result snapshot; the deadline watchdog prints whatever is in
+# here if the run overshoots, so every phase updates it as it lands.
+RESULT = {"metric": METRIC, "value": 0, "unit": "qps", "vs_baseline": 0}
+_EMITTED = threading.Event()
+
+
+def emit(**extra):
+    if _EMITTED.is_set():
+        return
+    _EMITTED.set()
+    out = dict(RESULT)
+    out.update(extra)
+    print(json.dumps(out), flush=True)
+
+
+def probe_device(attempts: int = 3, timeout_s: int = 240,
+                 backoff_s: int = 20) -> bool:
+    """Probe backend init + a device round trip in a subprocess.
+
+    The subprocess inherits the environment, so it initializes the same
+    backend the bench would. On the axon tunnel, only a device→host
+    fetch proves execution — block_until_ready does not.
+    """
+    code = (
+        "import jax, numpy as np, jax.numpy as jnp\n"
+        "x = jnp.ones((8, 8), jnp.float32)\n"
+        "v = np.asarray(jax.device_get(x @ x))\n"
+        "print('probe-ok', float(v[0, 0]))\n"
+    )
+    for attempt in range(attempts):
+        try:
+            r = subprocess.run([sys.executable, "-c", code],
+                               timeout=timeout_s, capture_output=True,
+                               text=True)
+            if r.returncode == 0 and "probe-ok" in r.stdout:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if attempt + 1 < attempts:
+            time.sleep(backoff_s)
+    return False
 
 
 def build_docs(seed=7):
@@ -95,33 +155,33 @@ def cpu_reference_qps(reader, queries, n_queries=8):
 
 
 def main():
+    deadline_s = float(os.environ.get("SEARCHLITE_BENCH_DEADLINE", "2400"))
+
+    def _deadline():
+        time.sleep(deadline_s)
+        emit(error=f"bench exceeded {deadline_s:.0f}s deadline; "
+                   "partial results")
+        os._exit(3)
+
+    threading.Thread(target=_deadline, daemon=True).start()
+
+    platform = "device"
+    force_cpu = os.environ.get("SEARCHLITE_BENCH_FORCE_CPU") == "1"
+    if force_cpu or not probe_device():
+        platform = "cpu-fallback"
+
+    import jax
+    if platform == "cpu-fallback":
+        # Pin in-process BEFORE first backend use; sitecustomize may have
+        # registered the tunneled backend via env.
+        jax.config.update("jax_platforms", "cpu")
+    jax.devices()
+    RESULT["detail"] = {"platform": platform,
+                        "jax_backend": jax.default_backend()}
+
     from searchlite_tpu.api.types import IndexOptions, StorageType
     from searchlite_tpu.index import Index
     from searchlite_tpu.index.manifest import Schema
-
-    # backend-init watchdog: a wedged device tunnel can hang
-    # jax.devices() forever (observed). Emit an explicit error line
-    # instead of hanging the harness. Fires ONLY if backend init itself
-    # never returns — slow compiles happen after init and can't trip it.
-    import threading
-
-    init_done = threading.Event()
-
-    def _watchdog():
-        if not init_done.wait(timeout=300):
-            print(json.dumps({
-                "metric": "engine_batched_bm25_top10_qps_100k_docs",
-                "value": 0, "unit": "qps", "vs_baseline": 0,
-                "error": "device backend init did not complete in 300s "
-                         "(tunnel unreachable)"}), flush=True)
-            import os
-            os._exit(2)
-
-    threading.Thread(target=_watchdog, daemon=True).start()
-    import jax
-
-    jax.devices()
-    init_done.set()
 
     t_build = time.perf_counter()
     docs = build_docs()
@@ -135,6 +195,7 @@ def main():
     writer.add_documents(docs)
     writer.commit()
     build_s = time.perf_counter() - t_build
+    RESULT["detail"]["index_build_s"] = round(build_s, 2)
 
     reader = index.reader()
     batches = build_queries()
@@ -151,8 +212,13 @@ def main():
     dt = time.perf_counter() - t0
     n_queries = sum(len(b) for b in stream)
     qps = n_queries / dt
+    RESULT["value"] = round(qps, 2)
+    RESULT["detail"]["batch"] = BATCH
+    RESULT["detail"]["terms_per_query"] = TERMS_PER_QUERY
 
     cpu_qps = cpu_reference_qps(reader, batches[0])
+    RESULT["vs_baseline"] = round(qps / cpu_qps, 2)
+    RESULT["detail"]["cpu_oracle_qps"] = round(cpu_qps, 2)
 
     # p50 single-query latency (warm shapes; the BASELINE metric)
     singles = batches[0][:9]
@@ -162,22 +228,17 @@ def main():
         t1 = time.perf_counter()
         reader.search({"query": q, "limit": K})
         lat.append((time.perf_counter() - t1) * 1000)
-    p50_ms = sorted(lat)[len(lat) // 2]
+    RESULT["detail"]["p50_single_query_ms"] = round(
+        sorted(lat)[len(lat) // 2], 1)
 
-    print(json.dumps({
-        "metric": f"engine_batched_bm25_top{K}_qps_{N_DOCS // 1000}k_docs",
-        "value": round(qps, 2),
-        "unit": "qps",
-        "vs_baseline": round(qps / cpu_qps, 2),
-        "detail": {
-            "index_build_s": round(build_s, 2),
-            "cpu_oracle_qps": round(cpu_qps, 2),
-            "p50_single_query_ms": round(p50_ms, 1),
-            "batch": BATCH,
-            "terms_per_query": TERMS_PER_QUERY,
-        },
-    }))
+    emit()
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except BaseException as exc:  # emit honest partial on any failure
+        if not isinstance(exc, SystemExit):
+            emit(error=f"{type(exc).__name__}: {exc}")
+            raise
+        raise
