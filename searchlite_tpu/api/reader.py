@@ -492,6 +492,7 @@ class IndexReader:
         slot_idf: list[float] = []
         slot_bstart: list[int] = []
         slot_bcnt: list[int] = []
+        slot_tids: list[int] = []
 
         def get_slot(key: str):
             s = slots.get(key)
@@ -507,6 +508,7 @@ class IndexReader:
                 slot_idf.append(bm25_idf(float(df), live))
                 slot_bstart.append(int(postings.term_block_start[tid]))
                 slot_bcnt.append(int(postings.term_block_count[tid]))
+                slot_tids.append(int(tid))
             return s
 
         merged: dict[tuple[str, int], float] = {}
@@ -554,6 +556,8 @@ class IndexReader:
             "postings_touched": postings_touched,
             "slot_keys": {key: s for key, s in slots.items()},
             "slot_weight": slot_weight,
+            "slot_tids": np.asarray(slot_tids, dtype=np.int64),
+            "n_slots": len(slot_start),
         }
         out["slot_start"][:len(slot_start)] = slot_start
         out["slot_len"][:len(slot_len)] = slot_len
@@ -734,6 +738,19 @@ class IndexReader:
                            or req.collapse is not None)
         use_cursor = (cursor_key is not None and score_fast_path
                       and vector_plan is None)
+        # real doc-tile pruning (ops/tiles.py) is sound only when the
+        # request is a plain score-desc top-k: aggregations need every
+        # match, custom scoring breaks the BM25 upper bound, cursors
+        # need the cursor doc's exact score present
+        prune_min = int(os.environ.get(
+            "SEARCHLITE_PRUNE_MIN_POSTINGS", 100_000))
+        pruning_ok = (req.execution in ("wand", "bmw")
+                      and score_fast_path and req.return_hits
+                      and cursor_state is None and agg_pipeline is None
+                      and vector_plan is None and req.collapse is None
+                      and not compiled.needs_hook and has_scored)
+        pruning_real = False
+        pruning_simulated = False
         pending = []  # (dseg, qargs, fetch_refs)
         for dseg in self.device_segments:
             seg = dseg.reader
@@ -766,6 +783,17 @@ class IndexReader:
                 cs, eq_mode, cdoc = 0.0, 2, 0
 
             k = min(max(top_k, 1), dseg.n1)
+            if pruning_ok and qargs["n_slots"] > 0 \
+                    and qargs["postings_touched"] >= prune_min:
+                pre = self._search_segment_pruned(
+                    dseg, compiled, qargs, phrase_masks, filter_masks,
+                    col_vals, col_has, root_mask, k, has_scored,
+                    need_scores)
+                if pre is not None:
+                    qargs["_pruned_pre"] = pre
+                    pruning_real = True
+                    pending.append((dseg, qargs, []))
+                    continue
             run = compiled.executor()
             (top_scores, top_idx, match_count, final_mask, adjusted,
              cursor_seen, text_mask) = run(
@@ -804,34 +832,46 @@ class IndexReader:
             seg = dseg.reader
             fetched = flat_vals[vals_cursor:vals_cursor + len(fetch)]
             vals_cursor += len(fetch)
-            top_scores_np, top_idx_np, match_count, cursor_seen = \
-                fetched[:4]
-            cursor = 4
-            mask_np = None
-            if needs_mask_host:
-                mask_np = np.array(fetched[cursor])[:seg.doc_count]
-                cursor += 1
-            if vector_plan is not None:
-                text_masks[dseg.ord] = fetched[cursor]
-                cursor += 1
-            adjusted_np = None
-            if need_scores and not score_fast_path:
-                adjusted_np = fetched[cursor]
+            if "_pruned_pre" in qargs:
+                # real doc-tile pruned execution already completed
+                top_scores_np, top_idx_np, match_count, real_postings = \
+                    qargs["_pruned_pre"]
+                cursor_seen = False
+                mask_np = None
+                adjusted_np = None
+                stats["postings_advanced"] += real_postings
+            else:
+                top_scores_np, top_idx_np, match_count, cursor_seen = \
+                    fetched[:4]
+                cursor = 4
+                mask_np = None
+                if needs_mask_host:
+                    mask_np = np.array(fetched[cursor])[:seg.doc_count]
+                    cursor += 1
+                if vector_plan is not None:
+                    text_masks[dseg.ord] = fetched[cursor]
+                    cursor += 1
+                adjusted_np = None
+                if need_scores and not score_fast_path:
+                    adjusted_np = fetched[cursor]
+
+                # postings telemetry: for wand/bmw on requests where
+                # real pruning is disabled (aggs, cursors, hooks, small
+                # segments), report the COUNTERFACTUAL postings a
+                # block-max pruned traversal would touch, flagged
+                # pruning_simulated=true in the profile
+                if req.profile and req.execution in ("wand", "bmw") \
+                        and score_fast_path and req.return_hits:
+                    stats["postings_advanced"] += self._pruned_postings(
+                        dseg, qargs, top_scores_np, req.limit,
+                        req.execution)
+                    pruning_simulated = True
+                else:
+                    stats["postings_advanced"] += \
+                        qargs["postings_touched"]
 
             if use_cursor and bool(cursor_seen):
                 saw_cursor = True
-
-            # postings telemetry: for wand/bmw report the postings a
-            # block-max pruned traversal would touch (sound BMW bound:
-            # block survives iff its UB plus the other terms' term-level
-            # UBs reaches the running top-k threshold); bm25 reports the
-            # full posting volume the dense oracle scores
-            if req.profile and req.execution in ("wand", "bmw") \
-                    and score_fast_path and req.return_hits:
-                stats["postings_advanced"] += self._pruned_postings(
-                    dseg, qargs, top_scores_np, req.limit, req.execution)
-            else:
-                stats["postings_advanced"] += qargs["postings_touched"]
 
             if score_fast_path:
                 total_matches += int(match_count)
@@ -994,8 +1034,15 @@ class IndexReader:
         profile = None
         if req.profile:
             timings["search_ms"] = search_ms
+            execution_stats = dict(stats)
+            if req.execution in ("wand", "bmw"):
+                # honest pruning semantics: postings_advanced is a real
+                # measurement when the doc-tile pruned path ran, a
+                # counterfactual model otherwise
+                execution_stats["pruning_simulated"] = (
+                    pruning_simulated or not pruning_real)
             profile = {
-                "execution": dict(stats),
+                "execution": execution_stats,
                 "rescore": dict(rescore_stats) if req.rescore else None,
                 "timings": timings,
             }
@@ -1321,8 +1368,121 @@ class IndexReader:
 
     # -- batched search --------------------------------------------------------
 
+    def _search_segment_pruned(self, dseg, compiled, qargs, phrase_masks,
+                               filter_masks, col_vals, col_has,
+                               root_mask, k: int, has_scored: bool,
+                               need_scores: bool):
+        """Doc-tile pruned single-query execution (ops/tiles.py): wave 1
+        bounds every tile's best-possible score with one small matmul,
+        then at most two exact-scoring waves over compacted tile
+        columns. Exact — identical top-k to the dense executor
+        (reference contract `tests/pruning.rs:44-105`); sound for any
+        matcher/filter/phrase because masks only shrink the match set
+        and every doc in a scored tile is evaluated with ALL its
+        postings. Returns (scores [k], docs [k], match_count,
+        postings_touched) or None to fall back to dense."""
+        import jax
+        import jax.numpy as jnp
+
+        from searchlite_tpu.ops.tiles import get_tile_index
+
+        if bool((qargs["w_leaf"] < 0).any()):
+            return None  # negative boosts break the upper bound
+        tl = get_tile_index(dseg)
+        n_slots = qargs["n_slots"]
+        tids = qargs["slot_tids"][:n_slots]
+        s_pad = qargs["s_pad"]
+
+        # wave 1 — per-tile upper bounds. Weights = column sums of
+        # w_leaf: >= any sum/dis-max (tie_breaker <= 1) expression over
+        # the non-negative leaf scores.
+        wsum = qargs["w_leaf"].sum(axis=0).astype(np.float32)
+        nz = np.flatnonzero(wsum > 0)
+        w_pad = next_pow2(max(len(nz), 8))
+        w_idx = np.arange(w_pad, dtype=np.int32) + s_pad  # pads → dump
+        w_idx[:len(nz)] = nz
+        w_val = np.zeros(w_pad, dtype=np.float32)
+        w_val[:len(nz)] = wsum[nz]
+        blk_idx, slot_row, _ = tl.ub_block_tables(tids)
+        ub_ref = self._ub_scorer()(
+            tl.tile_docs, tl.tile_maxes, jnp.asarray(blk_idx),
+            jnp.asarray(slot_row), jnp.asarray(w_idx),
+            jnp.asarray(w_val),
+            n_t1=tl.n_tiles + 1, s_pad=s_pad, n_queries=1)
+        ub = np.asarray(jax.device_get(ub_ref))[0, :tl.n_tiles]
+
+        seed_c = int(os.environ.get("SEARCHLITE_SEED_TILES", 0)) \
+            or max(4, -(-4 * k // tl.T))
+        seed_c = min(seed_c, tl.n_tiles)
+        if seed_c < tl.n_tiles:
+            part = np.argpartition(-ub, seed_c - 1)[:seed_c]
+        else:
+            part = np.arange(tl.n_tiles)
+        tiles = np.unique(part[ub[part] > 0.0])
+        if len(tiles) == 0:
+            return (np.full(k, -np.inf, dtype=np.float32),
+                    np.zeros(k, dtype=np.int64), 0, 0)
+
+        run_exec = compiled.tile_executor()
+        scored = np.zeros(tl.n_tiles, dtype=bool)
+        all_scores: list[np.ndarray] = []
+        all_docs: list[np.ndarray] = []
+        total_mc = 0
+        postings_real = 0
+        for _wave in range(2):
+            runs = tl.run_tables(tids, tiles)
+            n_cols = runs["n_cols"]
+            if s_pad * n_cols + runs["p_pad"] >= 2**31:
+                return None  # wave too wide — dense path instead
+            ph2 = tl.gather_cols(phrase_masks, tiles, fill=False)
+            fl2 = tl.gather_cols(filter_masks, tiles, fill=False)
+            cv2 = tl.gather_cols(col_vals, tiles, fill=0.0)
+            ch2 = tl.gather_cols(col_has, tiles, fill=False)
+            rm2 = tl.gather_cols(root_mask, tiles, fill=False)
+            del2 = tl.deleted_cols(tiles)
+            kk = min(k, n_cols)
+            ts, ti, mc = run_exec(
+                dseg.docs_flat, dseg.impacts_flat, jnp.asarray(del2),
+                jnp.asarray(runs["run_start"]),
+                jnp.asarray(runs["run_len"]),
+                jnp.asarray(runs["run_slot"]),
+                jnp.asarray(runs["run_off"]),
+                jnp.asarray(qargs["w_leaf"]),
+                jnp.asarray(qargs["leaf_ind"]),
+                jnp.asarray(qargs["group_ind"]),
+                jnp.asarray(ph2), jnp.asarray(fl2),
+                jnp.asarray(cv2), jnp.asarray(ch2), jnp.asarray(rm2),
+                k=kk, s_pad=s_pad, n_cols=n_cols, p_pad=runs["p_pad"],
+                has_scored_terms=has_scored, need_scores=need_scores)
+            ts, ti, mc = jax.device_get((ts, ti, mc))
+            ts = np.asarray(ts)
+            all_scores.append(ts)
+            all_docs.append(tl.map_ids(tiles, np.asarray(ti)))
+            total_mc += int(mc)
+            postings_real += runs["postings"]
+            scored[tiles] = True
+            merged = np.concatenate(all_scores)
+            valid = merged > -np.inf
+            if int(valid.sum()) >= k:
+                theta = np.partition(merged[valid], -k)[-k]
+            else:
+                theta = -np.inf
+            surv = (ub >= theta) & (ub > 0.0) & ~scored
+            tiles = np.flatnonzero(surv)
+            if len(tiles) == 0:
+                break
+        scores_cat = np.concatenate(all_scores)
+        docs_cat = np.concatenate(all_docs)
+        order = np.lexsort((docs_cat, -scores_cat))[:k]
+        out_s = np.full(k, -np.inf, dtype=np.float32)
+        out_d = np.zeros(k, dtype=np.int64)
+        out_s[:len(order)] = scores_cat[order]
+        out_d[:len(order)] = docs_cat[order]
+        return (out_s, out_d, total_mc, postings_real)
+
     def search_batch(self, queries: list[str], limit: int = 10,
-                     fields: Optional[list[str]] = None
+                     fields: Optional[list[str]] = None,
+                     execution: str = "bm25"
                      ) -> list[list[tuple[str, float]]]:
         """Score a batch of query strings in one device launch per
         segment (the data-parallel axis of the engine; BASELINE.json
@@ -1331,34 +1491,23 @@ class IndexReader:
         ``(doc_id, score)`` pairs, exact top-``limit``, ordered like the
         single-query path (score desc, doc asc).
 
+        ``execution``: ``bm25`` scores every posting densely;
+        ``wand``/``bmw`` run the doc-tile pruned execution
+        (ops/tiles.py) — identical results, fewer postings touched.
+
         Queries containing phrases/negations or requests needing filters
         should use :meth:`search`.
         """
         return self.search_batch_many([queries], limit=limit,
-                                      fields=fields)[0]
+                                      fields=fields,
+                                      execution=execution)[0]
 
-    def search_batch_many(self, batches: list[list[str]], limit: int = 10,
-                          fields: Optional[list[str]] = None
-                          ) -> list[list[list[tuple[str, float]]]]:
-        """Pipelined form of :meth:`search_batch` for a stream of
-        batches: every batch's device work is dispatched asynchronously
-        before ANY result is fetched, so host prep, device compute, and
-        the host<->device round trip all overlap across batches (the
-        sustained-throughput serving pattern). Results are identical to
-        calling ``search_batch`` per batch."""
-        import jax
-        import jax.numpy as jnp
-
-        from searchlite_tpu.ops.impact import build_impact_batch
+    def _analyze_batches(self, batches, fields):
+        """Parse + analyze query strings into per-query (field, token)
+        pairs; analysis memoized per (field, raw-term) across ALL
+        batches — workloads repeat terms heavily."""
         from searchlite_tpu.query.parser import parse_query
 
-        if limit <= 0:
-            raise QueryError("limit must be > 0")
-        if fields is None:
-            fields = [f.name for f in self.schema.text_fields]
-
-        # token analysis memoized per (field, raw-term) across ALL
-        # batches — workloads repeat terms heavily
         token_cache: dict[tuple[str, str], list[tuple[str, str]]] = {}
 
         def term_pairs(field: str, raw_term: str):
@@ -1376,13 +1525,7 @@ class IndexReader:
                 token_cache[key] = hit
             return hit
 
-        # memory budget for the dense M + score matrices on one chip;
-        # past it, loop host-defined doc shards
-        m_budget_bytes = int(os.environ.get(
-            "SEARCHLITE_M_BUDGET_BYTES", 2 * 1024**3))
-
-        # phase 1 — per batch: analyze, build args, dispatch all segments
-        launches = []  # per batch: list of (seg_ord, scores, ids)
+        out = []
         for queries in batches:
             analyzed: list[list[tuple[str, str]]] = []
             for raw in queries:
@@ -1394,7 +1537,43 @@ class IndexReader:
                     for field in term_fields:
                         pairs.extend(term_pairs(field, term.term))
                 analyzed.append(pairs)
+            out.append(analyzed)
+        return out
 
+    def search_batch_many(self, batches: list[list[str]], limit: int = 10,
+                          fields: Optional[list[str]] = None,
+                          execution: str = "bm25"
+                          ) -> list[list[list[tuple[str, float]]]]:
+        """Pipelined form of :meth:`search_batch` for a stream of
+        batches: every batch's device work is dispatched asynchronously
+        before ANY result is fetched, so host prep, device compute, and
+        the host<->device round trip all overlap across batches (the
+        sustained-throughput serving pattern). Results are identical to
+        calling ``search_batch`` per batch."""
+        import jax
+        import jax.numpy as jnp
+
+        from searchlite_tpu.ops.impact import build_impact_batch
+
+        if limit <= 0:
+            raise QueryError("limit must be > 0")
+        if execution not in ("bm25", "wand", "bmw"):
+            raise QueryError(f"unknown execution strategy `{execution}`")
+        if fields is None:
+            fields = [f.name for f in self.schema.text_fields]
+        if execution in ("wand", "bmw"):
+            return self._search_batch_pruned_many(batches, limit, fields)
+
+        # memory budget for the dense M + score matrices on one chip;
+        # past it, loop host-defined doc shards
+        m_budget_bytes = int(os.environ.get(
+            "SEARCHLITE_M_BUDGET_BYTES", 2 * 1024**3))
+
+        # phase 1 — per batch: analyze, build args, dispatch all segments
+        launches = []  # per batch: list of (seg_ord, scores, ids)
+        for queries, analyzed in zip(batches,
+                                     self._analyze_batches(batches,
+                                                           fields)):
             launched: list[tuple[int, Any, Any]] = []
             for dseg in self.device_segments:
                 seg = dseg.reader
@@ -1468,6 +1647,193 @@ class IndexReader:
                 for (seg_ord, doc), score in ranked
             ])
         return results
+
+    # -- doc-tile pruned batch execution (real WAND/BMW) ------------------
+
+    def _search_batch_pruned_many(self, batches, limit: int, fields):
+        """Three-wave doc-tile pruned execution (ops/tiles.py): wave 1
+        computes per-tile score upper bounds (one small MXU matmul),
+        wave 2 exactly scores each query's top tiles by bound, wave 3
+        scores the remaining tiles whose bound reaches the observed
+        top-k threshold (usually none). Per-query results are exact —
+        identical to the dense path (the reference's pruning contract,
+        `tests/pruning.rs:44-105`). Waves are pipelined across all
+        batches and segments: three bulk fetches total, regardless of
+        batch count."""
+        import jax
+        import jax.numpy as jnp
+
+        from searchlite_tpu.ops.impact import build_impact_batch
+        from searchlite_tpu.ops.tiles import get_tile_index
+
+        seed_c = int(os.environ.get("SEARCHLITE_SEED_TILES", 0))
+        ub_scorer = self._ub_scorer()
+        run_scorer = self._run_scorer()
+
+        analyzed_all = self._analyze_batches(batches, fields)
+
+        # wave 1 — per (batch, segment): UB matrix launch
+        work = []  # (batch_i, dseg, tl, qb, ub_ref)
+        for bi, analyzed in enumerate(analyzed_all):
+            for dseg in self.device_segments:
+                seg = dseg.reader
+                if seg.doc_count == 0:
+                    continue
+                qb = build_impact_batch(seg, dseg, analyzed)
+                tl = get_tile_index(dseg)
+                n_slots = qb["n_slots"]
+                if n_slots == 0:
+                    work.append((bi, dseg, tl, qb, None))
+                    continue
+                blk_idx, slot_row, _ = tl.ub_block_tables(
+                    qb["slot_tids"][:n_slots])
+                ub_ref = ub_scorer(
+                    tl.tile_docs, tl.tile_maxes,
+                    jnp.asarray(blk_idx), jnp.asarray(slot_row),
+                    jnp.asarray(qb["w_idx"]), jnp.asarray(qb["w_val"]),
+                    n_t1=tl.n_tiles + 1, s_pad=qb["s_pad"],
+                    n_queries=qb["n_queries"])
+                work.append((bi, dseg, tl, qb, ub_ref))
+
+        ub_vals = jax.device_get(tuple(
+            ref for *_x, ref in work if ref is not None))
+        ub_iter = iter(ub_vals)
+
+        # wave 2 — seed tiles: per query the top-C tiles by UB
+        wave2 = []  # (ub, seed_tiles, refs or None)
+        for bi, dseg, tl, qb, ub_ref in work:
+            if ub_ref is None:
+                wave2.append((None, None, None))
+                continue
+            ub = np.asarray(next(ub_iter))[:, :tl.n_tiles]
+            c = seed_c or max(4, -(-4 * limit // tl.T))
+            c = min(c, tl.n_tiles)
+            # per-query top-c positive-UB tiles
+            if c < tl.n_tiles:
+                part = np.argpartition(-ub, c - 1, axis=1)[:, :c]
+            else:
+                part = np.broadcast_to(
+                    np.arange(tl.n_tiles), ub.shape).copy()
+            pos = ub[np.arange(ub.shape[0])[:, None], part] > 0.0
+            seed = np.unique(part[pos])
+            if len(seed) == 0:
+                wave2.append((ub, seed, None))
+                continue
+            refs = self._launch_tile_runs(dseg, tl, qb, seed, limit,
+                                          run_scorer)
+            wave2.append((ub, seed, refs))
+
+        flat2 = [x for _ub, _seed, refs in wave2 if refs is not None
+                 for x in refs[:2]]
+        vals2 = iter(jax.device_get(tuple(flat2)))
+
+        # wave 3 — survivors: tiles with UB >= theta for any query
+        wave3 = []  # (seed_res or None, extra_tiles, refs or None)
+        for (bi, dseg, tl, qb, _r), (ub, seed, refs) in zip(work, wave2):
+            if refs is None:
+                wave3.append((None, None, None))
+                continue
+            scores2 = np.asarray(next(vals2))
+            ids2 = np.asarray(next(vals2))
+            docs2 = tl.map_ids(seed, ids2)
+            nq = scores2.shape[0]
+            valid = scores2 > -np.inf
+            nvalid = valid.sum(axis=1)
+            theta = np.full(nq, -np.inf, dtype=np.float64)
+            full = nvalid >= min(limit, scores2.shape[1])
+            if scores2.shape[1] >= limit:
+                theta[full] = scores2[full, limit - 1]
+            # survivors: UB >= theta_q for ANY q, minus the seed set
+            surv = ((ub >= theta[:, None]) & (ub > 0.0)).any(axis=0)
+            surv[seed] = False
+            extra = np.flatnonzero(surv).astype(seed.dtype)
+            res = (scores2, docs2)
+            if len(extra) == 0:
+                wave3.append((res, extra, None))
+                continue
+            refs3 = self._launch_tile_runs(dseg, tl, qb, extra, limit,
+                                           run_scorer)
+            wave3.append((res, extra, refs3))
+
+        flat3 = [x for _res, _extra, refs in wave3 if refs is not None
+                 for x in refs[:2]]
+        vals3 = iter(jax.device_get(tuple(flat3)))
+
+        # merge per (batch, segment) then across segments per batch
+        per_batch_segments: list[list] = [[] for _ in batches]
+        for (bi, dseg, tl, qb, _r), (res, extra, refs3) in zip(work,
+                                                               wave3):
+            if res is None:
+                continue
+            scores2, docs2 = res
+            if refs3 is not None:
+                scores3 = np.asarray(next(vals3))
+                ids3 = np.asarray(next(vals3))
+                docs3 = tl.map_ids(extra, ids3)
+                scores2 = np.concatenate([scores2, scores3], axis=1)
+                docs2 = np.concatenate([docs2, docs3], axis=1)
+            # exact per-query top-limit: sort by (-score, doc)
+            order = np.lexsort((docs2, -scores2), axis=-1)[:, :limit]
+            top_s = np.take_along_axis(scores2, order, axis=1)
+            top_d = np.take_along_axis(docs2, order, axis=1)
+            # re-mask pads that leaked through the merge
+            top_d = np.where(top_s > -np.inf, top_d, 0)
+            per_batch_segments[bi].append(
+                (dseg.ord, top_s.astype(np.float32), top_d))
+
+        out = []
+        for queries, per_segment in zip(batches, per_batch_segments):
+            if not per_segment:
+                out.append([[] for _ in queries])
+                continue
+            out.append(self._merge_batch_results(
+                queries, per_segment, limit))
+        return out
+
+    def _launch_tile_runs(self, dseg, tl, qb, tiles, limit: int,
+                          run_scorer):
+        """Dispatch one exact-scoring wave over the selected tiles.
+        Returns (scores_ref, ids_ref, postings_count)."""
+        import jax.numpy as jnp
+
+        n_slots = qb["n_slots"]
+        runs = tl.run_tables(qb["slot_tids"][:n_slots], tiles)
+        n_cols = runs["n_cols"]
+        s_pad = qb["s_pad"]
+        if s_pad * n_cols + runs["p_pad"] >= 2**31:
+            raise QueryError(
+                "tile wave exceeds int32 device indexing; lower "
+                "SEARCHLITE_SEED_TILES or shard the corpus")
+        deleted_cols = tl.deleted_cols(tiles)
+        scores, ids = run_scorer(
+            dseg.docs_flat, dseg.impacts_flat,
+            jnp.asarray(deleted_cols),
+            jnp.asarray(runs["run_start"]), jnp.asarray(runs["run_len"]),
+            jnp.asarray(runs["run_slot"]), jnp.asarray(runs["run_off"]),
+            jnp.asarray(qb["w_idx"]), jnp.asarray(qb["w_val"]),
+            k=min(limit, n_cols), n_cols=n_cols, p_pad=runs["p_pad"],
+            s_pad=s_pad, n_queries=qb["n_queries"])
+        return (scores, ids, runs["postings"])
+
+    def _ub_scorer(self):
+        from searchlite_tpu.ops.tiles import make_ub_scorer
+
+        with _GLOBAL_LOCK:
+            scorer = _GLOBAL_SCORERS.get(("tile_ub",))
+            if scorer is None:
+                scorer = make_ub_scorer()
+                _GLOBAL_SCORERS[("tile_ub",)] = scorer
+            return scorer
+
+    def _run_scorer(self):
+        from searchlite_tpu.ops.tiles import make_run_batch_scorer
+
+        with _GLOBAL_LOCK:
+            scorer = _GLOBAL_SCORERS.get(("tile_runs",))
+            if scorer is None:
+                scorer = make_run_batch_scorer()
+                _GLOBAL_SCORERS[("tile_runs",)] = scorer
+            return scorer
 
     def _pruned_postings(self, dseg, qargs, top_scores_np,
                          limit: int, strategy: str) -> int:

@@ -357,6 +357,58 @@ class CompiledQuery:
 
     # -- the jitted executor ----------------------------------------------------
 
+    def _core(self, m, deleted, w_leaf, leaf_ind, group_ind,
+              phrase_masks, filter_masks, col_vals, col_has, root_mask,
+              has_scored_terms: bool, need_scores: bool):
+        """Shared traced core: leaf scoring off a densified M (any doc
+        width — full segment or compacted tile columns), matcher/score
+        tree evaluation, final mask. Returns (final_mask, adjusted,
+        matcher_mask, ones)."""
+        jnp = self._jnp
+        n1 = deleted.shape[0]
+        ones = jnp.ones(n1, dtype=bool)
+        zeros = jnp.zeros(n1, dtype=jnp.float32)
+
+        m_pos = (m > 0).astype(jnp.float32)
+        leaf_scores = jnp.dot(w_leaf, m,
+                              preferred_element_type=jnp.float32)
+        leaf_match = jnp.dot(leaf_ind, m_pos,
+                             preferred_element_type=jnp.float32) > 0
+        group_match = jnp.dot(group_ind, m_pos,
+                              preferred_element_type=jnp.float32) > 0
+
+        ctx = {
+            "ones": ones,
+            "zeros": zeros,
+            "leaf_scores": leaf_scores,
+            "group_match": group_match,
+            "phrase_masks": phrase_masks,
+            "filter_masks": filter_masks,
+            "col_vals": col_vals,
+            "col_has": col_has,
+        }
+
+        matcher_mask = self._eval_matcher(self.plan.matcher, ctx)
+        if has_scored_terms:
+            candidates = leaf_match.any(axis=0)
+        else:
+            candidates = ones
+        if need_scores and self.plan.scorer is not None:
+            base_score = self._eval_score_expr(self.plan.scorer,
+                                               leaf_scores)
+        else:
+            base_score = zeros
+        if need_scores and self.needs_hook:
+            ctx_hook = dict(ctx)
+            adjusted, present = self._eval_score_node(
+                self.plan.score_tree, ctx_hook)
+        else:
+            adjusted, present = base_score, ones
+
+        final_mask = candidates & matcher_mask & root_mask \
+            & ~deleted & present
+        return final_mask, adjusted, matcher_mask, ones
+
     def _build_executor(self):
         jnp = self._jnp
         jax = self._jax
@@ -371,51 +423,13 @@ class CompiledQuery:
 
             n1 = deleted.shape[0]
 
-            ones = jnp.ones(n1, dtype=bool)
-            zeros = jnp.zeros(n1, dtype=jnp.float32)
-
             # --- densify the query's term slots, score on the MXU ---
             m = build_m_from_blocks(jnp, block_docs, block_impacts,
                                     blk_idx, slot_row, n1, s_pad)
-            m_pos = (m > 0).astype(jnp.float32)
-            leaf_scores = jnp.dot(w_leaf, m,
-                                  preferred_element_type=jnp.float32)
-            leaf_match = jnp.dot(leaf_ind, m_pos,
-                                 preferred_element_type=jnp.float32) > 0
-            group_match = jnp.dot(group_ind, m_pos,
-                                  preferred_element_type=jnp.float32) > 0
-
-            ctx = {
-                "ones": ones,
-                "zeros": zeros,
-                "leaf_scores": leaf_scores,
-                "group_match": group_match,
-                "phrase_masks": phrase_masks,
-                "filter_masks": filter_masks,
-                "col_vals": col_vals,
-                "col_has": col_has,
-            }
-
-            # --- 4: matcher + score trees ---
-            matcher_mask = self._eval_matcher(self.plan.matcher, ctx)
-            if has_scored_terms:
-                candidates = leaf_match.any(axis=0)
-            else:
-                candidates = ones
-            if need_scores and self.plan.scorer is not None:
-                base_score = self._eval_score_expr(self.plan.scorer,
-                                                   leaf_scores)
-            else:
-                base_score = zeros
-            if need_scores and self.needs_hook:
-                ctx_hook = dict(ctx)
-                adjusted, present = self._eval_score_node(
-                    self.plan.score_tree, ctx_hook)
-            else:
-                adjusted, present = base_score, ones
-
-            final_mask = candidates & matcher_mask & root_mask \
-                & ~deleted & present
+            final_mask, adjusted, matcher_mask, _ones = self._core(
+                m, deleted, w_leaf, leaf_ind, group_ind, phrase_masks,
+                filter_masks, col_vals, col_has, root_mask,
+                has_scored_terms, need_scores)
 
             # --- cursor skip (score-desc fast path only): keep docs whose
             # key is strictly after the cursor key ---
@@ -455,7 +469,46 @@ class CompiledQuery:
         return jax.jit(run, static_argnames=(
             "k", "s_pad", "has_scored_terms", "need_scores", "use_cursor"))
 
+    def _build_tile_executor(self):
+        """Executor over compacted tile columns (the doc-tile pruned
+        path, ops/tiles.py): identical matcher/score-tree semantics, M
+        built from posting RUNS restricted to the selected tiles, every
+        doc-axis input pre-gathered to tile space by the host."""
+        jnp = self._jnp
+        jax = self._jax
+
+        def run(docs_flat, impacts_flat, deleted_cols,
+                run_start, run_len, run_slot, run_off,
+                w_leaf, leaf_ind, group_ind,
+                phrase_masks, filter_masks, col_vals, col_has,
+                root_mask,
+                *, k: int, s_pad: int, n_cols: int, p_pad: int,
+                has_scored_terms: bool, need_scores: bool):
+            from searchlite_tpu.ops.tiles import build_m_from_runs
+
+            m = build_m_from_runs(jnp, docs_flat, impacts_flat,
+                                  run_start, run_len, run_slot, run_off,
+                                  n_cols, s_pad, p_pad)
+            final_mask, adjusted, _matcher_mask, _ones = self._core(
+                m, deleted_cols, w_leaf, leaf_ind, group_ind,
+                phrase_masks, filter_masks, col_vals, col_has,
+                root_mask, has_scored_terms, need_scores)
+            match_count = final_mask.sum()
+            masked = jnp.where(final_mask, adjusted,
+                               -jnp.inf).astype(jnp.float32)
+            top_scores, top_idx = jax.lax.top_k(masked, k)
+            return top_scores, top_idx, match_count
+
+        return jax.jit(run, static_argnames=(
+            "k", "s_pad", "n_cols", "p_pad", "has_scored_terms",
+            "need_scores"))
+
     def executor(self):
         if "run" not in self._jit_cache:
             self._jit_cache["run"] = self._build_executor()
         return self._jit_cache["run"]
+
+    def tile_executor(self):
+        if "tile_run" not in self._jit_cache:
+            self._jit_cache["tile_run"] = self._build_tile_executor()
+        return self._jit_cache["tile_run"]

@@ -1,0 +1,346 @@
+"""Doc-tile pruned execution: TPU-native block-max (WAND/BMW) pruning.
+
+The reference prunes with a doc-at-a-time pivot loop over posting
+cursors (`/root/reference/searchlite-core/src/query/wand.rs:659-903`):
+term upper bounds + per-block max scores let it skip candidate docs
+whose best-possible score can't reach the running top-k threshold. That
+loop is inherently serial. The TPU formulation keeps the *bound
+semantics* but changes the granularity to fixed doc-space tiles so the
+bound check itself becomes an MXU matmul:
+
+1. **Index time** (host, cached per segment): the doc axis is cut into
+   tiles of ``T`` docs. For every (term, tile) with postings, store the
+   posting run (start, len) and the tile-max impact. Because postings
+   are (term, doc)-sorted, each (term, tile) run is contiguous — the
+   whole table is one vectorized pass. Tile maxes are packed into the
+   same 128-wide block layout postings use, so the UB pass reuses the
+   block-gather M build.
+
+2. **Wave 1 — bounds**: ``UB[q, tile] = Σ_s W[q,s] · tilemax[s, tile]``
+   — one small matmul (n_tiles ≈ n_docs/T columns). ``UB`` soundly
+   bounds every doc's score in the tile: impacts ≥ 0, idf ≥ 1, and the
+   score tree is a sum/dis-max (≤ sum for tie_breaker ≤ 1) of
+   non-negative leaf scores.
+
+3. **Wave 2 — seed**: exactly score the per-query top-C tiles by UB.
+   All slots' postings inside a chosen tile are gathered (so every doc
+   in a scored tile gets its COMPLETE score — matcher masks, must_not,
+   filters all evaluate exactly there), densified into a compacted
+   ``M2 [S, n_sel·T]`` and scored with ``W @ M2``. The k-th exact score
+   per query is the threshold θ_q.
+
+4. **Wave 3 — survivors** (often empty): score every remaining tile
+   with ``UB[q, tile] ≥ θ_q`` for some q. After this wave every
+   unscored tile has UB < θ for every query, so the merged per-query
+   top-k is exact — including scores and the (score desc, doc asc) tie
+   order: any doc tying the threshold lives in a tile with UB ≥ θ and
+   was therefore scored. At most 3 waves, deterministically.
+
+Exactness argument (the ``tests/pruning.rs:44-105`` contract): a true
+top-k doc d has score(d) ≥ θ_q (θ_q is the k-th best of a subset of
+exact scores), so d's tile has UB ≥ score(d) ≥ θ_q and is scored —
+with ALL of d's postings, hence exactly. A doc in an unscored tile has
+score ≤ UB < θ_q ≤ every true top-k score, so it can't displace one.
+
+Pruned tiles are never gathered, never scattered, and never widen the
+scoring matmul — unlike posting-block pruning, doc-tiles also capture
+the docID-intersection effect (a rare term's tiles discipline a common
+term's bound), which is where WAND's wins actually come from.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+from searchlite_tpu.ops.impact import (
+    build_block_tables,
+    build_m_from_blocks,
+    next_pow2,
+    pow4_bucket,
+)
+
+
+def default_tile_width(n1: int, max_tiles: int = 4096,
+                       minimum: int = 512) -> int:
+    """Tile width: fine enough to prune, coarse enough that the UB
+    matrix stays small (n_tiles ≤ max_tiles). Multiple of 128."""
+    t = minimum
+    while -(-n1 // t) > max_tiles:
+        t += 128
+    return t
+
+
+class TileIndex:
+    """Per-segment doc-tile tables (host + device), built lazily from a
+    DeviceSegment's flat impact-ordered postings."""
+
+    def __init__(self, dseg, tile_width: int | None = None):
+        import jax.numpy as jnp  # noqa: PLC0415
+
+        self.dseg = dseg
+        n1 = dseg.n1
+        T = tile_width or default_tile_width(n1)
+        self.T = T
+        self.n_tiles = -(-n1 // T)
+
+        docs = dseg.docs_flat_np
+        imps = dseg.impacts_flat_np
+        postings = dseg.reader.postings
+        term_df = postings.term_df.astype(np.int64)
+        n_terms = len(term_df)
+        # docs_flat_np is padded to length 1 for empty segments; guard
+        total = int(term_df.sum())
+        docs = docs[:total]
+        imps = imps[:total]
+
+        term_of = np.repeat(np.arange(n_terms, dtype=np.int64), term_df)
+        tile_of = (docs // T).astype(np.int64)
+        key = term_of * self.n_tiles + tile_of
+        if total:
+            is_start = np.empty(total, dtype=bool)
+            is_start[0] = True
+            np.not_equal(key[1:], key[:-1], out=is_start[1:])
+            entry_start = np.flatnonzero(is_start).astype(np.int64)
+            entry_len = np.diff(np.append(entry_start, total))
+            self.entry_term = term_of[entry_start]
+            self.entry_tile = tile_of[entry_start].astype(np.int32)
+            self.entry_max = np.maximum.reduceat(imps, entry_start)
+        else:
+            entry_start = np.zeros(0, dtype=np.int64)
+            entry_len = np.zeros(0, dtype=np.int64)
+            self.entry_term = np.zeros(0, dtype=np.int64)
+            self.entry_tile = np.zeros(0, dtype=np.int32)
+            self.entry_max = np.zeros(0, dtype=np.float32)
+        self.entry_start = entry_start
+        self.entry_len = entry_len
+        # per-term entry CSR (entry_term ascending)
+        self.entry_base = np.searchsorted(
+            self.entry_term, np.arange(n_terms + 1))
+
+        # pack (tile, max) entries into the 128-wide block layout so the
+        # UB pass reuses build_m_from_blocks; pad tile = n_tiles routes
+        # to the scatter dump zone (n_t1 = n_tiles + 1 columns)
+        n_entries = len(entry_start)
+        counts = np.diff(self.entry_base)
+        eb_cnt = -(-counts // 128)
+        self.eb_start = np.concatenate(
+            [[0], np.cumsum(eb_cnt)]).astype(np.int64)
+        self.eb_cnt = eb_cnt.astype(np.int64)
+        total_eb = int(self.eb_start[-1])
+        tl_docs = np.full((total_eb + 1, 128), self.n_tiles,
+                          dtype=np.int32)
+        tl_maxes = np.zeros((total_eb + 1, 128), dtype=np.float32)
+        if n_entries:
+            run_of = np.repeat(np.arange(n_terms, dtype=np.int64), counts)
+            offset = np.arange(n_entries, dtype=np.int64) \
+                - self.entry_base[:-1][run_of]
+            dest = self.eb_start[:-1][run_of] * 128 + offset
+            tl_docs.reshape(-1)[dest] = self.entry_tile
+            tl_maxes.reshape(-1)[dest] = self.entry_max
+        self.sentinel_row = total_eb
+        self.tile_docs = jnp.asarray(tl_docs)
+        self.tile_maxes = jnp.asarray(tl_maxes)
+        self._deleted_pad = None
+        self._jnp = jnp
+
+    # -- wave-1 helpers ------------------------------------------------------
+
+    def ub_block_tables(self, slot_tids):
+        """Block-gather tables over the tile-max layout for the given
+        slot terms ([nb], [nb], nb_pad) — same shape contract as
+        build_block_tables over postings."""
+        starts = self.eb_start[slot_tids] if len(slot_tids) else \
+            np.zeros(0, dtype=np.int64)
+        cnts = self.eb_cnt[slot_tids] if len(slot_tids) else \
+            np.zeros(0, dtype=np.int64)
+        return build_block_tables(starts, cnts,
+                                  sentinel_row=self.sentinel_row)
+
+    # -- wave-2/3 helpers ----------------------------------------------------
+
+    def run_tables(self, slot_tids, tiles: np.ndarray):
+        """Posting runs restricted to the selected (sorted) tiles.
+
+        Returns dict with run_start/run_len/run_slot/run_off (int32/f32
+        numpy, padded to a pow-4 bucket) + p_pad + n_cols. Destination
+        column of doc d in a run for tile τ at rank r: d − τ·T + r·T,
+        i.e. run_off = (r − τ)·T. Runs are emitted slot-major with
+        tiles ascending, and docs ascend within a run, so the scatter's
+        flat indices are sorted + unique."""
+        n_sel = len(tiles)
+        starts_all, lens_all, slots_all, offs_all = [], [], [], []
+        for s, tid in enumerate(slot_tids):
+            lo, hi = int(self.entry_base[tid]), int(self.entry_base[tid + 1])
+            if lo == hi or n_sel == 0:
+                continue
+            etiles = self.entry_tile[lo:hi]
+            pos = np.searchsorted(tiles, etiles)
+            pos_c = np.minimum(pos, n_sel - 1)
+            hit = tiles[pos_c] == etiles
+            if not hit.any():
+                continue
+            e_idx = np.flatnonzero(hit) + lo
+            ranks = pos_c[hit]
+            starts_all.append(self.entry_start[e_idx])
+            lens_all.append(self.entry_len[e_idx])
+            slots_all.append(np.full(len(e_idx), s, dtype=np.int64))
+            offs_all.append((ranks.astype(np.int64)
+                             - self.entry_tile[e_idx]) * self.T)
+        if starts_all:
+            run_start = np.concatenate(starts_all)
+            run_len = np.concatenate(lens_all)
+            run_slot = np.concatenate(slots_all)
+            run_off = np.concatenate(offs_all)
+        else:
+            run_start = np.zeros(0, dtype=np.int64)
+            run_len = np.zeros(0, dtype=np.int64)
+            run_slot = np.zeros(0, dtype=np.int64)
+            run_off = np.zeros(0, dtype=np.int64)
+        total = int(run_len.sum())
+        r_pad = pow4_bucket(max(len(run_start), 1), minimum=64)
+        p_pad = pow4_bucket(max(total, 1), minimum=1024)
+        out = {
+            "run_start": _pad_i32(run_start, r_pad),
+            "run_len": _pad_i32(run_len, r_pad),
+            "run_slot": _pad_i32(run_slot, r_pad),
+            "run_off": _pad_i32(run_off, r_pad),
+            "p_pad": p_pad,
+            "n_cols": n_sel * self.T,
+            "postings": total,
+        }
+        return out
+
+    def gather_cols(self, arr: np.ndarray, tiles: np.ndarray,
+                    fill=0) -> np.ndarray:
+        """Gather a host [-1, n1] (or [n1]) doc-axis array into tile
+        space [..., n_sel·T]; positions past n1 take ``fill``."""
+        n1 = self.dseg.n1
+        cols = (tiles.astype(np.int64)[:, None] * self.T
+                + np.arange(self.T, dtype=np.int64)[None, :]).reshape(-1)
+        oob = cols >= n1
+        safe = np.where(oob, 0, cols)
+        out = np.asarray(arr)[..., safe].copy()
+        if np.any(oob):
+            out[..., oob] = fill
+        return out
+
+    def deleted_cols(self, tiles: np.ndarray) -> np.ndarray:
+        """Deleted mask in tile space (out-of-range cols deleted)."""
+        return self.gather_cols(self.dseg.deleted_np, tiles, fill=True)
+
+    def map_ids(self, tiles: np.ndarray, ids: np.ndarray) -> np.ndarray:
+        """Map compacted top-k ids back to doc ordinals."""
+        t = tiles[np.minimum(ids // self.T, len(tiles) - 1)]
+        return t.astype(np.int64) * self.T + ids % self.T
+
+
+def _pad_i32(arr, width):
+    out = np.zeros(width, dtype=np.int32)
+    out[:len(arr)] = arr
+    return out
+
+
+def get_tile_index(dseg, tile_width: int | None = None) -> TileIndex:
+    """Process-cached per (segment, width). SEARCHLITE_TILE_WIDTH
+    overrides the default width (tests use tiny widths to force the
+    pruning machinery onto many tiles)."""
+    import os
+
+    if tile_width is None:
+        tile_width = int(os.environ.get("SEARCHLITE_TILE_WIDTH", 0)) or None
+    cached = getattr(dseg, "_tile_index", None)
+    if cached is not None and cached.T == (tile_width or cached.T):
+        return cached
+    tl = TileIndex(dseg, tile_width)
+    dseg._tile_index = tl
+    return tl
+
+
+# -- device kernels ------------------------------------------------------
+
+
+def build_m_from_runs(jnp, docs_flat, impacts_flat, run_start, run_len,
+                      run_slot, run_off, n_cols: int, s_pad: int,
+                      p_pad: int):
+    """Densify posting RUNS (contiguous CSR slices with per-run
+    destination column offsets) into a compacted M [s_pad, n_cols].
+    Generalizes build_m: runs are (slot, tile) intersections instead of
+    whole slots. flat indices are sorted + unique by construction (see
+    TileIndex.run_tables)."""
+    ends = jnp.cumsum(run_len)
+    total = ends[-1]
+    positions = jnp.arange(p_pad, dtype=jnp.int32)
+    marks = jnp.zeros(p_pad, dtype=jnp.int32).at[ends].add(
+        1, mode="drop")
+    rid = jnp.cumsum(marks)
+    valid = positions < total
+    n_runs = run_start.shape[0]
+    rid_safe = jnp.minimum(rid, n_runs - 1)
+    begin = ends - run_len
+    p_idx = run_start[rid_safe] + (positions - begin[rid_safe])
+    p_idx = jnp.where(valid, p_idx, 0)
+    dest = docs_flat[p_idx] + run_off[rid_safe]
+    impacts = jnp.where(valid, impacts_flat[p_idx], 0.0)
+    flat_idx = jnp.where(
+        valid,
+        run_slot[rid_safe] * n_cols + dest,
+        s_pad * n_cols + (positions - total))
+    m_flat = jnp.zeros(s_pad * n_cols + p_pad, dtype=jnp.float32)
+    m_flat = m_flat.at[flat_idx].set(
+        impacts, indices_are_sorted=True, unique_indices=True,
+        mode="promise_in_bounds")
+    return m_flat[: s_pad * n_cols].reshape(s_pad, n_cols)
+
+
+def make_ub_scorer():
+    """Wave-1: the full UB matrix [Q, n_t1] = W @ TileMax (no top-k —
+    the host needs every tile's bound for seed choice + the survivor
+    check)."""
+    import jax
+    import jax.numpy as jnp
+
+    @partial(jax.jit, static_argnames=("n_t1", "s_pad", "n_queries"))
+    def ub(tile_docs, tile_maxes, blk_idx, slot_row, w_idx, w_val,
+           *, n_t1: int, s_pad: int, n_queries: int):
+        m = build_m_from_blocks(jnp, tile_docs, tile_maxes, blk_idx,
+                                slot_row, n_t1, s_pad)
+        w_flat = jnp.zeros(n_queries * s_pad + w_idx.shape[0],
+                           dtype=jnp.float32)
+        w_flat = w_flat.at[w_idx].set(
+            w_val, indices_are_sorted=True, unique_indices=True,
+            mode="promise_in_bounds")
+        w = w_flat[: n_queries * s_pad].reshape(n_queries, s_pad)
+        return jnp.dot(w, m, preferred_element_type=jnp.float32)
+
+    return ub
+
+
+def make_run_batch_scorer():
+    """Wave-2/3 batched scorer over compacted tile columns."""
+    import jax
+    import jax.numpy as jnp
+
+    @partial(jax.jit,
+             static_argnames=("k", "n_cols", "p_pad", "s_pad",
+                              "n_queries"))
+    def scorer(docs_flat, impacts_flat, deleted_cols,
+               run_start, run_len, run_slot, run_off, w_idx, w_val,
+               *, k: int, n_cols: int, p_pad: int, s_pad: int,
+               n_queries: int):
+        m = build_m_from_runs(jnp, docs_flat, impacts_flat, run_start,
+                              run_len, run_slot, run_off, n_cols, s_pad,
+                              p_pad)
+        w_flat = jnp.zeros(n_queries * s_pad + w_idx.shape[0],
+                           dtype=jnp.float32)
+        w_flat = w_flat.at[w_idx].set(
+            w_val, indices_are_sorted=True, unique_indices=True,
+            mode="promise_in_bounds")
+        w = w_flat[: n_queries * s_pad].reshape(n_queries, s_pad)
+        scores = jnp.dot(w, m, preferred_element_type=jnp.float32)
+        masked = jnp.where((scores > 0.0) & ~deleted_cols[None, :],
+                           scores, -jnp.inf)
+        return jax.lax.top_k(masked, k)
+
+    return scorer

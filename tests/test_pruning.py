@@ -1,0 +1,200 @@
+"""Pruned (doc-tile WAND/BMW) execution exactness vs the dense oracle.
+
+Port of the reference's pruning contract
+(`/root/reference/searchlite-core/tests/pruning.rs:44-105`): on seeded
+random corpora, `wand` and `bmw` must return top-k sets identical to the
+brute-force `bm25` strategy — same docs, same scores, same
+(score desc, doc_id asc) order. Here the contract covers both the
+batched API and the single-query request surface, under multi-segment
+indexes, score ties (duplicate docs), and tombstones.
+"""
+
+import random
+
+import pytest
+
+from searchlite_tpu.api.types import IndexOptions, StorageType
+from searchlite_tpu.index import Index
+from searchlite_tpu.index.manifest import Schema
+
+
+def _build_index(seed: int, segments: int = 3, docs_per_segment: int = 400,
+                 vocab_size: int = 80, delete: int = 50):
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(vocab_size)]
+    weights = [1.0 / (j + 1) for j in range(vocab_size)]  # zipf-ish
+    idx = Index.create(
+        IndexOptions(path="", create_if_missing=True,
+                     storage=StorageType.IN_MEMORY),
+        Schema.from_json({"text_fields": [
+            {"name": "body", "analyzer": "default", "stored": False,
+             "indexed": True}]}))
+    n = 0
+    for _seg in range(segments):
+        writer = idx.writer()
+        for _i in range(docs_per_segment):
+            body = " ".join(rng.choices(vocab, weights=weights,
+                                        k=rng.randint(2, 30)))
+            writer.add_document({"_id": str(n), "body": body})
+            n += 1
+            if rng.random() < 0.08:  # duplicate → exact score ties
+                writer.add_document({"_id": str(n), "body": body})
+                n += 1
+        writer.commit()
+    if delete:
+        writer = idx.writer()
+        writer.delete_documents(
+            [str(rng.randrange(n)) for _ in range(delete)])
+        writer.commit()
+    return idx, vocab, rng
+
+
+@pytest.mark.parametrize("seed", [7, 21])
+def test_batch_wand_bmw_match_bm25_on_random_corpora(seed, monkeypatch):
+    # tiny tiles force real multi-tile pruning even on a small corpus
+    monkeypatch.setenv("SEARCHLITE_TILE_WIDTH", "128")
+    idx, vocab, rng = _build_index(seed)
+    reader = idx.reader()
+    queries = [" ".join(rng.sample(vocab, k=rng.randint(1, 5)))
+               for _ in range(40)]
+    queries += ["missing-term", vocab[0],
+                " ".join(vocab[:8])]  # head-heavy disjunction
+    for limit in (1, 10, 37):
+        dense = reader.search_batch(queries, limit=limit)
+        for strategy in ("wand", "bmw"):
+            pruned = reader.search_batch(queries, limit=limit,
+                                         execution=strategy)
+            for query, a, b in zip(queries, dense, pruned):
+                assert [d for d, _ in a] == [d for d, _ in b], \
+                    (strategy, limit, query)
+                for (_, sa), (_, sb) in zip(a, b):
+                    assert sa == pytest.approx(sb, abs=1e-5), \
+                        (strategy, limit, query)
+
+
+def test_batch_pruned_seed_extremes(monkeypatch):
+    """Seed-size extremes exercise wave 3: seeding a single tile forces
+    the survivor wave to do the real work; a huge seed skips it."""
+    idx, vocab, rng = _build_index(33, segments=1, docs_per_segment=600)
+    monkeypatch.setenv("SEARCHLITE_TILE_WIDTH", "128")
+    reader = idx.reader()
+    queries = [" ".join(rng.sample(vocab, k=3)) for _ in range(12)]
+    dense = reader.search_batch(queries, limit=10)
+    for seeds in ("1", "1000"):
+        monkeypatch.setenv("SEARCHLITE_SEED_TILES", seeds)
+        pruned = reader.search_batch(queries, limit=10, execution="bmw")
+        assert pruned == dense or all(
+            [d for d, _ in a] == [d for d, _ in b]
+            and all(sa == pytest.approx(sb, abs=1e-5)
+                    for (_, sa), (_, sb) in zip(a, b))
+            for a, b in zip(dense, pruned))
+
+
+def test_batch_pruned_rejects_unknown_execution():
+    idx, _vocab, _rng = _build_index(5, segments=1, docs_per_segment=50,
+                                     delete=0)
+    reader = idx.reader()
+    from searchlite_tpu.errors import QueryError
+    with pytest.raises(QueryError):
+        reader.search_batch(["w1"], limit=5, execution="turbo")
+
+
+def test_single_query_wand_bmw_match_bm25(monkeypatch):
+    """`execution: wand|bmw` on the request surface returns results
+    identical to the dense default (reference `tests/pruning.rs`)."""
+    monkeypatch.setenv("SEARCHLITE_TILE_WIDTH", "128")
+    monkeypatch.setenv("SEARCHLITE_PRUNE_MIN_POSTINGS", "1")
+    idx, vocab, rng = _build_index(11)
+    reader = idx.reader()
+    queries = [" ".join(rng.sample(vocab, k=rng.randint(1, 4)))
+               for _ in range(12)]
+    queries.append(" ".join(vocab[:6]))
+    for query in queries:
+        base = reader.search({"query": query, "limit": 10})
+        for strategy in ("wand", "bmw"):
+            res = reader.search({"query": query, "limit": 10,
+                                 "execution": strategy})
+            assert [h.doc_id for h in res.hits] == \
+                [h.doc_id for h in base.hits], (strategy, query)
+            for ha, hb in zip(base.hits, res.hits):
+                assert ha.score == pytest.approx(hb.score, abs=1e-5)
+            assert res.total_hits_estimate <= base.total_hits_estimate
+
+
+def test_single_query_pruned_with_filters_and_msm(monkeypatch):
+    """Pruning must stay exact under filters / minimum_should_match /
+    must_not — the matcher evaluates exactly inside scored tiles and the
+    bound argument is mask-independent."""
+    monkeypatch.setenv("SEARCHLITE_TILE_WIDTH", "128")
+    monkeypatch.setenv("SEARCHLITE_PRUNE_MIN_POSTINGS", "1")
+    rng = random.Random(19)
+    vocab = [f"w{i}" for i in range(50)]
+    idx = Index.create(
+        IndexOptions(path="", create_if_missing=True,
+                     storage=StorageType.IN_MEMORY),
+        Schema.from_json({
+            "text_fields": [{"name": "body", "analyzer": "default",
+                             "stored": False, "indexed": True}],
+            "keyword_fields": [{"name": "cat", "stored": False,
+                                "indexed": True, "fast": True}],
+            "numeric_fields": [{"name": "rank", "type": "i64",
+                                "stored": False, "fast": True}],
+        }))
+    writer = idx.writer()
+    for i in range(900):
+        writer.add_document({
+            "_id": str(i),
+            "body": " ".join(rng.choices(
+                vocab, weights=[1 / (j + 1) for j in range(50)],
+                k=rng.randint(2, 20))),
+            "cat": rng.choice(["a", "b", "c"]),
+            "rank": rng.randint(0, 100),
+        })
+    writer.commit()
+    reader = idx.reader()
+    requests = [
+        {"query": {"type": "bool",
+                   "should": [{"type": "term", "field": "body",
+                               "value": v} for v in vocab[:5]],
+                   "minimum_should_match": 2},
+         "limit": 10},
+        {"query": {"type": "bool",
+                   "must": [{"type": "term", "field": "body",
+                             "value": "w3"}],
+                   "must_not": [{"type": "term", "field": "body",
+                                 "value": "w0"}]},
+         "limit": 10},
+        {"query": "w1 w2 w3",
+         "filter": {"KeywordEq": {"field": "cat", "value": "b"}},
+         "limit": 10},
+        {"query": "w4 w5",
+         "filter": {"I64Range": {"field": "rank", "min": 20, "max": 70}},
+         "limit": 10},
+    ]
+    for req in requests:
+        base = reader.search(dict(req))
+        for strategy in ("wand", "bmw"):
+            res = reader.search({**req, "execution": strategy})
+            assert [h.doc_id for h in res.hits] == \
+                [h.doc_id for h in base.hits], (strategy, req)
+            for ha, hb in zip(base.hits, res.hits):
+                assert ha.score == pytest.approx(hb.score, abs=1e-5)
+
+
+def test_pruned_profile_reports_real_counts(monkeypatch):
+    """With real pruning engaged, the profile reports actually-touched
+    postings (`pruning_simulated: false`) and they are <= the dense
+    posting volume."""
+    monkeypatch.setenv("SEARCHLITE_TILE_WIDTH", "128")
+    monkeypatch.setenv("SEARCHLITE_PRUNE_MIN_POSTINGS", "1")
+    idx, vocab, rng = _build_index(17, segments=1, docs_per_segment=800,
+                                   delete=0)
+    reader = idx.reader()
+    dense = reader.search({"query": " ".join(vocab[:4]), "limit": 5,
+                           "profile": True})
+    pruned = reader.search({"query": " ".join(vocab[:4]), "limit": 5,
+                            "execution": "bmw", "profile": True})
+    dprof = dense.profile["execution"]
+    pprof = pruned.profile["execution"]
+    assert pprof.get("pruning_simulated") is False
+    assert pprof["postings_advanced"] <= dprof["postings_advanced"]

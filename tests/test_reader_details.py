@@ -103,7 +103,10 @@ class TestRequestKnobs:
         assert set(prof) == {"execution", "rescore", "timings"}
         assert set(prof["execution"]) == {"scored_docs",
                                           "candidates_examined",
-                                          "postings_advanced"}
+                                          "postings_advanced",
+                                          "pruning_simulated"}
+        # 1-doc segment is below the pruning floor → counterfactual
+        assert prof["execution"]["pruning_simulated"] is True
         assert "search_ms" in prof["timings"]
         assert "rescore_ms" in prof["timings"]
 
