@@ -566,11 +566,10 @@ class IndexReader:
             out["leaf_ind"][leaf, s] = 1.0
         for s, g in group_entries:
             out["group_ind"][g, s] = 1.0
-        if s_pad * dseg.n1 + nb_pad * 128 >= 2**31:
-            raise QueryError(
-                "query expands beyond int32 device indexing "
-                f"({len(slot_start)} terms x {dseg.n1} docs); lower "
-                "max_expansions or split the corpus into more segments")
+        # dense M exceeding int32 indexing (or the HBM budget, checked
+        # by the caller) routes through the chunked tile executor
+        # instead of failing — no S*n1 wall
+        out["overflow"] = s_pad * dseg.n1 + nb_pad * 128 >= 2**31
         return out
 
     def _segment_phrase_masks(self, seg: SegmentReader, phrase_specs
@@ -783,8 +782,13 @@ class IndexReader:
                 cs, eq_mode, cdoc = 0.0, 2, 0
 
             k = min(max(top_k, 1), dseg.n1)
+            m_budget = int(os.environ.get(
+                "SEARCHLITE_M_BUDGET_BYTES", 2 * 1024**3))
+            oversize = (qargs["overflow"]
+                        or qargs["s_pad"] * dseg.n1 * 4 > m_budget)
             if pruning_ok and qargs["n_slots"] > 0 \
-                    and qargs["postings_touched"] >= prune_min:
+                    and (oversize
+                         or qargs["postings_touched"] >= prune_min):
                 pre = self._search_segment_pruned(
                     dseg, compiled, qargs, phrase_masks, filter_masks,
                     col_vals, col_has, root_mask, k, has_scored,
@@ -794,6 +798,16 @@ class IndexReader:
                     pruning_real = True
                     pending.append((dseg, qargs, []))
                     continue
+            if oversize:
+                # dense M won't fit — exact chunked tile execution,
+                # results flow through the general (host) branch
+                mask_c, adjusted_c, text_c = self._run_segment_chunked(
+                    dseg, compiled, qargs, phrase_masks, filter_masks,
+                    col_vals, col_has, root_mask, has_scored,
+                    need_scores, vector_plan is not None)
+                qargs["_chunked_pre"] = (mask_c, adjusted_c, text_c)
+                pending.append((dseg, qargs, []))
+                continue
             run = compiled.executor()
             (top_scores, top_idx, match_count, final_mask, adjusted,
              cursor_seen, text_mask) = run(
@@ -840,6 +854,16 @@ class IndexReader:
                 mask_np = None
                 adjusted_np = None
                 stats["postings_advanced"] += real_postings
+            elif "_chunked_pre" in qargs:
+                # chunked tile execution: host arrays, general branch
+                mask_full, adjusted_np, text_c = qargs["_chunked_pre"]
+                mask_np = mask_full[:seg.doc_count]
+                top_scores_np = top_idx_np = None
+                match_count = int(mask_np.sum())
+                cursor_seen = False
+                if vector_plan is not None:
+                    text_masks[dseg.ord] = text_c
+                stats["postings_advanced"] += qargs["postings_touched"]
             else:
                 top_scores_np, top_idx_np, match_count, cursor_seen = \
                     fetched[:4]
@@ -873,7 +897,7 @@ class IndexReader:
             if use_cursor and bool(cursor_seen):
                 saw_cursor = True
 
-            if score_fast_path:
+            if score_fast_path and "_chunked_pre" not in qargs:
                 total_matches += int(match_count)
                 stats["scored_docs"] += int(match_count)
                 stats["candidates_examined"] += int(match_count)
@@ -1479,6 +1503,77 @@ class IndexReader:
         out_s[:len(order)] = scores_cat[order]
         out_d[:len(order)] = docs_cat[order]
         return (out_s, out_d, total_mc, postings_real)
+
+    def _run_segment_chunked(self, dseg, compiled, qargs, phrase_masks,
+                             filter_masks, col_vals, col_has, root_mask,
+                             has_scored: bool, need_scores: bool,
+                             need_text_mask: bool):
+        """Exact full execution in tile-column chunks for segments whose
+        dense [S, n1] impact matrix would exceed int32 indexing or the
+        HBM budget. Every tile is scored (no pruning); the per-column
+        mask/adjusted/text outputs are stitched back into doc-space host
+        arrays and flow through the general result path. Removes the
+        single-query S·n1 wall — corpus size is bounded by host memory,
+        not one device allocation."""
+        import jax
+        import jax.numpy as jnp
+
+        from searchlite_tpu.ops.tiles import get_tile_index
+
+        tl = get_tile_index(dseg)
+        s_pad = qargs["s_pad"]
+        budget = int(os.environ.get(
+            "SEARCHLITE_M_BUDGET_BYTES", 2 * 1024**3))
+        max_cols = max(min(budget // (max(s_pad, 1) * 4),
+                           (2**31 - 1) // (s_pad + 2)), tl.T)
+        tiles_per_chunk = max(1, max_cols // tl.T)
+        tids = qargs["slot_tids"][:qargs["n_slots"]]
+        run_exec = compiled.tile_mask_executor()
+
+        launches = []  # (lo_col, n_real_cols, refs)
+        for start in range(0, tl.n_tiles, tiles_per_chunk):
+            stop = min(start + tiles_per_chunk, tl.n_tiles)
+            tiles = np.arange(start, stop, dtype=np.int64)
+            runs = tl.run_tables(tids, tiles)
+            n_cols = runs["n_cols"]
+            ph2 = tl.gather_cols(phrase_masks, tiles, fill=False)
+            fl2 = tl.gather_cols(filter_masks, tiles, fill=False)
+            cv2 = tl.gather_cols(col_vals, tiles, fill=0.0)
+            ch2 = tl.gather_cols(col_has, tiles, fill=False)
+            rm2 = tl.gather_cols(root_mask, tiles, fill=False)
+            del2 = tl.deleted_cols(tiles)
+            refs = run_exec(
+                dseg.docs_flat, dseg.impacts_flat, jnp.asarray(del2),
+                jnp.asarray(runs["run_start"]),
+                jnp.asarray(runs["run_len"]),
+                jnp.asarray(runs["run_slot"]),
+                jnp.asarray(runs["run_off"]),
+                jnp.asarray(qargs["w_leaf"]),
+                jnp.asarray(qargs["leaf_ind"]),
+                jnp.asarray(qargs["group_ind"]),
+                jnp.asarray(ph2), jnp.asarray(fl2),
+                jnp.asarray(cv2), jnp.asarray(ch2), jnp.asarray(rm2),
+                s_pad=s_pad, n_cols=n_cols, p_pad=runs["p_pad"],
+                has_scored_terms=has_scored, need_scores=need_scores)
+            launches.append((start * tl.T, n_cols, refs))
+
+        flat = [x for _lo, _n, refs in launches for x in refs]
+        vals = iter(jax.device_get(tuple(flat)))
+        n1 = dseg.n1
+        mask_np = np.zeros(n1, dtype=bool)
+        adjusted_np = np.zeros(n1, dtype=np.float32)
+        text_np = np.zeros(n1, dtype=bool) if need_text_mask else None
+        for lo, n_cols, _refs in launches:
+            fm = np.asarray(next(vals))
+            adj = np.asarray(next(vals))
+            tm = np.asarray(next(vals))
+            hi = min(lo + n_cols, n1)
+            span = hi - lo
+            mask_np[lo:hi] = fm[:span]
+            adjusted_np[lo:hi] = adj[:span]
+            if text_np is not None:
+                text_np[lo:hi] = tm[:span]
+        return mask_np, adjusted_np, text_np
 
     def search_batch(self, queries: list[str], limit: int = 10,
                      fields: Optional[list[str]] = None,

@@ -503,10 +503,48 @@ class CompiledQuery:
             "k", "s_pad", "n_cols", "p_pad", "has_scored_terms",
             "need_scores"))
 
+    def _build_tile_mask_executor(self):
+        """Chunked full-width execution: same tile-column core but
+        returning the dense per-column outputs (final_mask, adjusted,
+        text_mask) instead of a top-k — the host stitches consecutive
+        chunks back into doc space. This is how corpora whose S·n1
+        dense M exceeds int32 indexing / the HBM budget execute: exact,
+        bounded memory, no wall."""
+        jnp = self._jnp
+        jax = self._jax
+
+        def run(docs_flat, impacts_flat, deleted_cols,
+                run_start, run_len, run_slot, run_off,
+                w_leaf, leaf_ind, group_ind,
+                phrase_masks, filter_masks, col_vals, col_has,
+                root_mask,
+                *, s_pad: int, n_cols: int, p_pad: int,
+                has_scored_terms: bool, need_scores: bool):
+            from searchlite_tpu.ops.tiles import build_m_from_runs
+
+            m = build_m_from_runs(jnp, docs_flat, impacts_flat,
+                                  run_start, run_len, run_slot, run_off,
+                                  n_cols, s_pad, p_pad)
+            final_mask, adjusted, matcher_mask, _ones = self._core(
+                m, deleted_cols, w_leaf, leaf_ind, group_ind,
+                phrase_masks, filter_masks, col_vals, col_has,
+                root_mask, has_scored_terms, need_scores)
+            text_mask = matcher_mask & ~deleted_cols
+            return final_mask, adjusted, text_mask
+
+        return jax.jit(run, static_argnames=(
+            "s_pad", "n_cols", "p_pad", "has_scored_terms",
+            "need_scores"))
+
     def executor(self):
         if "run" not in self._jit_cache:
             self._jit_cache["run"] = self._build_executor()
         return self._jit_cache["run"]
+
+    def tile_mask_executor(self):
+        if "tile_mask" not in self._jit_cache:
+            self._jit_cache["tile_mask"] = self._build_tile_mask_executor()
+        return self._jit_cache["tile_mask"]
 
     def tile_executor(self):
         if "tile_run" not in self._jit_cache:
