@@ -1577,7 +1577,9 @@ class IndexReader:
 
     def search_batch(self, queries: list[str], limit: int = 10,
                      fields: Optional[list[str]] = None,
-                     execution: str = "bm25"
+                     execution: str = "bm25",
+                     filters: Optional[list] = None,
+                     limits: Optional[list[int]] = None
                      ) -> list[list[tuple[str, float]]]:
         """Score a batch of query strings in one device launch per
         segment (the data-parallel axis of the engine; BASELINE.json
@@ -1590,12 +1592,21 @@ class IndexReader:
         ``wand``/``bmw`` run the doc-tile pruned execution
         (ops/tiles.py) — identical results, fewer postings touched.
 
-        Queries containing phrases/negations or requests needing filters
-        should use :meth:`search`.
+        Structured per-query knobs (reference surface
+        `api/types.rs:395-520`, the subset that batches):
+
+        - ``filters``: per-query Filter JSON (or None), aligned with
+          ``queries``. Distinct filters are deduplicated into one mask
+          table per segment; scoring applies each query's mask row.
+          Results match the single-query path with the same ``filter``.
+        - ``limits``: per-query result sizes (default ``limit``).
+
+        Queries containing phrases/negations should use :meth:`search`.
         """
-        return self.search_batch_many([queries], limit=limit,
-                                      fields=fields,
-                                      execution=execution)[0]
+        return self.search_batch_many(
+            [queries], limit=limit, fields=fields, execution=execution,
+            filters=None if filters is None else [filters],
+            limits=None if limits is None else [limits])[0]
 
     def _analyze_batches(self, batches, fields):
         """Parse + analyze query strings into per-query (field, token)
@@ -1635,16 +1646,86 @@ class IndexReader:
             out.append(analyzed)
         return out
 
+    def _batch_filter_tables(self, batches, filters):
+        """Validate + deduplicate per-query filters for a batch stream.
+        Returns per batch (fidx [Q] int32, distinct [Filter, ...]) or
+        (None, None) when the batch has no filters; fidx 0 = no filter
+        (row 0 of the per-segment mask table is all-true)."""
+        out = []
+        if filters is None:
+            return [(None, None)] * len(batches)
+        if len(filters) != len(batches):
+            raise QueryError("filters must align with batches")
+        for queries, batch_filters in zip(batches, filters):
+            if batch_filters is None:
+                out.append((None, None))
+                continue
+            if len(batch_filters) != len(queries):
+                raise QueryError("filters must align with queries")
+            distinct: list = []
+            by_key: dict[str, int] = {}
+            fidx = np.zeros(len(queries), dtype=np.int32)
+            for i, f in enumerate(batch_filters):
+                if f is None:
+                    continue
+                fobj = Filter.from_json(f)
+                validate_filter(self.schema, fobj)
+                key = json.dumps(fobj.to_json(), sort_keys=True)
+                fid = by_key.get(key)
+                if fid is None:
+                    distinct.append(fobj)
+                    fid = len(distinct)  # 1-based; 0 = match-all
+                    by_key[key] = fid
+                fidx[i] = fid
+            if not distinct:
+                out.append((None, None))
+            else:
+                out.append((fidx, distinct))
+        return out
+
+    def _segment_filter_rows_np(self, dseg, distinct) -> np.ndarray:
+        """[F+1, n1] bool mask table for one segment: row 0 all-true,
+        rows 1..F the distinct filters. Cached per (segment, filters)."""
+        seg = dseg.reader
+        key = tuple(json.dumps(f.to_json(), sort_keys=True)
+                    for f in distinct)
+        cached = getattr(dseg, "_filter_rows_cache", None)
+        if cached is not None and cached[0] == key:
+            return cached[1]
+        rows = np.zeros((len(distinct) + 1, dseg.n1), dtype=bool)
+        rows[0, :seg.doc_count] = True
+        for i, fobj in enumerate(distinct):
+            rows[i + 1, :seg.doc_count] = compute_filters_mask(
+                seg.fast, [fobj])
+        dseg._filter_rows_cache = (key, rows)
+        return rows
+
+    def _segment_filter_rows(self, dseg, distinct):
+        import jax.numpy as jnp
+
+        rows = self._segment_filter_rows_np(dseg, distinct)
+        key = tuple(json.dumps(f.to_json(), sort_keys=True)
+                    for f in distinct)
+        cached = getattr(dseg, "_filter_rows_dev_cache", None)
+        if cached is not None and cached[0] == key:
+            return cached[1]
+        rows_dev = jnp.asarray(rows)
+        dseg._filter_rows_dev_cache = (key, rows_dev)
+        return rows_dev
+
     def search_batch_many(self, batches: list[list[str]], limit: int = 10,
                           fields: Optional[list[str]] = None,
-                          execution: str = "bm25"
+                          execution: str = "bm25",
+                          filters: Optional[list] = None,
+                          limits: Optional[list] = None
                           ) -> list[list[list[tuple[str, float]]]]:
         """Pipelined form of :meth:`search_batch` for a stream of
         batches: every batch's device work is dispatched asynchronously
         before ANY result is fetched, so host prep, device compute, and
         the host<->device round trip all overlap across batches (the
         sustained-throughput serving pattern). Results are identical to
-        calling ``search_batch`` per batch."""
+        calling ``search_batch`` per batch. ``filters``/``limits`` are
+        per-batch lists aligned with ``batches``."""
         import jax
         import jax.numpy as jnp
 
@@ -1656,8 +1737,11 @@ class IndexReader:
             raise QueryError(f"unknown execution strategy `{execution}`")
         if fields is None:
             fields = [f.name for f in self.schema.text_fields]
+        limits = self._check_batch_limits(batches, limit, limits)
+        filter_tables = self._batch_filter_tables(batches, filters)
         if execution in ("wand", "bmw"):
-            return self._search_batch_pruned_many(batches, limit, fields)
+            return self._search_batch_pruned_many(
+                batches, limit, fields, filter_tables, limits)
 
         # memory budget for the dense M + score matrices on one chip;
         # past it, loop host-defined doc shards
@@ -1666,9 +1750,10 @@ class IndexReader:
 
         # phase 1 — per batch: analyze, build args, dispatch all segments
         launches = []  # per batch: list of (seg_ord, scores, ids)
-        for queries, analyzed in zip(batches,
-                                     self._analyze_batches(batches,
-                                                           fields)):
+        for queries, analyzed, (fidx, distinct), blimits in zip(
+                batches, self._analyze_batches(batches, fields),
+                filter_tables, limits):
+            k_batch = int(max(blimits)) if len(blimits) else limit
             launched: list[tuple[int, Any, Any]] = []
             for dseg in self.device_segments:
                 seg = dseg.reader
@@ -1678,13 +1763,13 @@ class IndexReader:
                 s_pad = len(qb["slot_start"])
                 est_bytes = (s_pad + len(analyzed)) * dseg.n1 * 4
                 if est_bytes <= m_budget_bytes:
-                    k = min(limit, dseg.n1)
+                    k = min(k_batch, dseg.n1)
                     scores, ids = self._launch_batch_segment(
-                        dseg, qb, k)
+                        dseg, qb, k, fidx, distinct)
                 else:
                     scores, ids = self._search_batch_sharded(
-                        dseg, analyzed, qb, limit, est_bytes,
-                        m_budget_bytes)
+                        dseg, analyzed, qb, k_batch, est_bytes,
+                        m_budget_bytes, fidx, distinct)
                 launched.append((dseg.ord, scores, ids))
             launches.append(launched)
 
@@ -1697,7 +1782,7 @@ class IndexReader:
         # phase 3 — host merge per batch
         out: list[list[list[tuple[str, float]]]] = []
         cursor = 0
-        for queries, launched in zip(batches, launches):
+        for queries, launched, blimits in zip(batches, launches, limits):
             per_segment = []
             for seg_ord, _s, _i in launched:
                 per_segment.append((seg_ord,
@@ -1705,10 +1790,32 @@ class IndexReader:
                                     np.asarray(flat_vals[cursor + 1])))
                 cursor += 2
             out.append(self._merge_batch_results(
-                queries, per_segment, limit))
+                queries, per_segment, blimits))
         return out
 
-    def _merge_batch_results(self, queries, per_segment, limit: int):
+    def _check_batch_limits(self, batches, limit: int, limits):
+        """Normalize per-query limits: one int array per batch."""
+        if limits is None:
+            return [np.full(len(qs), limit, dtype=np.int64)
+                    for qs in batches]
+        if len(limits) != len(batches):
+            raise QueryError("limits must align with batches")
+        out = []
+        for qs, bl in zip(batches, limits):
+            if bl is None:
+                out.append(np.full(len(qs), limit, dtype=np.int64))
+                continue
+            if len(bl) != len(qs):
+                raise QueryError("limits must align with queries")
+            arr = np.asarray(bl, dtype=np.int64)
+            if len(arr) and arr.min() <= 0:
+                raise QueryError("every limit must be > 0")
+            out.append(arr)
+        return out
+
+    def _merge_batch_results(self, queries, per_segment, limits):
+        if isinstance(limits, int):
+            limits = np.full(len(queries), limits, dtype=np.int64)
         results: list[list[tuple[str, float]]] = []
         if len(per_segment) == 1:
             # single-segment fast path: top_k output is already in the
@@ -1723,7 +1830,7 @@ class IndexReader:
                     if score == -np.inf:
                         continue
                     row.append((doc_id(int(doc)), score))
-                results.append(row)
+                results.append(row[:int(limits[qi])])
             return results
 
         merged: list[dict] = [dict() for _ in queries]
@@ -1736,7 +1843,8 @@ class IndexReader:
                     merged[qi][(seg_ord, int(doc))] = float(score)
         for qi in range(len(queries)):
             ranked = sorted(merged[qi].items(),
-                            key=lambda kv: (-kv[1], kv[0]))[:limit]
+                            key=lambda kv: (-kv[1], kv[0]))
+            ranked = ranked[:int(limits[qi])]
             results.append([
                 (self.segments[seg_ord].doc_id(doc), score)
                 for (seg_ord, doc), score in ranked
@@ -1745,7 +1853,8 @@ class IndexReader:
 
     # -- doc-tile pruned batch execution (real WAND/BMW) ------------------
 
-    def _search_batch_pruned_many(self, batches, limit: int, fields):
+    def _search_batch_pruned_many(self, batches, limit: int, fields,
+                                  filter_tables=None, limits=None):
         """Three-wave doc-tile pruned execution (ops/tiles.py): wave 1
         computes per-tile score upper bounds (one small MXU matmul),
         wave 2 exactly scores each query's top tiles by bound, wave 3
@@ -1754,13 +1863,20 @@ class IndexReader:
         identical to the dense path (the reference's pruning contract,
         `tests/pruning.rs:44-105`). Waves are pipelined across all
         batches and segments: three bulk fetches total, regardless of
-        batch count."""
+        batch count. Per-query filters shrink the match set only, so
+        the UB bound stays sound; thresholds use filtered exact
+        scores."""
         import jax
         import jax.numpy as jnp
 
         from searchlite_tpu.ops.impact import build_impact_batch
         from searchlite_tpu.ops.tiles import get_tile_index
 
+        if filter_tables is None:
+            filter_tables = [(None, None)] * len(batches)
+        if limits is None:
+            limits = [np.full(len(qs), limit, dtype=np.int64)
+                      for qs in batches]
         seed_c = int(os.environ.get("SEARCHLITE_SEED_TILES", 0))
         ub_scorer = self._ub_scorer()
         run_scorer = self._run_scorer()
@@ -1800,8 +1916,9 @@ class IndexReader:
             if ub_ref is None:
                 wave2.append((None, None, None))
                 continue
+            k_batch = int(limits[bi].max()) if len(limits[bi]) else limit
             ub = np.asarray(next(ub_iter))[:, :tl.n_tiles]
-            c = seed_c or max(4, -(-4 * limit // tl.T))
+            c = seed_c or max(4, -(-4 * k_batch // tl.T))
             c = min(c, tl.n_tiles)
             # per-query top-c positive-UB tiles
             if c < tl.n_tiles:
@@ -1814,8 +1931,8 @@ class IndexReader:
             if len(seed) == 0:
                 wave2.append((ub, seed, None))
                 continue
-            refs = self._launch_tile_runs(dseg, tl, qb, seed, limit,
-                                          run_scorer)
+            refs = self._launch_tile_runs(dseg, tl, qb, seed, k_batch,
+                                          run_scorer, filter_tables[bi])
             wave2.append((ub, seed, refs))
 
         flat2 = [x for _ub, _seed, refs in wave2 if refs is not None
@@ -1828,16 +1945,21 @@ class IndexReader:
             if refs is None:
                 wave3.append((None, None, None))
                 continue
+            k_batch = int(limits[bi].max()) if len(limits[bi]) else limit
             scores2 = np.asarray(next(vals2))
             ids2 = np.asarray(next(vals2))
             docs2 = tl.map_ids(seed, ids2)
             nq = scores2.shape[0]
             valid = scores2 > -np.inf
             nvalid = valid.sum(axis=1)
+            # per-query threshold at that query's OWN limit (tighter
+            # than the batch max, still exact)
             theta = np.full(nq, -np.inf, dtype=np.float64)
-            full = nvalid >= min(limit, scores2.shape[1])
-            if scores2.shape[1] >= limit:
-                theta[full] = scores2[full, limit - 1]
+            lims = np.minimum(limits[bi], scores2.shape[1]).astype(int)
+            full = nvalid >= lims
+            qs = np.flatnonzero(full)
+            if len(qs):
+                theta[qs] = scores2[qs, lims[qs] - 1]
             # survivors: UB >= theta_q for ANY q, minus the seed set
             surv = ((ub >= theta[:, None]) & (ub > 0.0)).any(axis=0)
             surv[seed] = False
@@ -1846,8 +1968,8 @@ class IndexReader:
             if len(extra) == 0:
                 wave3.append((res, extra, None))
                 continue
-            refs3 = self._launch_tile_runs(dseg, tl, qb, extra, limit,
-                                           run_scorer)
+            refs3 = self._launch_tile_runs(dseg, tl, qb, extra, k_batch,
+                                           run_scorer, filter_tables[bi])
             wave3.append((res, extra, refs3))
 
         flat3 = [x for _res, _extra, refs in wave3 if refs is not None
@@ -1860,6 +1982,7 @@ class IndexReader:
                                                                wave3):
             if res is None:
                 continue
+            k_batch = int(limits[bi].max()) if len(limits[bi]) else limit
             scores2, docs2 = res
             if refs3 is not None:
                 scores3 = np.asarray(next(vals3))
@@ -1868,7 +1991,7 @@ class IndexReader:
                 scores2 = np.concatenate([scores2, scores3], axis=1)
                 docs2 = np.concatenate([docs2, docs3], axis=1)
             # exact per-query top-limit: sort by (-score, doc)
-            order = np.lexsort((docs2, -scores2), axis=-1)[:, :limit]
+            order = np.lexsort((docs2, -scores2), axis=-1)[:, :k_batch]
             top_s = np.take_along_axis(scores2, order, axis=1)
             top_d = np.take_along_axis(docs2, order, axis=1)
             # re-mask pads that leaked through the merge
@@ -1877,16 +2000,17 @@ class IndexReader:
                 (dseg.ord, top_s.astype(np.float32), top_d))
 
         out = []
-        for queries, per_segment in zip(batches, per_batch_segments):
+        for bi, (queries, per_segment) in enumerate(
+                zip(batches, per_batch_segments)):
             if not per_segment:
                 out.append([[] for _ in queries])
                 continue
             out.append(self._merge_batch_results(
-                queries, per_segment, limit))
+                queries, per_segment, limits[bi]))
         return out
 
     def _launch_tile_runs(self, dseg, tl, qb, tiles, limit: int,
-                          run_scorer):
+                          run_scorer, filter_table=(None, None)):
         """Dispatch one exact-scoring wave over the selected tiles.
         Returns (scores_ref, ids_ref, postings_count)."""
         import jax.numpy as jnp
@@ -1900,14 +2024,26 @@ class IndexReader:
                 "tile wave exceeds int32 device indexing; lower "
                 "SEARCHLITE_SEED_TILES or shard the corpus")
         deleted_cols = tl.deleted_cols(tiles)
+        fidx, distinct = filter_table
+        use_filters = fidx is not None
+        if use_filters:
+            rows_np = self._segment_filter_rows_np(dseg, distinct)
+            filter_rows = jnp.asarray(
+                tl.gather_cols(rows_np, tiles, fill=False))
+            fidx_dev = jnp.asarray(fidx)
+        else:
+            filter_rows = jnp.zeros((1, 1), dtype=bool)
+            fidx_dev = jnp.zeros(1, dtype=jnp.int32)
         scores, ids = run_scorer(
             dseg.docs_flat, dseg.impacts_flat,
             jnp.asarray(deleted_cols),
             jnp.asarray(runs["run_start"]), jnp.asarray(runs["run_len"]),
             jnp.asarray(runs["run_slot"]), jnp.asarray(runs["run_off"]),
             jnp.asarray(qb["w_idx"]), jnp.asarray(qb["w_val"]),
+            filter_rows, fidx_dev,
             k=min(limit, n_cols), n_cols=n_cols, p_pad=runs["p_pad"],
-            s_pad=s_pad, n_queries=qb["n_queries"])
+            s_pad=s_pad, n_queries=qb["n_queries"],
+            use_filters=use_filters)
         return (scores, ids, runs["postings"])
 
     def _ub_scorer(self):
@@ -1978,7 +2114,8 @@ class IndexReader:
         return advanced
 
     def _search_batch_sharded(self, dseg, analyzed, qb, limit: int,
-                              est_bytes: int, budget: int):
+                              est_bytes: int, budget: int,
+                              fidx=None, distinct=None):
         """Doc-sharded batched scoring for corpora whose dense M would
         exceed the memory budget: loop host-defined doc shards (each
         shard's postings stay term-major/doc-ascending), score each with
@@ -2012,11 +2149,23 @@ class IndexReader:
             max_blocks = max(max_blocks, int(bcnts.sum()))
         max_blocks = pow4_bucket(max_blocks, minimum=32)
         deleted_np = dseg.deleted_np
+        use_filters = fidx is not None
+        rows_np = (self._segment_filter_rows_np(dseg, distinct)
+                   if use_filters else None)
+        fidx_dev = (jnp.asarray(fidx) if use_filters
+                    else jnp.zeros(1, dtype=jnp.int32))
         for d in range(n_shards):
             lo = d * width
             hi = min(lo + width, dseg.n1)
             local_deleted = np.ones(width + 1, dtype=bool)
             local_deleted[: hi - lo] = deleted_np[lo:hi]
+            if use_filters:
+                local_rows = np.zeros((rows_np.shape[0], width + 1),
+                                      dtype=bool)
+                local_rows[:, : hi - lo] = rows_np[:, lo:hi]
+                filter_rows = jnp.asarray(local_rows)
+            else:
+                filter_rows = jnp.zeros((1, 1), dtype=bool)
             bstarts, bcnts = shard_tables[d]
             blk_idx, slot_row, _ = build_block_tables(
                 bstarts, bcnts, sentinel_row=shards["sentinel_row"],
@@ -2027,7 +2176,8 @@ class IndexReader:
                 jnp.asarray(local_deleted),
                 jnp.asarray(blk_idx), jnp.asarray(slot_row),
                 jnp.asarray(qb["w_idx"]), jnp.asarray(qb["w_val"]),
-                k=k, s_pad=s_pad, n_queries=q)
+                filter_rows, fidx_dev,
+                k=k, s_pad=s_pad, n_queries=q, use_filters=use_filters)
             per_shard.append((scores, ids, lo))
         all_scores = []
         all_ids = []
@@ -2042,13 +2192,23 @@ class IndexReader:
         return (np.take_along_axis(cat_scores, order, axis=1),
                 np.take_along_axis(cat_ids, order, axis=1))
 
-    def _launch_batch_segment(self, dseg, qb, k: int):
+    def _launch_batch_segment(self, dseg, qb, k: int, fidx=None,
+                              distinct=None):
         """Dispatch one segment's batched scoring. With
         SEARCHLITE_DENSE_M_BYTES set, high-df slots route through
         precomputed dense impact rows (row gather + second matmul)
-        instead of the update-bound scatter — identical results."""
+        instead of the update-bound scatter — identical results.
+        (fidx, distinct): per-query filter rows (see
+        _batch_filter_tables), or None for unfiltered."""
         import jax.numpy as jnp
 
+        use_filters = fidx is not None
+        if use_filters:
+            filter_rows = self._segment_filter_rows(dseg, distinct)
+            fidx_dev = jnp.asarray(fidx)
+        else:
+            filter_rows = jnp.zeros((1, 1), dtype=bool)
+            fidx_dev = jnp.zeros(1, dtype=jnp.int32)
         dense_budget = int(os.environ.get("SEARCHLITE_DENSE_M_BYTES", 0))
         if dense_budget > 0:
             from searchlite_tpu.ops.impact import split_impact_batch
@@ -2070,14 +2230,18 @@ class IndexReader:
                         jnp.asarray(split["wd_val"]),
                         jnp.asarray(split["ws_idx"]),
                         jnp.asarray(split["ws_val"]),
+                        filter_rows, fidx_dev,
                         k=k, d_pad=split["d_pad"], s_pad=split["s_pad"],
-                        n_queries=qb["n_queries"])
+                        n_queries=qb["n_queries"],
+                        use_filters=use_filters)
         scorer = self._batched_scorer()
         return scorer(
             dseg.block_docs, dseg.block_impacts, dseg.deleted,
             jnp.asarray(qb["blk_idx"]), jnp.asarray(qb["slot_row"]),
             jnp.asarray(qb["w_idx"]), jnp.asarray(qb["w_val"]),
-            k=k, s_pad=qb["s_pad"], n_queries=qb["n_queries"])
+            filter_rows, fidx_dev,
+            k=k, s_pad=qb["s_pad"], n_queries=qb["n_queries"],
+            use_filters=use_filters)
 
     def _split_batched_scorer(self):
         from searchlite_tpu.ops.impact import make_split_impact_scorer

@@ -155,14 +155,41 @@ def cmd_search(args) -> int:
 
 
 def cmd_search_batch(args) -> int:
-    """TPU extension: batch of query strings, one device launch."""
+    """TPU extension: batch of structured queries, one device launch.
+
+    --queries-file lines are query strings, or JSON objects
+    {"query": ..., "filter": ..., "limit": ...} for per-query knobs;
+    --filter applies one shared filter to every query."""
     index = Index.open(options(args.index, False))
     reader = index.reader()
-    queries = list(args.query or [])
+    shared_filter = json.loads(args.filter) if args.filter else None
+    queries: list[str] = []
+    filters: list = []
+    limits: list[int] = []
+    for q in args.query or []:
+        queries.append(q)
+        filters.append(shared_filter)
+        limits.append(args.limit)
     if args.queries_file:
         with open(args.queries_file) as f:
-            queries.extend(line.strip() for line in f if line.strip())
-    rows = reader.search_batch(queries, limit=args.limit)
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                if line.startswith("{"):
+                    obj = json.loads(line)
+                    queries.append(obj["query"])
+                    filters.append(obj.get("filter", shared_filter))
+                    limits.append(int(obj.get("limit", args.limit)))
+                else:
+                    queries.append(line)
+                    filters.append(shared_filter)
+                    limits.append(args.limit)
+    rows = reader.search_batch(
+        queries, limit=max(limits, default=args.limit),
+        execution=args.execution,
+        filters=filters if any(f is not None for f in filters) else None,
+        limits=limits)
     print(json.dumps({"results": [
         [{"doc_id": d, "score": s} for d, s in row] for row in rows
     ]}, indent=2, ensure_ascii=False))
@@ -251,8 +278,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-q", "--query", action="append",
                    help="query string (repeatable)")
     p.add_argument("--queries-file",
-                   help="file with one query string per line")
+                   help="file with one query per line: a plain string "
+                        "or a JSON object {query, filter?, limit?}")
     p.add_argument("--limit", type=int, default=10)
+    p.add_argument("--execution", default="bm25",
+                   choices=["bm25", "wand", "bmw"])
+    p.add_argument("--filter",
+                   help="shared filter JSON applied to every query")
     p.set_defaults(fn=cmd_search_batch)
 
     p = sub.add_parser("http", help="Start the HTTP server for one index")

@@ -299,21 +299,62 @@ class Handler(BaseHTTPRequestHandler):
 
     def handle_search_batch(self):
         """TPU extension beyond the reference surface: score a batch of
-        query strings in one device launch.
-        Body: {"queries": [...], "limit": N, "fields": [...]?}
-        Response: {"results": [[{"doc_id", "score"}...] per query]}."""
+        structured queries in one device launch.
+
+        Body: {"queries": [...], "limit": N?, "fields": [...]?,
+               "execution": "bm25"|"wand"|"bmw"?,
+               "filters": [Filter|null, ...]?, "limits": [N, ...]?}
+
+        Each entry of "queries" is a query string OR an object
+        {"query": str, "filter": Filter?, "limit": N?} — the object
+        form sets that query's filter/limit (overriding the aligned
+        top-level lists). Response:
+        {"results": [[{"doc_id", "score"}...] per query]}."""
         reader = self.state.reader()
         body = self._json_body()
-        queries = body.get("queries")
-        if not isinstance(queries, list) or \
-                not all(isinstance(q, str) for q in queries):
+        raw_queries = body.get("queries")
+        if not isinstance(raw_queries, list):
             raise HttpError(400, "bad_request",
-                            "`queries` must be a list of strings")
-        limit = body.get("limit", 10)
+                            "`queries` must be a list")
+        limit = int(body.get("limit", 10))
         fields = body.get("fields")
+        execution = body.get("execution", "bm25")
+        filters = body.get("filters")
+        limits = body.get("limits")
+        if filters is not None and (not isinstance(filters, list)
+                                    or len(filters) != len(raw_queries)):
+            raise HttpError(400, "bad_request",
+                            "`filters` must align with `queries`")
+        if limits is not None and (not isinstance(limits, list)
+                                   or len(limits) != len(raw_queries)):
+            raise HttpError(400, "bad_request",
+                            "`limits` must align with `queries`")
+        queries: list[str] = []
+        q_filters = list(filters) if filters is not None \
+            else [None] * len(raw_queries)
+        q_limits = [int(x) for x in limits] if limits is not None \
+            else [limit] * len(raw_queries)
+        for i, q in enumerate(raw_queries):
+            if isinstance(q, str):
+                queries.append(q)
+            elif isinstance(q, dict) and isinstance(q.get("query"), str):
+                queries.append(q["query"])
+                if "filter" in q:
+                    q_filters[i] = q["filter"]
+                if "limit" in q:
+                    q_limits[i] = int(q["limit"])
+            else:
+                raise HttpError(
+                    400, "bad_request",
+                    "each query must be a string or "
+                    '{"query": ..., "filter"?: ..., "limit"?: ...}')
         try:
-            rows = reader.search_batch(queries, limit=int(limit),
-                                       fields=fields)
+            rows = reader.search_batch(
+                queries, limit=max(q_limits, default=limit),
+                fields=fields, execution=execution,
+                filters=(q_filters if any(f is not None
+                                          for f in q_filters) else None),
+                limits=q_limits)
         except (QueryError, CursorError, SchemaError) as e:
             raise HttpError(400, "search_failed", str(e)) from e
         self._send_json(200, {"results": [

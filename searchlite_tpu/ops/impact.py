@@ -134,27 +134,33 @@ def make_impact_scorer(precision: str = "f32"):
 
     use_bf16 = precision == "bf16"
 
-    @partial(jax.jit, static_argnames=("k", "s_pad", "n_queries"))
+    @partial(jax.jit,
+             static_argnames=("k", "s_pad", "n_queries", "use_filters"))
     def scorer(block_docs, block_impacts, deleted, blk_idx, slot_row,
-               w_idx, w_val, *, k: int, s_pad: int, n_queries: int):
+               w_idx, w_val, filter_rows, fidx,
+               *, k: int, s_pad: int, n_queries: int,
+               use_filters: bool = False):
         """block_docs/block_impacts: [n_blocks+1, 128] segment posting
         blocks (+sentinel row). blk_idx/slot_row: [nb] gathered block
         rows and their owning slots. (w_idx, w_val): sorted COO of the
         [Q, S] idf·boost weight matrix (w_idx = q*S + s; pads point
-        past Q*S). Returns (scores [Q, k], ids [Q, k])."""
+        past Q*S). With use_filters, filter_rows [F+1, n1] holds the
+        batch's DISTINCT filter masks (row 0 = match-all) and fidx [Q]
+        selects each query's row. Returns (scores [Q,k], ids [Q,k])."""
         m = build_m_from_blocks(jnp, block_docs, block_impacts,
                                 blk_idx, slot_row, deleted.shape[0],
                                 s_pad)
         return _score_m(jax, jnp, m, deleted, w_idx, w_val,
-                        k, s_pad, n_queries, use_bf16)
+                        k, s_pad, n_queries, use_bf16,
+                        filter_rows if use_filters else None, fidx)
 
     return scorer
 
 
 def _score_m(jax, jnp, m, deleted, w_idx, w_val, k, s_count, n_queries,
-             use_bf16):
+             use_bf16, filter_rows=None, fidx=None):
     """Shared scorer tail: densify the COO weight matrix, W @ M on the
-    MXU, mask non-matches/deleted, top-k."""
+    MXU, mask non-matches/deleted (+ per-query filter rows), top-k."""
     w_flat = jnp.zeros(n_queries * s_count + w_idx.shape[0],
                        dtype=jnp.float32)
     w_flat = w_flat.at[w_idx].set(
@@ -165,8 +171,10 @@ def _score_m(jax, jnp, m, deleted, w_idx, w_val, k, s_count, n_queries,
         w = w.astype(jnp.bfloat16)
         m = m.astype(jnp.bfloat16)
     scores = jnp.dot(w, m, preferred_element_type=jnp.float32)
-    masked = jnp.where((scores > 0.0) & ~deleted[None, :],
-                       scores, -jnp.inf)
+    ok = (scores > 0.0) & ~deleted[None, :]
+    if filter_rows is not None:
+        ok = ok & filter_rows[fidx]
+    masked = jnp.where(ok, scores, -jnp.inf)
     return jax.lax.top_k(masked, k)
 
 
@@ -178,15 +186,18 @@ def make_flat_impact_scorer(precision: str = "f32"):
 
     use_bf16 = precision == "bf16"
 
-    @partial(jax.jit, static_argnames=("k", "p_pad", "n_queries"))
+    @partial(jax.jit,
+             static_argnames=("k", "p_pad", "n_queries", "use_filters"))
     def scorer(docs_flat, impacts_flat, deleted,
-               slot_start, slot_len, w_idx, w_val,
-               *, k: int, p_pad: int, n_queries: int):
+               slot_start, slot_len, w_idx, w_val, filter_rows, fidx,
+               *, k: int, p_pad: int, n_queries: int,
+               use_filters: bool = False):
         s_count = slot_start.shape[0]
         m = build_m(jnp, docs_flat, impacts_flat, slot_start, slot_len,
                     deleted.shape[0], p_pad)
         return _score_m(jax, jnp, m, deleted, w_idx, w_val,
-                        k, s_count, n_queries, use_bf16)
+                        k, s_count, n_queries, use_bf16,
+                        filter_rows if use_filters else None, fidx)
 
     return scorer
 
@@ -286,11 +297,13 @@ def make_split_impact_scorer(precision: str = "f32"):
     use_bf16 = precision == "bf16"
 
     @partial(jax.jit,
-             static_argnames=("k", "d_pad", "s_pad", "n_queries"))
+             static_argnames=("k", "d_pad", "s_pad", "n_queries",
+                              "use_filters"))
     def scorer(block_docs, block_impacts, m_dense, deleted,
                blk_idx, slot_row, dense_sel,
-               wd_idx, wd_val, ws_idx, ws_val,
-               *, k: int, d_pad: int, s_pad: int, n_queries: int):
+               wd_idx, wd_val, ws_idx, ws_val, filter_rows, fidx,
+               *, k: int, d_pad: int, s_pad: int, n_queries: int,
+               use_filters: bool = False):
         n1 = deleted.shape[0]
         m_sparse = build_m_from_blocks(jnp, block_docs, block_impacts,
                                        blk_idx, slot_row, n1, s_pad)
@@ -304,8 +317,10 @@ def make_split_impact_scorer(precision: str = "f32"):
         scores = (jnp.dot(wd, md, preferred_element_type=jnp.float32)
                   + jnp.dot(ws, m_sparse,
                             preferred_element_type=jnp.float32))
-        masked = jnp.where((scores > 0.0) & ~deleted[None, :],
-                           scores, -jnp.inf)
+        ok = (scores > 0.0) & ~deleted[None, :]
+        if use_filters:
+            ok = ok & filter_rows[fidx]
+        masked = jnp.where(ok, scores, -jnp.inf)
         return jax.lax.top_k(masked, k)
 
     return scorer

@@ -324,11 +324,12 @@ def make_run_batch_scorer():
 
     @partial(jax.jit,
              static_argnames=("k", "n_cols", "p_pad", "s_pad",
-                              "n_queries"))
+                              "n_queries", "use_filters"))
     def scorer(docs_flat, impacts_flat, deleted_cols,
                run_start, run_len, run_slot, run_off, w_idx, w_val,
+               filter_rows, fidx,
                *, k: int, n_cols: int, p_pad: int, s_pad: int,
-               n_queries: int):
+               n_queries: int, use_filters: bool = False):
         m = build_m_from_runs(jnp, docs_flat, impacts_flat, run_start,
                               run_len, run_slot, run_off, n_cols, s_pad,
                               p_pad)
@@ -339,8 +340,10 @@ def make_run_batch_scorer():
             mode="promise_in_bounds")
         w = w_flat[: n_queries * s_pad].reshape(n_queries, s_pad)
         scores = jnp.dot(w, m, preferred_element_type=jnp.float32)
-        masked = jnp.where((scores > 0.0) & ~deleted_cols[None, :],
-                           scores, -jnp.inf)
+        ok = (scores > 0.0) & ~deleted_cols[None, :]
+        if use_filters:
+            ok = ok & filter_rows[fidx]
+        masked = jnp.where(ok, scores, -jnp.inf)
         return jax.lax.top_k(masked, k)
 
     return scorer

@@ -142,3 +142,99 @@ def test_dense_rows_selection(index):
                                pad_row=len(dense["row_of_tid"]),
                                n1=dseg.n1)
     assert split is not None and (split["dense_sel"] >= 0).any()
+
+
+@pytest.fixture(scope="module")
+def filtered_index():
+    rng = random.Random(23)
+    vocab = [f"w{i}" for i in range(40)]
+    from searchlite_tpu.index.manifest import Schema as _S
+    idx = Index.create(
+        IndexOptions(path="", create_if_missing=True,
+                     storage=StorageType.IN_MEMORY),
+        _S.from_json({
+            "text_fields": [{"name": "body", "analyzer": "default",
+                             "stored": False, "indexed": True}],
+            "keyword_fields": [{"name": "cat", "stored": False,
+                                "indexed": True, "fast": True}],
+            "numeric_fields": [{"name": "rank", "type": "i64",
+                                "stored": False, "fast": True}],
+        }))
+    writer = idx.writer()
+    for i in range(500):
+        writer.add_document({
+            "_id": str(i),
+            "body": " ".join(rng.choices(vocab, k=rng.randint(3, 20))),
+            "cat": rng.choice(["a", "b", "c"]),
+            "rank": rng.randint(0, 30),
+        })
+        if i == 250:
+            writer.commit()
+    writer.commit()
+    return idx
+
+
+def test_batch_per_query_filters_match_single_path(filtered_index):
+    """Structured batched queries (VERDICT item 5): per-query filters in
+    search_batch must match the single-query path with the same
+    `filter` (reference surface api/types.rs:395-520)."""
+    reader = filtered_index.reader()
+    rng = random.Random(4)
+    vocab = [f"w{i}" for i in range(40)]
+    queries, filters = [], []
+    filter_pool = [
+        None,
+        {"KeywordEq": {"field": "cat", "value": "a"}},
+        {"KeywordEq": {"field": "cat", "value": "b"}},
+        {"I64Range": {"field": "rank", "min": 5, "max": 20}},
+        {"And": [{"KeywordEq": {"field": "cat", "value": "c"}},
+                 {"I64Range": {"field": "rank", "min": 0, "max": 15}}]},
+    ]
+    for _ in range(24):
+        queries.append(" ".join(rng.sample(vocab, k=rng.randint(1, 3))))
+        filters.append(rng.choice(filter_pool))
+    for execution in ("bm25", "bmw"):
+        batch = reader.search_batch(queries, limit=10, filters=filters,
+                                    execution=execution)
+        for query, f, row in zip(queries, filters, batch):
+            req = {"query": query, "limit": 10}
+            if f is not None:
+                req["filter"] = f
+            single = reader.search(req)
+            expected = [(h.doc_id, round(h.score, 4))
+                        for h in single.hits]
+            got = [(d, round(s, 4)) for d, s in row]
+            assert got == expected, (execution, query, f)
+
+
+def test_batch_per_query_limits(filtered_index):
+    reader = filtered_index.reader()
+    queries = ["w1 w2", "w3 w4", "w5"]
+    limits = [3, 7, 1]
+    rows = reader.search_batch(queries, limit=10, limits=limits)
+    full = reader.search_batch(queries, limit=10)
+    for row, fr, lim in zip(rows, full, limits):
+        assert row == fr[:lim]
+
+
+def test_batch_sharded_with_filters(filtered_index, monkeypatch):
+    """Filters survive the doc-sharded big-corpus path."""
+    reader = filtered_index.reader()
+    queries = ["w1 w2", "w3"]
+    filters = [{"KeywordEq": {"field": "cat", "value": "a"}}, None]
+    expected = reader.search_batch(queries, limit=10, filters=filters)
+    monkeypatch.setenv("SEARCHLITE_M_BUDGET_BYTES", "20000")
+    got = reader.search_batch(queries, limit=10, filters=filters)
+    assert got == expected
+
+
+def test_batch_filter_validation(filtered_index):
+    reader = filtered_index.reader()
+    from searchlite_tpu.errors import QueryError
+    with pytest.raises(QueryError):
+        reader.search_batch(["w1"], limit=5, filters=[
+            {"KeywordEq": {"field": "rank", "value": "x"}}])
+    with pytest.raises(QueryError):
+        reader.search_batch(["w1", "w2"], limit=5, filters=[None])
+    with pytest.raises(QueryError):
+        reader.search_batch(["w1"], limit=5, limits=[0])

@@ -304,3 +304,75 @@ class TestHttpConcurrency:
             assert all(total == 1 for _, total in results)
         finally:
             server.shutdown()
+
+
+class TestStructuredBatch:
+    """Structured batched queries across surfaces (VERDICT item 5)."""
+
+    def _make_index(self, tmp_path):
+        from searchlite_tpu.api.types import IndexOptions
+        from searchlite_tpu.index import Index
+        from searchlite_tpu.index.manifest import Schema as _S
+
+        idx = Index.create(
+            IndexOptions(path=str(tmp_path / "idx"),
+                         create_if_missing=True),
+            _S.from_json(SCHEMA))
+        writer = idx.writer()
+        writer.add_documents(DOCS)
+        writer.commit()
+
+    def test_http_structured_batch(self, tmp_path):
+        import threading as _t
+        import urllib.request as _u
+
+        from searchlite_tpu.http_server import make_server
+
+        self._make_index(tmp_path)
+        server = make_server(str(tmp_path / "idx"), bind="127.0.0.1:0")
+        thread = _t.Thread(target=server.serve_forever, daemon=True)
+        thread.start()
+        host, port = server.server_address
+        base = f"http://{host}:{port}"
+        try:
+            payload = {"queries": [
+                "is",
+                {"query": "is",
+                 "filter": {"I64Range": {"field": "year",
+                                         "min": 2021, "max": 2025}},
+                 "limit": 1},
+            ], "limit": 5}
+            req = _u.Request(f"{base}/search_batch",
+                             data=json.dumps(payload).encode(),
+                             method="POST",
+                             headers={"content-type": "application/json"})
+            with _u.urlopen(req) as resp:
+                body = json.loads(resp.read())
+            assert len(body["results"][0]) == 2  # doc-1, doc-2 match "is"
+            assert len(body["results"][1]) == 1
+            assert body["results"][1][0]["doc_id"] == "doc-1"
+        finally:
+            server.shutdown()
+
+    def test_cli_structured_batch(self, index_dir, capsys, tmp_path):
+        idx = index_dir / "idx"
+        assert cli_main(["init", str(idx),
+                         str(index_dir / "schema.json")]) == 0
+        assert cli_main(["add", str(idx),
+                         str(index_dir / "docs.jsonl")]) == 0
+        assert cli_main(["commit", str(idx)]) == 0
+        qfile = tmp_path / "queries.jsonl"
+        qfile.write_text(
+            "is\n"
+            + json.dumps({"query": "is",
+                          "filter": {"I64Range": {"field": "year",
+                                                  "min": 2021,
+                                                  "max": 2025}},
+                          "limit": 1}) + "\n")
+        capsys.readouterr()
+        assert cli_main(["search-batch", str(idx), "--queries-file",
+                         str(qfile), "--limit", "5",
+                         "--execution", "bmw"]) == 0
+        out = json.loads(capsys.readouterr().out)
+        assert len(out["results"][0]) == 2
+        assert [h["doc_id"] for h in out["results"][1]] == ["doc-1"]
