@@ -13,7 +13,6 @@ phrase queries.
 
 from __future__ import annotations
 
-import re
 import unicodedata
 from dataclasses import dataclass
 
@@ -43,16 +42,16 @@ def default_tokenize(text: str) -> list[Token]:
     return tokens
 
 
-# Word-like runs: alphanumerics (unicode), allowing a single apostrophe
-# between letters (UAX#29 MidLetter behavior, e.g. "can't" is one word).
-_UNICODE_WORD_RE = re.compile(r"[^\W_]+(?:['’][^\W_]+)*", re.UNICODE)
-
-
 def unicode_tokenize(text: str) -> list[Token]:
+    """NFKC + exact UAX#29 word segmentation + lowercase — parity with
+    `analysis/tokenizer.rs:31-41` (nfkc → unicode_words → lowercase).
+    The full Word_Break rule machine lives in analysis/uax29.py."""
+    from searchlite_tpu.analysis.uax29 import unicode_words
+
     normalized = unicodedata.normalize("NFKC", text)
     return [
-        Token(m.group(0).lower(), idx)
-        for idx, m in enumerate(_UNICODE_WORD_RE.finditer(normalized))
+        Token(word.lower(), idx)
+        for idx, word in enumerate(unicode_words(normalized))
     ]
 
 
