@@ -648,7 +648,14 @@ class IndexReader:
 
     # -- main entry --------------------------------------------------------------
 
-    def search(self, req) -> SearchResult:
+    def search(self, req, mesh=None) -> SearchResult:
+        """Execute one search request. With ``mesh`` (a
+        ``jax.sharding.Mesh`` with a "shard" axis), per-segment
+        execution runs doc-sharded across the mesh's chips
+        (parallel/query.py) — the full request surface (filters,
+        phrases, minimum_should_match, field sort, cursors, collapse,
+        aggregations, custom scoring) produces results identical to
+        single-chip execution."""
         if isinstance(req, dict):
             req = SearchRequest.from_json(req)
         if req.limit <= 0:
@@ -782,6 +789,24 @@ class IndexReader:
                 cs, eq_mode, cdoc = 0.0, 2, 0
 
             k = min(max(top_k, 1), dseg.n1)
+            if mesh is not None:
+                ts, ti, mc, fm, adj, tm = self._search_segment_sharded(
+                    mesh, dseg, compiled, qargs, phrase_masks,
+                    filter_masks, col_vals, col_has, root_mask, k,
+                    has_scored, need_scores)
+                if vector_plan is not None:
+                    text_masks[dseg.ord] = tm
+                if score_fast_path and cursor_state is None \
+                        and agg_pipeline is None and req.collapse is None \
+                        and vector_plan is None:
+                    # device-merged ICI top-k feeds the fast path
+                    qargs["_pruned_pre"] = (
+                        ts, ti, mc, qargs["postings_touched"])
+                else:
+                    # general host path: doc-sharded masks reassembled
+                    qargs["_chunked_pre"] = (fm, adj, tm)
+                pending.append((dseg, qargs, []))
+                continue
             m_budget = int(os.environ.get(
                 "SEARCHLITE_M_BUDGET_BYTES", 2 * 1024**3))
             oversize = (qargs["overflow"]
@@ -1503,6 +1528,96 @@ class IndexReader:
         out_s[:len(order)] = scores_cat[order]
         out_d[:len(order)] = docs_cat[order]
         return (out_s, out_d, total_mc, postings_real)
+
+    def _search_segment_sharded(self, mesh, dseg, compiled, qargs,
+                                phrase_masks, filter_masks, col_vals,
+                                col_has, root_mask, k: int,
+                                has_scored: bool, need_scores: bool):
+        """Execute one segment's full query over a device mesh
+        (parallel/query.py): doc-sharded postings, per-chip local M +
+        compiled core, ICI top-k merge / match-count psum, doc-sharded
+        mask outputs reassembled for the host result paths. Returns the
+        same tuple shape the dense executor fetch produces:
+        (top_scores, top_idx, match_count, final_mask, adjusted,
+        text_mask), trimmed to the segment's n1."""
+        import jax
+        import jax.numpy as jnp
+
+        from searchlite_tpu.ops.impact import pow4_bucket
+        from searchlite_tpu.parallel.query import (
+            make_sharded_query_executor,
+            pad_doc_axis,
+        )
+
+        n_shards = mesh.shape["shard"]
+        shards = dseg.doc_shards(n_shards)
+        # local doc coords are doc - d*shard_width, always < shard_width
+        width = shards["shard_width"]
+        n1p = width * n_shards
+        n_terms = shards["n_terms"]
+        counts = shards["counts"]
+        base = shards["posting_base"]
+
+        # per-chip posting slices (uniform pow-4 bucket)
+        shard_lo = base[np.arange(n_shards) * n_terms]
+        shard_hi = base[(np.arange(n_shards) + 1) * n_terms]
+        per = pow4_bucket(int((shard_hi - shard_lo).max()), minimum=1024)
+        docs_local = np.zeros(n_shards * per, dtype=np.int32)
+        imps_local = np.zeros(n_shards * per, dtype=np.float32)
+        for d in range(n_shards):
+            lo, hi = int(shard_lo[d]), int(shard_hi[d])
+            docs_local[d * per: d * per + hi - lo] = \
+                shards["docs_sh_np"][lo:hi]
+            imps_local[d * per: d * per + hi - lo] = \
+                shards["imps_sh_np"][lo:hi]
+
+        # per-chip slot tables for this query's slots
+        n_slots = qargs["n_slots"]
+        tids = qargs["slot_tids"][:n_slots]
+        s_pad = qargs["s_pad"]
+        slot_start2 = np.zeros((n_shards, s_pad), dtype=np.int32)
+        slot_len2 = np.zeros((n_shards, s_pad), dtype=np.int32)
+        if n_slots:
+            for d in range(n_shards):
+                keys = d * n_terms + tids
+                slot_start2[d, :n_slots] = (base[keys]
+                                            - shard_lo[d]).astype(
+                                                np.int32)
+                slot_len2[d, :n_slots] = counts[keys]
+        p_pad = pow4_bucket(
+            max(int(slot_len2.sum(axis=1).max()), 1), minimum=1024)
+
+        deleted = pad_doc_axis(dseg.deleted_np, n1p, True)
+        ph = pad_doc_axis(phrase_masks, n1p, False)
+        fl = pad_doc_axis(filter_masks, n1p, False)
+        cv = pad_doc_axis(col_vals, n1p, 0.0)
+        ch = pad_doc_axis(col_has, n1p, False)
+        rm = pad_doc_axis(root_mask, n1p, False)
+
+        cache_key = ("sharded", id(mesh), width)
+        run = compiled._jit_cache.get(cache_key)
+        if run is None:
+            run = make_sharded_query_executor(mesh, compiled, width)
+            compiled._jit_cache[cache_key] = run
+
+        (ts, ti, mc, fm, adj, tm) = run(
+            jnp.asarray(docs_local), jnp.asarray(imps_local),
+            jnp.asarray(deleted),
+            jnp.asarray(slot_start2), jnp.asarray(slot_len2),
+            jnp.asarray(qargs["w_leaf"]), jnp.asarray(qargs["leaf_ind"]),
+            jnp.asarray(qargs["group_ind"]),
+            jnp.asarray(ph), jnp.asarray(fl),
+            jnp.asarray(cv), jnp.asarray(ch), jnp.asarray(rm),
+            k=min(k, n1p), p_pad=p_pad, has_scored_terms=has_scored,
+            need_scores=need_scores)
+        ts, ti, mc, fm, adj, tm = jax.device_get(
+            (ts, ti, mc, fm, adj, tm))
+        n1 = dseg.n1
+        # copies: device_get arrays are read-only; the general result
+        # path mutates the mask (cursor skip)
+        return (np.asarray(ts), np.asarray(ti), int(mc),
+                np.array(fm)[:n1], np.array(adj)[:n1],
+                np.array(tm)[:n1])
 
     def _run_segment_chunked(self, dseg, compiled, qargs, phrase_masks,
                              filter_masks, col_vals, col_has, root_mask,

@@ -248,6 +248,12 @@ class DeviceSegment:
             "sentinel_row": total_blocks,
             "counts": counts,
             "n_terms": n_terms,
+            # flat reordered postings (host): sorted by (shard, term,
+            # doc), LOCAL doc coords — the multi-chip doc-sharded
+            # executor slices these per chip (parallel/query.py)
+            "docs_sh_np": docs_sh,
+            "imps_sh_np": imps_sh,
+            "posting_base": base,
         }
         self._doc_shards = cached
         return cached

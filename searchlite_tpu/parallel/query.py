@@ -1,0 +1,179 @@
+"""Full query execution sharded over a device mesh.
+
+Round 1's mesh path (`parallel/mesh.py`) covered plain batched BM25
+top-k. This module shards the ENTIRE single-query executor — matcher
+trees, filter masks, phrase masks, fast-field columns, custom-score
+trees — over the ``shard`` axis of a ``("query", "shard")`` mesh, using
+DOC-SHARDED postings (``DeviceSegment.doc_shards``): each chip owns a
+contiguous doc range and holds exactly the postings that land in it, so
+
+- the impact matrix M is built purely locally per chip — NO collective
+  is needed to complete it (unlike the flat-sharded + psum_scatter
+  variant in parallel/mesh.py), and per-chip HBM scales 1/D;
+- every doc-axis mask/column input (filters, phrases, root filter,
+  fast-field columns, deleted) shards over the same doc tiling, so the
+  CompiledQuery core (ops/score.py::_core — the same traced code the
+  single-chip executor runs) evaluates per chip on its slice with zero
+  communication;
+- ICI carries only the small things: score-sorted top-k merges as
+  local top-k → ``all_gather`` → final top-k (candidates are laid out
+  shard-major / doc-ascending, so top_k's lowest-index tie-break
+  preserves the reference's (score desc, doc_id asc) merge contract,
+  `api/reader.rs:2742-2778`); ``match_count`` is a ``psum``;
+- the full final_mask / adjusted-score / text-mask arrays come back as
+  doc-sharded outputs the host reassembles, feeding the general result
+  path (field-sort key merges, cursors, collapse, aggregations) with
+  EXACTLY the single-chip semantics;
+- ``make_sharded_terms_counts`` merges aggregation intermediates on
+  device (per-chip bincount over dictionary ids → ``psum``), mirroring
+  the reference's cross-segment intermediate merge
+  (`query/aggs/mod.rs:2049-2068`).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+
+def _shard_map():
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+    return shard_map
+
+
+def pad_doc_axis(arr: np.ndarray, n1p: int, fill) -> np.ndarray:
+    """Pad the trailing (doc) axis of a host array to n1p."""
+    n = arr.shape[-1]
+    if n == n1p:
+        return arr
+    out = np.full(arr.shape[:-1] + (n1p,), fill, dtype=arr.dtype)
+    out[..., :n] = arr
+    return out
+
+
+def make_sharded_query_executor(mesh, compiled, width: int):
+    """Sharded analogue of ``CompiledQuery._build_executor`` (cursorless;
+    the host general path applies cursor semantics). ``width`` is the
+    per-chip doc-slice width (n1p = width * n_shards). Returns a jitted
+
+        (docs_local, impacts_local, deleted,
+         slot_start, slot_len, w_leaf, leaf_ind, group_ind,
+         phrase_masks, filter_masks, col_vals, col_has, root_mask,
+         k=, p_pad=, has_scored_terms=, need_scores=)
+        -> (top_scores [k], top_idx [k], match_count,
+            final_mask [n1p], adjusted [n1p], text_mask [n1p])
+
+    where docs_local/impacts_local are the doc-sharded postings
+    ([D*per], LOCAL doc coordinates) and slot_start/slot_len are
+    per-chip [D, S] tables into them.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    n_shards = mesh.shape["shard"]
+
+    def local_step(docs_local, impacts_local, deleted,
+                   slot_start, slot_len, w_leaf, leaf_ind, group_ind,
+                   phrase_masks, filter_masks, col_vals, col_has,
+                   root_mask, *, k, p_pad, has_scored_terms,
+                   need_scores):
+        from searchlite_tpu.ops.impact import build_m
+
+        # per-chip M over this chip's doc slice — postings are
+        # doc-sharded, so the build is purely local (no collective)
+        m = build_m(jnp, docs_local, impacts_local,
+                    slot_start[0], slot_len[0], width, p_pad)
+
+        final_mask, adjusted, matcher_mask, _ones = compiled._core(
+            m, deleted, w_leaf, leaf_ind, group_ind,
+            phrase_masks, filter_masks, col_vals, col_has, root_mask,
+            has_scored_terms, need_scores)
+
+        match_count = jax.lax.psum(final_mask.sum(), "shard")
+
+        shard_idx = jax.lax.axis_index("shard")
+        doc_base = shard_idx * width
+        masked = jnp.where(final_mask, adjusted,
+                           -jnp.inf).astype(jnp.float32)
+        kk = min(k, width)
+        loc_scores, loc_idx = jax.lax.top_k(masked, kk)
+        loc_ids = loc_idx + doc_base
+        all_scores = jax.lax.all_gather(loc_scores, "shard", axis=0,
+                                        tiled=True)   # [D*kk]
+        all_ids = jax.lax.all_gather(loc_ids, "shard", axis=0,
+                                     tiled=True)
+        final_scores, pos = jax.lax.top_k(
+            all_scores, min(k, width * n_shards))
+        final_ids = jnp.take_along_axis(all_ids, pos, axis=0)
+        text_mask = matcher_mask & ~deleted
+        return (final_scores, final_ids, match_count, final_mask,
+                adjusted, text_mask)
+
+    def run(docs_local, impacts_local, deleted,
+            slot_start, slot_len, w_leaf, leaf_ind, group_ind,
+            phrase_masks, filter_masks, col_vals, col_has, root_mask,
+            *, k: int, p_pad: int, has_scored_terms: bool,
+            need_scores: bool):
+        fn = _shard_map()(
+            partial(local_step, k=k, p_pad=p_pad,
+                    has_scored_terms=has_scored_terms,
+                    need_scores=need_scores),
+            mesh=mesh,
+            in_specs=(
+                P("shard"), P("shard"), P("shard"),
+                P("shard", None), P("shard", None),
+                P(None, None), P(None, None), P(None, None),
+                P(None, "shard"), P(None, "shard"),
+                P(None, "shard"), P(None, "shard"),
+                P("shard"),
+            ),
+            out_specs=(P(), P(), P(), P("shard"), P("shard"),
+                       P("shard")),
+            check_vma=False,
+        )
+        return fn(docs_local, impacts_local, deleted,
+                  slot_start, slot_len, w_leaf, leaf_ind, group_ind,
+                  phrase_masks, filter_masks, col_vals, col_has,
+                  root_mask)
+
+    import jax
+
+    return jax.jit(run, static_argnames=(
+        "k", "p_pad", "has_scored_terms", "need_scores"))
+
+
+def make_sharded_terms_counts(mesh):
+    """Device-side terms-aggregation partial merge over ICI: each chip
+    bincounts dictionary ids over its doc slice of the matched mask,
+    then a ``psum`` merges the per-chip intermediates — the semantics
+    of the reference's cross-segment aggregation-intermediate merge
+    (`query/aggs/mod.rs:2049-2068`) on the mesh."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    def local_step(dict_ids, mask, *, n_buckets):
+        ok = mask & (dict_ids >= 0)
+        safe = jnp.where(ok, dict_ids, 0)
+        counts = jnp.zeros(n_buckets, dtype=jnp.int32).at[safe].add(
+            ok.astype(jnp.int32), mode="drop")
+        return jax.lax.psum(counts, "shard")
+
+    def run(dict_ids, mask, *, n_buckets: int):
+        fn = _shard_map()(
+            partial(local_step, n_buckets=n_buckets),
+            mesh=mesh,
+            in_specs=(P("shard"), P("shard")),
+            out_specs=P(),
+            check_vma=False,
+        )
+        return fn(dict_ids, mask)
+
+    import jax
+
+    return jax.jit(run, static_argnames=("n_buckets",))
