@@ -1026,7 +1026,8 @@ class IndexReader:
                     if compiled.needs_hook:
                         functions = self._explain_functions(
                             compiled, plan.score_tree,
-                            h.key.segment_ord, h.key.doc_id)
+                            h.key.segment_ord, h.key.doc_id,
+                            plan=plan, group_keys=group_keys)
                     h.explanation = {
                         "base_score": h.score,
                         "functions": functions,
@@ -2402,16 +2403,117 @@ class IndexReader:
                 _GLOBAL_COMPILED[sig] = cq
             return cq
 
+    def _group_matches_doc(self, seg, keys, doc: int) -> bool:
+        """Does the doc contain any of the group's terms? (host-side
+        QueryEvaluator term check, `api/reader.rs:1481-1598`)."""
+        postings = seg.postings
+        for key in keys:
+            tid = seg.terms.get(key)
+            if tid is None:
+                continue
+            docs, _tfs = postings.term_postings(tid)
+            i = np.searchsorted(docs, doc)
+            if i < len(docs) and docs[i] == doc:
+                return True
+        return False
+
+    def _matcher_matches_host(self, matcher, seg, compiled,
+                              group_keys, phrase_masks, doc: int) -> bool:
+        """Host-side evaluation of the boolean matcher tree for ONE doc
+        — the explain path's exact counterpart of the traced
+        `_eval_matcher` (reference `QueryEvaluator`,
+        `api/reader.rs:1467-1598`)."""
+        from searchlite_tpu.query.filters import passes_filter
+
+        kind = matcher.kind
+        if kind == "match_all":
+            return True
+        if kind == "term":
+            return self._group_matches_doc(
+                seg, group_keys[matcher.payload], doc)
+        if kind == "phrase":
+            return bool(phrase_masks[matcher.payload, doc])
+        if kind == "query_string":
+            p = matcher.payload
+            if not p["term_groups"] and not p["phrase_groups"] \
+                    and not p["not_term_groups"]:
+                return False
+            for idx in p["not_term_groups"]:
+                if self._group_matches_doc(seg, group_keys[idx], doc):
+                    return False
+            for idx in p["phrase_groups"]:
+                if not phrase_masks[idx, doc]:
+                    return False
+            if not p["term_groups"]:
+                return True
+            counts = sum(
+                1 for idx in p["term_groups"]
+                if self._group_matches_doc(seg, group_keys[idx], doc))
+            required = p["minimum_should_match"]
+            required = 1 if required is None else required
+            return counts >= required
+        if kind == "dis_max":
+            return any(self._matcher_matches_host(
+                c, seg, compiled, group_keys, phrase_masks, doc)
+                for c in matcher.payload)
+        if kind == "bool":
+            p = matcher.payload
+            for child in p["must"]:
+                if not self._matcher_matches_host(
+                        child, seg, compiled, group_keys, phrase_masks,
+                        doc):
+                    return False
+            for child in p["must_not"]:
+                if self._matcher_matches_host(
+                        child, seg, compiled, group_keys, phrase_masks,
+                        doc):
+                    return False
+            slot = compiled._matcher_filter_slot.get(id(matcher))
+            if slot is not None:
+                for f in compiled.filter_slots[slot]:
+                    if not passes_filter(seg.fast, doc, f):
+                        return False
+            should = p["should"]
+            if should:
+                count = sum(
+                    1 for child in should
+                    if self._matcher_matches_host(
+                        child, seg, compiled, group_keys, phrase_masks,
+                        doc))
+                min_should = p["minimum_should_match"]
+                if min_should is None:
+                    min_should = (1 if not p["must"] and not p["filter"]
+                                  else 0)
+                return count >= min_should
+            if p["minimum_should_match"] not in (None, 0):
+                return False
+            return True
+        return False
+
     def _explain_functions(self, compiled: CompiledQuery, score_tree,
-                           segment_ord: int, doc: int) -> list[dict]:
+                           segment_ord: int, doc: int, plan=None,
+                           group_keys=None) -> list[dict]:
         """Per-hit custom-scoring breakdown (function contributions),
         recomputed host-side for the returned hits only
-        (parity shape: `api/reader.rs::FunctionExplanation`)."""
+        (parity shape: `api/reader.rs::FunctionExplanation`). Each
+        score node's MATCHER is evaluated for the doc — unmatched nodes
+        contribute nothing (they scored 0 in the traced path)."""
         from searchlite_tpu.query.filters import passes_filter
 
         seg = self.segments[segment_ord]
         fast = seg.fast
         out: list[dict] = []
+        phrase_masks = None
+        if plan is not None and plan.phrase_specs:
+            phrase_masks = self._segment_phrase_masks(
+                seg, plan.phrase_specs)
+
+        def node_matched(node) -> bool:
+            matcher = node.params.get("matcher")
+            if matcher is None or group_keys is None:
+                return True
+            return self._matcher_matches_host(
+                matcher, seg, compiled, group_keys, phrase_masks, doc)
 
         def numeric_value(field: str):
             vals = fast.numeric_values(field, doc)
@@ -2419,6 +2521,11 @@ class IndexReader:
 
         def walk(node):
             if node.kind == "function_score":
+                if not node_matched(node):
+                    walk(node.params["base"])
+                    for child in node.children:
+                        walk(child)
+                    return
                 info = compiled._compiled_nodes.get(id(node), {})
                 for func in info.get("functions", []):
                     if func.filter is not None and not passes_filter(
@@ -2467,14 +2574,16 @@ class IndexReader:
                             "field": func.params["field"]})
                 walk(node.params["base"])
             elif node.kind == "rank_feature":
-                raw = numeric_value(node.params["field"])
-                out.append({"type": "rank_feature",
-                            "value": raw if raw is not None
-                            else node.params.get("missing") or 0.0,
-                            "field": node.params["field"]})
+                if node_matched(node):
+                    raw = numeric_value(node.params["field"])
+                    out.append({"type": "rank_feature",
+                                "value": raw if raw is not None
+                                else node.params.get("missing") or 0.0,
+                                "field": node.params["field"]})
             elif node.kind == "script_score":
-                out.append({"type": "script_score", "value": None,
-                            "field": None})
+                if node_matched(node):
+                    out.append({"type": "script_score", "value": None,
+                                "field": None})
                 walk(node.params["base"])
             for child in node.children:
                 walk(child)

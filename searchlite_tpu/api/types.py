@@ -42,7 +42,8 @@ class IndexOptions:
     bm25_k1: float = 0.9
     bm25_b: float = 0.4
     storage: str = StorageType.FILESYSTEM
-    compress_docstore: bool = False
+    # False | True (zstd, the reference codec) | "zstd" | "zlib"
+    compress_docstore: Any = False
     vector_defaults: Optional[VectorDefaults] = None
 
 

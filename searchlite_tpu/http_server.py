@@ -206,14 +206,38 @@ class Handler(BaseHTTPRequestHandler):
         self.state.set_index(index)
         self._send_json(200, {"created": True})
 
+    def _iter_ndjson_lines(self):
+        """Stream the request body as NDJSON lines WITHOUT buffering the
+        raw bytes (reference parity: `searchlite-http/src/lib.rs:327-344`
+        streams x-ndjson). Reads 1 MiB chunks off the socket and yields
+        (line_number, line_bytes); enforces max_body_bytes while
+        streaming."""
+        length = int(self.headers.get("content-length") or 0)
+        if length > self.state.max_body_bytes:
+            self._read_body()  # drains + raises 413
+        remaining = length
+        buf = b""
+        line_number = 0
+        while remaining > 0:
+            chunk = self.rfile.read(min(remaining, 1 << 20))
+            if not chunk:
+                break
+            remaining -= len(chunk)
+            parts = (buf + chunk).split(b"\n")
+            buf = parts.pop()
+            for line in parts:
+                line_number += 1
+                line = line.strip()
+                if line:
+                    yield line_number, line
+        tail = buf.strip()
+        if tail:
+            yield line_number + 1, tail
+
     def handle_add(self):
         index = self.state.require_index()
-        raw = self._read_body()
         docs = []
-        for line_number, line in enumerate(raw.splitlines(), 1):
-            line = line.strip()
-            if not line:
-                continue
+        for line_number, line in self._iter_ndjson_lines():
             try:
                 docs.append(json.loads(line))
             except json.JSONDecodeError as e:

@@ -1,34 +1,86 @@
 """Document store: stored JSON per document.
 
 Parity with searchlite-core `index/docstore.rs`: per-doc record is a
-u32 LE length + JSON bytes, with an optional per-doc compression flag
-and a 32 MiB per-document cap in both directions. The reference uses
-zstd; we use zlib (stdlib) — flagged in the segment meta so mixed
-builds fail loudly rather than decode garbage.
+u32 LE length + JSON bytes, with optional per-segment compression and a
+32 MiB per-document cap in both directions. Codecs: ``zstd`` (the
+reference's codec, via the bundled ``zstandard`` module) and ``zlib``
+(stdlib fallback, and the codec of segments written by earlier builds
+whose meta says ``compress: true``). The codec is recorded in the
+segment meta; opening a segment whose codec isn't available fails
+loudly rather than decoding garbage (reference behavior for non-zstd
+builds, `index/segment.rs:1242-1247`).
 """
 
 from __future__ import annotations
 
 import json
 import zlib
-from typing import Any, BinaryIO
+from typing import Any, BinaryIO, Optional
 
 from searchlite_tpu.errors import StorageError
 
 MAX_DOCSTORE_BYTES = 32 * 1024 * 1024
 
+try:
+    import zstandard as _zstd
+except ImportError:  # pragma: no cover - zstandard is bundled
+    _zstd = None
+
+
+def resolve_codec(compress) -> Optional[str]:
+    """Normalize a compress flag (False/True/"zlib"/"zstd") to a codec
+    name or None. True prefers zstd (reference parity) and falls back
+    to zlib when the module is missing."""
+    if not compress:
+        return None
+    if compress is True:
+        return "zstd" if _zstd is not None else "zlib"
+    if compress in ("zlib", "zstd"):
+        if compress == "zstd" and _zstd is None:
+            raise StorageError(
+                "docstore codec `zstd` requested but the zstandard "
+                "module is unavailable")
+        return compress
+    raise StorageError(f"unknown docstore codec `{compress}`")
+
+
+def _compress(codec: Optional[str], data: bytes) -> bytes:
+    if codec is None:
+        return data
+    if codec == "zstd":
+        return _zstd.ZstdCompressor().compress(data)
+    return zlib.compress(data)
+
+
+def _decompress(codec: Optional[str], data: bytes) -> bytes:
+    if codec is None:
+        return data
+    try:
+        if codec == "zstd":
+            if _zstd is None:
+                raise StorageError(
+                    "segment uses the zstd docstore codec but the "
+                    "zstandard module is unavailable")
+            return _zstd.ZstdDecompressor().decompress(
+                data, max_output_size=MAX_DOCSTORE_BYTES)
+        return zlib.decompress(data)
+    except StorageError:
+        raise
+    except Exception as e:  # zlib.error / zstd.ZstdError
+        raise StorageError(f"corrupt docstore: {e}") from e
+
 
 class DocStoreWriter:
-    def __init__(self, fileobj: BinaryIO, compress: bool = False):
+    def __init__(self, fileobj: BinaryIO, compress=False):
         self._file = fileobj
-        self._compress = compress
+        self.codec = resolve_codec(compress)
         self._offsets: list[int] = []
         self._pos = 0
 
     def add_document(self, doc: dict) -> None:
-        data = json.dumps(doc, separators=(",", ":"), ensure_ascii=False).encode()
-        if self._compress:
-            data = zlib.compress(data)
+        data = json.dumps(doc, separators=(",", ":"),
+                          ensure_ascii=False).encode()
+        data = _compress(self.codec, data)
         if len(data) > MAX_DOCSTORE_BYTES:
             raise StorageError(
                 f"document of {len(data)} bytes exceeds docstore cap")
@@ -43,10 +95,12 @@ class DocStoreWriter:
 
 
 class DocStoreReader:
-    def __init__(self, data: bytes, offsets: list[int], compress: bool = False):
+    def __init__(self, data: bytes, offsets: list[int], compress=False):
         self._data = data
         self._offsets = offsets
-        self._compress = compress
+        # old segments wrote a bare boolean meaning zlib
+        self._codec = "zlib" if compress is True else \
+            resolve_codec(compress)
 
     def get(self, ordinal: int) -> dict[str, Any]:
         if ordinal < 0 or ordinal >= len(self._offsets):
@@ -60,12 +114,7 @@ class DocStoreReader:
         end = off + 4 + length
         if end > len(self._data):
             raise StorageError("corrupt docstore: truncated record")
-        payload = self._data[off + 4:end]
-        if self._compress:
-            try:
-                payload = zlib.decompress(payload)
-            except zlib.error as e:
-                raise StorageError(f"corrupt docstore: {e}") from e
+        payload = _decompress(self._codec, self._data[off + 4:end])
         try:
             return json.loads(payload)
         except json.JSONDecodeError as e:

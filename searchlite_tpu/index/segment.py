@@ -517,7 +517,9 @@ class SegmentWriter:
             "doc_ids": doc_ids,
             "avg_field_lengths": avg_field_lengths,
             "vector_fields": vector_meta,
-            "compress": self.compress,
+            # resolved codec string ("zstd"/"zlib") or False;
+            # older segments wrote a bare true meaning zlib
+            "compress": doc_writer.codec or False,
             "enable_positions": self.enable_positions,
         }
         seg_file_meta["doc_offsets"] = doc_writer.offsets
@@ -582,7 +584,7 @@ class SegmentReader:
         self.doc_ids: list[str] = seg_file_meta["doc_ids"]
         self.avg_field_lengths: dict[str, float] = dict(
             seg_file_meta.get("avg_field_lengths", {}))
-        self.compress = bool(seg_file_meta.get("compress", False))
+        self.compress = seg_file_meta.get("compress", False)
         self.enable_positions = bool(
             seg_file_meta.get("enable_positions", True))
 

@@ -70,6 +70,37 @@ class TestDocstoreCompression:
         bodies = {h.doc_id: h.fields["body"] for h in res.hits}
         assert bodies["1"] == "alpha beta gamma"
 
+    def test_default_true_prefers_zstd(self):
+        """compress_docstore=True now means zstd (the reference's
+        codec, `index/docstore.rs`); segment meta records the codec."""
+        index = make_index(BASIC_SCHEMA, BASIC_DOCS,
+                           compress_docstore=True)
+        reader = index.reader()
+        assert reader.segments[0].compress == "zstd"
+
+    def test_explicit_zlib_codec(self):
+        index = make_index(BASIC_SCHEMA, BASIC_DOCS,
+                           compress_docstore="zlib")
+        reader = index.reader()
+        assert reader.segments[0].compress == "zlib"
+        res = reader.search({"query": "alpha", "limit": 5,
+                             "return_stored": True})
+        assert res.hits[0].fields["body"].startswith("alpha")
+
+    def test_legacy_bool_meta_reads_as_zlib(self):
+        """Segments written by earlier builds recorded compress: true
+        and used zlib — they must keep decoding."""
+        import json as _json
+        import zlib as _zlib
+
+        from searchlite_tpu.index.docstore import DocStoreReader
+
+        payload = _json.dumps({"body": "legacy"}).encode()
+        data = _zlib.compress(payload)
+        blob = len(data).to_bytes(4, "little") + data
+        reader = DocStoreReader(blob, [0], compress=True)
+        assert reader.get(0) == {"body": "legacy"}
+
     def test_compaction_preserves_compression(self):
         index = make_index(BASIC_SCHEMA, BASIC_DOCS,
                            compress_docstore=True)

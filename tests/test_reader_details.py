@@ -123,6 +123,33 @@ class TestRequestKnobs:
         assert any(f["type"] == "weight" and f["value"] == 2.0
                    for f in expl["functions"])
 
+    def test_explain_respects_matcher_gating(self):
+        """A function_score node whose MATCHER doesn't match the hit
+        contributes no function explanations — gating is the matcher
+        tree, not just per-function filters (VERDICT item 10)."""
+        index = make_index([
+            {"_id": "1", "body": "hello world", "tag": "a"},
+            {"_id": "2", "body": "hello there", "tag": "a"},
+        ])
+        # sum of: plain term(hello) + function_score gated on
+        # term(world) — doc 2 never matches the function_score branch
+        res = index.reader().search({
+            "query": {"type": "bool", "should": [
+                {"type": "term", "field": "body", "value": "hello"},
+                {"type": "function_score",
+                 "query": {"type": "term", "field": "body",
+                           "value": "world"},
+                 "functions": [{"type": "weight", "weight": 5.0}]},
+            ]},
+            "limit": 5, "explain": True})
+        by_id = {h.doc_id: h for h in res.hits}
+        assert set(by_id) == {"1", "2"}
+        fns_1 = by_id["1"].explanation["functions"]
+        fns_2 = by_id["2"].explanation["functions"]
+        assert any(f["type"] == "weight" and f["value"] == 5.0
+                   for f in fns_1)
+        assert fns_2 == []  # matcher-gated: no contribution for doc 2
+
     def test_compiled_plan_cache_survives_commits(self):
         from searchlite_tpu.api import reader as reader_mod
 
