@@ -1,0 +1,170 @@
+"""MS-MARCO-shaped scale benchmark: ingest + batched QPS at millions of
+docs through the doc-sharded path (VERDICT item 8).
+
+MS MARCO passages aren't mounted in this sandbox (tools/msmarco.py is
+ready for when they are), so this generates a synthetic corpus with the
+same shape: ~8.8M passages of ~60 tokens drawn from a Zipf-distributed
+vocabulary. Queries mix head and tail terms like the real query log
+(2-6 terms, rank-skewed).
+
+Usage:
+    python tools/bench_scale.py [n_docs] [--exec bm25|bmw] [--cpu]
+
+Prints one JSON line per phase and a final summary line. Positions are
+disabled (the workload has no phrase queries) to keep host memory
+proportional to postings.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+VOCAB = 120_000
+AVG_LEN = 60
+BATCH = 1024
+K = 10
+CHUNK = 200_000
+
+
+def log(**kv):
+    print(json.dumps(kv), flush=True)
+
+
+def gen_chunk(rng, probs, vocab, n):
+    lengths = rng.integers(AVG_LEN // 2, AVG_LEN * 2, size=n)
+    toks = rng.choice(VOCAB, size=int(lengths.sum()), p=probs)
+    docs = []
+    cursor = 0
+    for i in range(n):
+        ln = int(lengths[i])
+        docs.append(" ".join(vocab[t] for t in toks[cursor:cursor + ln]))
+        cursor += ln
+    return docs
+
+
+def build_queries(rng, n_queries, vocab):
+    """Rank-skewed queries: one head term (zipf), 1-5 mid/tail terms —
+    the mixed-idf shape where block-max pruning has bite."""
+    ranks = np.arange(1, VOCAB + 1, dtype=np.float64)
+    probs = (1.0 / ranks) / np.sum(1.0 / ranks)
+    out = []
+    for _ in range(n_queries):
+        n_terms = int(rng.integers(2, 7))
+        terms = [vocab[int(rng.choice(VOCAB, p=probs))]]
+        terms += [vocab[int(t)] for t in
+                  rng.integers(100, VOCAB, size=n_terms - 1)]
+        out.append(" ".join(terms))
+    return out
+
+
+def main():
+    args = [a for a in sys.argv[1:]]
+    n_docs = int(args[0]) if args and not args[0].startswith("-") \
+        else 5_000_000
+    force_cpu = "--cpu" in args
+    executions = ["bm25", "bmw"]
+    if "--exec" in args:
+        executions = [args[args.index("--exec") + 1]]
+
+    import jax
+    if force_cpu:
+        jax.config.update("jax_platforms", "cpu")
+    log(phase="start", n_docs=n_docs, backend=jax.default_backend())
+
+    from searchlite_tpu.api.types import IndexOptions, StorageType
+    from searchlite_tpu.index import Index
+    from searchlite_tpu.index.manifest import Schema
+
+    rng = np.random.default_rng(7)
+    ranks = np.arange(1, VOCAB + 1, dtype=np.float64)
+    probs = (1.0 / ranks) / np.sum(1.0 / ranks)
+    vocab = [f"t{i}" for i in range(VOCAB)]
+
+    index = Index.create(
+        IndexOptions(path="", create_if_missing=True,
+                     storage=StorageType.IN_MEMORY,
+                     enable_positions=False),
+        Schema.from_json({
+            "text_fields": [{"name": "body", "analyzer": "default",
+                             "stored": False, "indexed": True}]}))
+    writer = index.writer()
+    t0 = time.perf_counter()
+    done = 0
+    while done < n_docs:
+        n = min(CHUNK, n_docs - done)
+        bodies = gen_chunk(rng, probs, vocab, n)
+        writer.add_documents(
+            [{"_id": str(done + i), "body": b}
+             for i, b in enumerate(bodies)])
+        done += n
+        log(phase="gen+buffer", docs=done,
+            elapsed_s=round(time.perf_counter() - t0, 1))
+    t1 = time.perf_counter()
+    writer.commit()
+    t2 = time.perf_counter()
+    log(phase="ingest", docs=n_docs,
+        gen_buffer_s=round(t1 - t0, 1), commit_s=round(t2 - t1, 1),
+        docs_per_s=round(n_docs / (t2 - t0), 1))
+
+    t0 = time.perf_counter()
+    reader = index.reader()
+    dseg = reader.device_segments[0]
+    post_bytes = int(dseg.block_docs.size * 4 * 2
+                     + dseg.block_impacts.size * 4)
+    log(phase="upload", upload_s=round(time.perf_counter() - t0, 1),
+        hbm_block_bytes=post_bytes,
+        n_blocks=int(dseg.n_block_rows))
+
+    queries = build_queries(rng, BATCH * 3, vocab)
+    batches = [queries[i * BATCH:(i + 1) * BATCH] for i in range(3)]
+
+    summary = {"metric": f"scale_batched_qps_{n_docs // 1_000_000}m",
+               "unit": "qps", "n_docs": n_docs}
+    for execution in executions:
+        # pruning can't engage when a huge batch's seed tiles cover the
+        # whole corpus; bmw runs 64-query sub-batches through the
+        # pipelined API (3 bulk fetches for the whole stream)
+        sub = 64 if execution in ("wand", "bmw") else BATCH
+        t0 = time.perf_counter()
+        reader.search_batch_many(
+            [batches[0][i:i + sub] for i in range(0, BATCH, sub)],
+            limit=K, execution=execution)
+        warm = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        n = 0
+        for _rep in range(2):
+            stream = [b[i:i + sub] for b in batches[1:]
+                      for i in range(0, len(b), sub)]
+            reader.search_batch_many(stream, limit=K,
+                                     execution=execution)
+            n += sum(len(b) for b in stream)
+        dt = time.perf_counter() - t0
+        log(phase="batched", execution=execution, sub_batch=sub,
+            warm_s=round(warm, 1), qps=round(n / dt, 1))
+        summary[f"qps_{execution}"] = round(n / dt, 1)
+
+        # p50 single-query latency
+        lat = []
+        for q in queries[:9]:
+            t1 = time.perf_counter()
+            reader.search({"query": q, "limit": K,
+                           "execution": execution})
+            lat.append((time.perf_counter() - t1) * 1000)
+        summary[f"p50_single_ms_{execution}"] = round(
+            sorted(lat)[len(lat) // 2], 1)
+
+    summary["value"] = summary.get("qps_bm25") or \
+        summary.get(f"qps_{executions[0]}")
+    log(**summary)
+
+
+if __name__ == "__main__":
+    main()
