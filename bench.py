@@ -219,6 +219,11 @@ def main():
     cpu_qps = cpu_reference_qps(reader, batches[0])
     RESULT["vs_baseline"] = round(qps / cpu_qps, 2)
     RESULT["detail"]["cpu_oracle_qps"] = round(cpu_qps, 2)
+    # honesty: BASELINE.md's target is the Rust CPU engine, which has
+    # never run in this sandbox (no cargo toolchain); until it does,
+    # vs_baseline compares against a single-thread numpy oracle of the
+    # same exact scoring — a proxy, not a reference-engine measurement
+    RESULT["detail"]["baseline_kind"] = "numpy-oracle-proxy"
 
     # p50 single-query latency (warm shapes; the BASELINE metric)
     singles = batches[0][:9]

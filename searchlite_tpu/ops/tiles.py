@@ -170,29 +170,29 @@ class TileIndex:
         tiles ascending, and docs ascend within a run, so the scatter's
         flat indices are sorted + unique."""
         n_sel = len(tiles)
-        starts_all, lens_all, slots_all, offs_all = [], [], [], []
-        for s, tid in enumerate(slot_tids):
-            lo, hi = int(self.entry_base[tid]), int(self.entry_base[tid + 1])
-            if lo == hi or n_sel == 0:
-                continue
-            etiles = self.entry_tile[lo:hi]
+        tids = np.asarray(slot_tids, dtype=np.int64)
+        if n_sel and len(tids):
+            # fully vectorized (slot-major) entry gather: CSR expansion
+            # of every slot's entry range, one searchsorted against the
+            # selected tiles
+            lo = self.entry_base[tids]
+            counts = self.entry_base[tids + 1] - lo
+            total = int(counts.sum())
+            bases = np.concatenate([[0], np.cumsum(counts)[:-1]])
+            e_idx = (np.repeat(lo - bases, counts)
+                     + np.arange(total, dtype=np.int64))
+            slot_of = np.repeat(
+                np.arange(len(tids), dtype=np.int64), counts)
+            etiles = self.entry_tile[e_idx]
             pos = np.searchsorted(tiles, etiles)
             pos_c = np.minimum(pos, n_sel - 1)
             hit = tiles[pos_c] == etiles
-            if not hit.any():
-                continue
-            e_idx = np.flatnonzero(hit) + lo
-            ranks = pos_c[hit]
-            starts_all.append(self.entry_start[e_idx])
-            lens_all.append(self.entry_len[e_idx])
-            slots_all.append(np.full(len(e_idx), s, dtype=np.int64))
-            offs_all.append((ranks.astype(np.int64)
-                             - self.entry_tile[e_idx]) * self.T)
-        if starts_all:
-            run_start = np.concatenate(starts_all)
-            run_len = np.concatenate(lens_all)
-            run_slot = np.concatenate(slots_all)
-            run_off = np.concatenate(offs_all)
+            e_hit = e_idx[hit]
+            run_start = self.entry_start[e_hit]
+            run_len = self.entry_len[e_hit]
+            run_slot = slot_of[hit]
+            run_off = (pos_c[hit].astype(np.int64)
+                       - self.entry_tile[e_hit]) * self.T
         else:
             run_start = np.zeros(0, dtype=np.int64)
             run_len = np.zeros(0, dtype=np.int64)
