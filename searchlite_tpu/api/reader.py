@@ -687,7 +687,7 @@ class IndexReader:
             vector_plan = None
         if vector_plan is not None and vector_plan.vector_only:
             return self._search_vector_only(req, sort_plan, cursor_state,
-                                            vector_plan)
+                                            vector_plan, mesh=mesh)
 
         base_candidate = min(
             max(req.candidate_size or req.limit, req.limit),
@@ -995,7 +995,7 @@ class IndexReader:
 
         if vector_plan is not None:
             vector_scores = self._collect_vector_maps(
-                vector_plan, req, text_masks)
+                vector_plan, req, text_masks, mesh=mesh)
             saw = [saw_cursor]
             all_hits = self._merge_vector_hits(
                 all_hits, vector_scores, vector_plan, sort_plan,
@@ -1221,12 +1221,16 @@ class IndexReader:
                           vector_only=vector_only)
 
     def _collect_vector_maps(self, plan: VectorPlan, req,
-                             text_masks: Optional[dict[int, np.ndarray]]
-                             ) -> list[dict]:
+                             text_masks: Optional[dict[int, np.ndarray]],
+                             mesh=None) -> list[dict]:
         """Per-clause {(segment_ord, doc): boosted similarity} maps —
         exact MXU brute force replacing the reference's HNSW beam
-        (`api/reader.rs:2377-2460`)."""
-        from searchlite_tpu.ops.vector import vector_topk
+        (`api/reader.rs:2377-2460`). With ``mesh``, vector rows shard
+        over chips and the top-k merges over ICI — identical results."""
+        from searchlite_tpu.ops.vector import (
+            vector_topk,
+            vector_topk_sharded,
+        )
 
         per_clause: list[dict] = [dict() for _ in plan.clauses]
         for dseg in self.device_segments:
@@ -1255,9 +1259,15 @@ class IndexReader:
                                seg.doc_count)
                 query = np.asarray([clause.vector], dtype=np.float32)
                 vf = self.schema.vector_field(clause.field)
-                scores, ids = vector_topk(
-                    vdata, base_mask, query, search_k, clause.metric,
-                    quantization=(vf.quantization if vf else None))
+                quant = vf.quantization if vf else None
+                if mesh is not None:
+                    scores, ids = vector_topk_sharded(
+                        vdata, base_mask, query, search_k,
+                        clause.metric, mesh, quantization=quant)
+                else:
+                    scores, ids = vector_topk(
+                        vdata, base_mask, query, search_k,
+                        clause.metric, quantization=quant)
                 for score, doc in zip(scores[0].tolist(), ids[0].tolist()):
                     if score == -np.inf:
                         continue
@@ -1309,7 +1319,7 @@ class IndexReader:
         return merged
 
     def _search_vector_only(self, req, sort_plan: SortPlan, cursor_state,
-                            plan: VectorPlan) -> SearchResult:
+                            plan: VectorPlan, mesh=None) -> SearchResult:
         """Pure-vector path (parity: `api/reader.rs:2187-2376`)."""
         from searchlite_tpu.query.aggs import (
             AggregationPipeline,
@@ -1323,7 +1333,8 @@ class IndexReader:
         validate_aggregations(self.schema, req.aggs)
         agg_pipeline = (AggregationPipeline(req.aggs, [], self.schema)
                         if req.aggs else None)
-        vector_scores = self._collect_vector_maps(plan, req, None)
+        vector_scores = self._collect_vector_maps(plan, req, None,
+                                                  mesh=mesh)
 
         saw_cursor = [cursor_state is None or not req.return_hits]
         total_matches = 0

@@ -139,3 +139,75 @@ def vector_topk(vdata, mask: np.ndarray, queries: np.ndarray, k: int,
                         jnp.asarray(mask), dq, dqs,
                         k=k, metric=metric, quantization=quant)
     return np.asarray(scores), np.asarray(ids)
+
+
+_SHARDED_TOPK: dict = {}
+
+
+def vector_topk_sharded(vdata, mask: np.ndarray, queries: np.ndarray,
+                        k: int, metric: str, mesh,
+                        quantization: str | None = None):
+    """Mesh form of :func:`vector_topk`: vector rows shard over the
+    mesh's chips (parallel/query.py::make_sharded_vector_topk), local
+    exact similarity + top-k per slice, all_gather merge. Identical
+    results to the single-chip kernel."""
+    import jax.numpy as jnp
+
+    from searchlite_tpu.parallel.query import make_sharded_vector_topk
+
+    quant = quantization or "none"
+    n = vdata.vectors.shape[0]
+    k = min(k, n) if n else 0
+    if k == 0 or n == 0:
+        q = queries.shape[0]
+        return (np.zeros((q, 0), dtype=np.float32),
+                np.zeros((q, 0), dtype=np.int64))
+    n_shards = mesh.shape["shard"]
+    n_pad = -(-n // n_shards) * n_shards
+
+    cache = vdata.__dict__.setdefault("_sharded_cache", {})
+    entry = cache.get((quant, n_pad))
+    if entry is None:
+        vecs = vdata.vectors
+        v_sq = np.zeros(n_pad, dtype=np.float32)
+        v_sq[:n] = np.sum(vecs.astype(np.float32) ** 2, axis=1)
+        present = np.zeros(n_pad, dtype=bool)
+        present[:n] = vdata.present
+        if quant == "int8":
+            qv, scale = quantize_int8(vecs)
+            vp = np.zeros((n_pad, qv.shape[1]), dtype=np.int8)
+            vp[:n] = qv
+            sp = np.ones(n_pad, dtype=np.float32)
+            sp[:n] = scale
+            entry = (jnp.asarray(vp), jnp.asarray(sp),
+                     jnp.asarray(v_sq), jnp.asarray(present))
+        else:
+            dtype = jnp.bfloat16 if quant == "bf16" else jnp.float32
+            vp = np.zeros((n_pad, vecs.shape[1]), dtype=np.float32)
+            vp[:n] = vecs
+            entry = (jnp.asarray(vp, dtype=dtype),
+                     jnp.ones(n_pad, jnp.float32),
+                     jnp.asarray(v_sq), jnp.asarray(present))
+        cache[(quant, n_pad)] = entry
+    vectors, v_scale, v_sq, present = entry
+
+    run = _SHARDED_TOPK.get(id(mesh))
+    if run is None:
+        run = make_sharded_vector_topk(mesh)
+        _SHARDED_TOPK[id(mesh)] = run
+
+    mask_pad = np.zeros(n_pad, dtype=bool)
+    mask_pad[:len(mask)] = mask
+    if quant == "int8":
+        q_int8, q_scale = quantize_int8(queries.astype(np.float32))
+        dq, dqs = jnp.asarray(q_int8), jnp.asarray(q_scale)
+    elif quant == "bf16":
+        dq = jnp.asarray(queries, dtype=jnp.bfloat16)
+        dqs = jnp.ones(queries.shape[0], jnp.float32)
+    else:
+        dq = jnp.asarray(queries)
+        dqs = jnp.ones(queries.shape[0], jnp.float32)
+    scores, ids = run(vectors, v_scale, v_sq, present,
+                      jnp.asarray(mask_pad), dq, dqs,
+                      k=k, metric=metric, quantization=quant)
+    return np.asarray(scores), np.asarray(ids)

@@ -147,6 +147,70 @@ def make_sharded_query_executor(mesh, compiled, width: int):
         "k", "p_pad", "has_scored_terms", "need_scores"))
 
 
+def make_sharded_vector_topk(mesh):
+    """Vector similarity over the mesh: vector rows (docs) shard over
+    chips, each chip runs the exact MXU similarity + local top-k on its
+    slice, and an ``all_gather`` + final top-k merges — same (score
+    desc, doc asc) contract as the text path. Covers cosine and L2 with
+    the same quantization levels as ops/vector.py."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    def local_step(vectors, v_scale, v_sq, present, mask, queries,
+                   q_scale, *, k, metric, quantization):
+        n_local = vectors.shape[0]
+        if quantization == "int8":
+            dots = jnp.dot(queries.astype(jnp.int8), vectors.T,
+                           preferred_element_type=jnp.int32)
+            dots = dots.astype(jnp.float32) * \
+                (q_scale[:, None] * v_scale[None, :])
+        else:
+            dots = jnp.dot(queries, vectors.T,
+                           preferred_element_type=jnp.float32)
+        if metric == "cosine":
+            sims = dots
+        else:
+            q_sq = jnp.sum(
+                (queries.astype(jnp.float32) * q_scale[:, None]
+                 if quantization == "int8"
+                 else queries.astype(jnp.float32)) ** 2, axis=1)
+            sims = -jnp.sqrt(jnp.maximum(
+                v_sq[None, :] + q_sq[:, None] - 2.0 * dots, 0.0))
+        ok = (present & mask)[None, :]
+        masked = jnp.where(ok, sims, -jnp.inf)
+        kk = min(k, n_local)
+        loc_scores, loc_idx = jax.lax.top_k(masked, kk)
+        base = jax.lax.axis_index("shard") * n_local
+        loc_ids = loc_idx + base
+        all_scores = jax.lax.all_gather(loc_scores, "shard", axis=1,
+                                        tiled=True)
+        all_ids = jax.lax.all_gather(loc_ids, "shard", axis=1,
+                                     tiled=True)
+        final_scores, pos = jax.lax.top_k(
+            all_scores, min(k, all_scores.shape[1]))
+        final_ids = jnp.take_along_axis(all_ids, pos, axis=1)
+        return final_scores, final_ids
+
+    def run(vectors, v_scale, v_sq, present, mask, queries, q_scale,
+            *, k: int, metric: str, quantization: str):
+        fn = _shard_map()(
+            partial(local_step, k=k, metric=metric,
+                    quantization=quantization),
+            mesh=mesh,
+            in_specs=(P("shard", None), P("shard"), P("shard"),
+                      P("shard"), P("shard"), P(None, None), P(None,)),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+        return fn(vectors, v_scale, v_sq, present, mask, queries,
+                  q_scale)
+
+    import jax
+
+    return jax.jit(run, static_argnames=("k", "metric", "quantization"))
+
+
 def make_sharded_terms_counts(mesh):
     """Device-side terms-aggregation partial merge over ICI: each chip
     bincounts dictionary ids over its doc slice of the matched mask,
