@@ -817,7 +817,7 @@ class IndexReader:
                 pre = self._search_segment_pruned(
                     dseg, compiled, qargs, phrase_masks, filter_masks,
                     col_vals, col_has, root_mask, k, has_scored,
-                    need_scores)
+                    need_scores, bmw_block_size=req.bmw_block_size)
                 if pre is not None:
                     qargs["_pruned_pre"] = pre
                     pruning_real = True
@@ -1432,7 +1432,7 @@ class IndexReader:
     def _search_segment_pruned(self, dseg, compiled, qargs, phrase_masks,
                                filter_masks, col_vals, col_has,
                                root_mask, k: int, has_scored: bool,
-                               need_scores: bool):
+                               need_scores: bool, bmw_block_size=None):
         """Doc-tile pruned single-query execution (ops/tiles.py): wave 1
         bounds every tile's best-possible score with one small matmul,
         then at most two exact-scoring waves over compacted tile
@@ -1449,7 +1449,13 @@ class IndexReader:
 
         if bool((qargs["w_leaf"] < 0).any()):
             return None  # negative boosts break the upper bound
-        tl = get_tile_index(dseg)
+        # the reference's bmw_block_size knob maps onto the doc-tile
+        # width (its analogue of the per-request block granularity);
+        # rounded up to the lane width
+        tile_width = None
+        if bmw_block_size:
+            tile_width = max(128, -(-int(bmw_block_size) // 128) * 128)
+        tl = get_tile_index(dseg, tile_width)
         n_slots = qargs["n_slots"]
         tids = qargs["slot_tids"][:n_slots]
         s_pad = qargs["s_pad"]

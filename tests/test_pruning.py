@@ -198,3 +198,20 @@ def test_pruned_profile_reports_real_counts(monkeypatch):
     pprof = pruned.profile["execution"]
     assert pprof.get("pruning_simulated") is False
     assert pprof["postings_advanced"] <= dprof["postings_advanced"]
+
+
+def test_bmw_block_size_knob(monkeypatch):
+    """The reference's bmw_block_size request knob maps to the doc-tile
+    width; any width returns identical exact results."""
+    monkeypatch.setenv("SEARCHLITE_PRUNE_MIN_POSTINGS", "1")
+    idx, vocab, rng = _build_index(3, segments=1, docs_per_segment=500,
+                                   delete=0)
+    reader = idx.reader()
+    query = " ".join(vocab[:4])
+    base = reader.search({"query": query, "limit": 10})
+    for size in (64, 128, 300, 4096):
+        res = reader.search({"query": query, "limit": 10,
+                             "execution": "bmw",
+                             "bmw_block_size": size})
+        assert [h.doc_id for h in res.hits] == \
+            [h.doc_id for h in base.hits], size
