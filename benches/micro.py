@@ -168,10 +168,40 @@ def bench_aggs():
             "value": round(timeit(run, 5) * 1000, 2)}
 
 
+def bench_search_pruned():
+    """Doc-tile pruned execution (execution=bmw) on a mixed-idf corpus:
+    one rare + common-term query where block-max pruning has bite."""
+    import os
+    import random
+
+    os.environ.setdefault("SEARCHLITE_PRUNE_MIN_POSTINGS", "1")
+    rng = random.Random(9)
+    index = fresh_index()
+    writer = index.writer()
+    vocab = [f"t{i}" for i in range(500)]
+    weights = [1.0 / (j + 1) for j in range(500)]
+    for i in range(5000):
+        writer.add_document({
+            "_id": str(i), "tag": "a", "n": i,
+            "body": " ".join(rng.choices(vocab, weights=weights,
+                                         k=20))})
+    writer.commit()
+    reader = index.reader()
+    request = {"query": "t0 t1 t400 t450", "limit": 10,
+               "execution": "bmw"}
+    reader.search(request)  # warm
+
+    def run():
+        reader.search(request)
+
+    return {"bench": "search_pruned_bmw_5000", "unit": "ms",
+            "value": round(timeit(run, 10) * 1000, 2)}
+
+
 def main():
     for bench in (bench_index_small, bench_search_small,
                   bench_search_nested_filters, bench_cursor_pagination,
-                  bench_aggs):
+                  bench_aggs, bench_search_pruned):
         print(json.dumps(bench()), flush=True)
 
 
