@@ -758,6 +758,34 @@ class IndexReader:
         pruning_real = False
         pruning_simulated = False
         pending = []  # (dseg, qargs, fetch_refs)
+        pruned_jobs = []  # deferred doc-tile pruned segments
+
+        def launch_dense(dseg, qargs, phrase_masks, filter_masks,
+                         col_vals, col_has, root_mask, cs, eq_mode,
+                         cdoc, k):
+            run = compiled.executor()
+            (top_scores, top_idx, match_count, final_mask, adjusted,
+             cursor_seen, text_mask) = run(
+                dseg.block_docs, dseg.block_impacts, dseg.deleted,
+                jnp.asarray(qargs["blk_idx"]),
+                jnp.asarray(qargs["slot_row"]),
+                jnp.asarray(qargs["w_leaf"]),
+                jnp.asarray(qargs["leaf_ind"]),
+                jnp.asarray(qargs["group_ind"]),
+                jnp.asarray(phrase_masks), jnp.asarray(filter_masks),
+                jnp.asarray(col_vals), jnp.asarray(col_has),
+                jnp.asarray(root_mask),
+                jnp.float32(cs), jnp.int32(eq_mode), jnp.int32(cdoc),
+                k=k, s_pad=qargs["s_pad"], has_scored_terms=has_scored,
+                need_scores=need_scores, use_cursor=use_cursor)
+            fetch = [top_scores, top_idx, match_count, cursor_seen]
+            if needs_mask_host:
+                fetch.append(final_mask)
+            if vector_plan is not None:
+                fetch.append(text_mask)
+            if need_scores and not score_fast_path:
+                fetch.append(adjusted)
+            return (dseg, qargs, fetch)
         for dseg in self.device_segments:
             seg = dseg.reader
             if seg.doc_count == 0:
@@ -814,15 +842,12 @@ class IndexReader:
             if pruning_ok and qargs["n_slots"] > 0 \
                     and (oversize
                          or qargs["postings_touched"] >= prune_min):
-                pre = self._search_segment_pruned(
-                    dseg, compiled, qargs, phrase_masks, filter_masks,
-                    col_vals, col_has, root_mask, k, has_scored,
-                    need_scores, bmw_block_size=req.bmw_block_size)
-                if pre is not None:
-                    qargs["_pruned_pre"] = pre
-                    pruning_real = True
-                    pending.append((dseg, qargs, []))
-                    continue
+                # deferred: pruned segments run wave-pipelined together
+                # after this loop (3 bulk fetches total, not 3/segment)
+                pruned_jobs.append((dseg, qargs, phrase_masks,
+                                    filter_masks, col_vals, col_has,
+                                    root_mask, k, oversize))
+                continue
             if oversize:
                 # dense M won't fit — exact chunked tile execution,
                 # results flow through the general (host) branch
@@ -833,30 +858,34 @@ class IndexReader:
                 qargs["_chunked_pre"] = (mask_c, adjusted_c, text_c)
                 pending.append((dseg, qargs, []))
                 continue
-            run = compiled.executor()
-            (top_scores, top_idx, match_count, final_mask, adjusted,
-             cursor_seen, text_mask) = run(
-                dseg.block_docs, dseg.block_impacts, dseg.deleted,
-                jnp.asarray(qargs["blk_idx"]),
-                jnp.asarray(qargs["slot_row"]),
-                jnp.asarray(qargs["w_leaf"]),
-                jnp.asarray(qargs["leaf_ind"]),
-                jnp.asarray(qargs["group_ind"]),
-                jnp.asarray(phrase_masks), jnp.asarray(filter_masks),
-                jnp.asarray(col_vals), jnp.asarray(col_has),
-                jnp.asarray(root_mask),
-                jnp.float32(cs), jnp.int32(eq_mode), jnp.int32(cdoc),
-                k=k, s_pad=qargs["s_pad"], has_scored_terms=has_scored,
-                need_scores=need_scores, use_cursor=use_cursor)
+            pending.append(launch_dense(
+                dseg, qargs, phrase_masks, filter_masks, col_vals,
+                col_has, root_mask, cs, eq_mode, cdoc, k))
 
-            fetch = [top_scores, top_idx, match_count, cursor_seen]
-            if needs_mask_host:
-                fetch.append(final_mask)
-            if vector_plan is not None:
-                fetch.append(text_mask)
-            if need_scores and not score_fast_path:
-                fetch.append(adjusted)
-            pending.append((dseg, qargs, fetch))
+        if pruned_jobs:
+            results = self._run_pruned_jobs(
+                [job[:8] for job in pruned_jobs], compiled, has_scored,
+                need_scores, bmw_block_size=req.bmw_block_size)
+            for job, pre in zip(pruned_jobs, results):
+                (dseg, qargs, phrase_masks, filter_masks, col_vals,
+                 col_has, root_mask, k, oversize) = job
+                if pre is not None:
+                    qargs["_pruned_pre"] = pre
+                    pruning_real = True
+                    pending.append((dseg, qargs, []))
+                elif oversize:
+                    mask_c, adjusted_c, text_c = \
+                        self._run_segment_chunked(
+                            dseg, compiled, qargs, phrase_masks,
+                            filter_masks, col_vals, col_has, root_mask,
+                            has_scored, need_scores,
+                            vector_plan is not None)
+                    qargs["_chunked_pre"] = (mask_c, adjusted_c, text_c)
+                    pending.append((dseg, qargs, []))
+                else:
+                    pending.append(launch_dense(
+                        dseg, qargs, phrase_masks, filter_masks,
+                        col_vals, col_has, root_mask, 0.0, 2, 0, k))
 
         import jax
 
@@ -1429,87 +1458,82 @@ class IndexReader:
 
     # -- batched search --------------------------------------------------------
 
-    def _search_segment_pruned(self, dseg, compiled, qargs, phrase_masks,
-                               filter_masks, col_vals, col_has,
-                               root_mask, k: int, has_scored: bool,
-                               need_scores: bool, bmw_block_size=None):
-        """Doc-tile pruned single-query execution (ops/tiles.py): wave 1
-        bounds every tile's best-possible score with one small matmul,
-        then at most two exact-scoring waves over compacted tile
-        columns. Exact — identical top-k to the dense executor
-        (reference contract `tests/pruning.rs:44-105`); sound for any
+    def _run_pruned_jobs(self, jobs, compiled, has_scored: bool,
+                         need_scores: bool, bmw_block_size=None):
+        """Doc-tile pruned single-query execution (ops/tiles.py),
+        wave-PIPELINED across segments: wave 1 bounds every tile's
+        best-possible score with one small matmul per segment, then at
+        most two exact-scoring waves over compacted tile columns — at
+        most THREE bulk host<->device round trips for all segments
+        combined, matching the dense path's single-fetch discipline.
+
+        Exact — identical top-k to the dense executor (reference
+        contract `tests/pruning.rs:44-105`); sound for any
         matcher/filter/phrase because masks only shrink the match set
         and every doc in a scored tile is evaluated with ALL its
-        postings. Returns (scores [k], docs [k], match_count,
-        postings_touched) or None to fall back to dense."""
+        postings.
+
+        ``jobs``: list of (dseg, qargs, phrase_masks, filter_masks,
+        col_vals, col_has, root_mask, k). Returns a per-job list of
+        (scores [k], docs [k], match_count, postings_touched) or None
+        (caller falls back to dense/chunked for that segment)."""
         import jax
         import jax.numpy as jnp
 
         from searchlite_tpu.ops.tiles import get_tile_index
 
-        if bool((qargs["w_leaf"] < 0).any()):
-            return None  # negative boosts break the upper bound
-        # the reference's bmw_block_size knob maps onto the doc-tile
-        # width (its analogue of the per-request block granularity);
-        # rounded up to the lane width
         tile_width = None
         if bmw_block_size:
             tile_width = max(128, -(-int(bmw_block_size) // 128) * 128)
-        tl = get_tile_index(dseg, tile_width)
-        n_slots = qargs["n_slots"]
-        tids = qargs["slot_tids"][:n_slots]
-        s_pad = qargs["s_pad"]
+        seed_env = int(os.environ.get("SEARCHLITE_SEED_TILES", 0))
 
-        # wave 1 — per-tile upper bounds. Weights = column sums of
-        # w_leaf: >= any sum/dis-max (tie_breaker <= 1) expression over
-        # the non-negative leaf scores.
-        wsum = qargs["w_leaf"].sum(axis=0).astype(np.float32)
-        nz = np.flatnonzero(wsum > 0)
-        w_pad = next_pow2(max(len(nz), 8))
-        w_idx = np.arange(w_pad, dtype=np.int32) + s_pad  # pads → dump
-        w_idx[:len(nz)] = nz
-        w_val = np.zeros(w_pad, dtype=np.float32)
-        w_val[:len(nz)] = wsum[nz]
-        blk_idx, slot_row, _ = tl.ub_block_tables(tids)
-        ub_ref = self._ub_scorer()(
-            tl.tile_docs, tl.tile_maxes, jnp.asarray(blk_idx),
-            jnp.asarray(slot_row), jnp.asarray(w_idx),
-            jnp.asarray(w_val),
-            n_t1=tl.n_tiles + 1, s_pad=s_pad, n_queries=1)
-        ub = np.asarray(jax.device_get(ub_ref))[0, :tl.n_tiles]
+        # --- wave 1: per-tile upper bounds (one launch per segment) ---
+        state: list[dict] = []
+        for (dseg, qargs, *_masks, _k) in jobs:
+            if bool((qargs["w_leaf"] < 0).any()):
+                # negative boosts break the upper bound
+                state.append({"fallback": True})
+                continue
+            tl = get_tile_index(dseg, tile_width)
+            n_slots = qargs["n_slots"]
+            tids = qargs["slot_tids"][:n_slots]
+            s_pad = qargs["s_pad"]
+            # UB weights = column sums of w_leaf: >= any sum/dis-max
+            # (tie_breaker <= 1) expression over non-negative leaves
+            wsum = qargs["w_leaf"].sum(axis=0).astype(np.float32)
+            nz = np.flatnonzero(wsum > 0)
+            w_pad = next_pow2(max(len(nz), 8))
+            w_idx = np.arange(w_pad, dtype=np.int32) + s_pad
+            w_idx[:len(nz)] = nz
+            w_val = np.zeros(w_pad, dtype=np.float32)
+            w_val[:len(nz)] = wsum[nz]
+            blk_idx, slot_row, _ = tl.ub_block_tables(tids)
+            ub_ref = self._ub_scorer()(
+                tl.tile_docs, tl.tile_maxes, jnp.asarray(blk_idx),
+                jnp.asarray(slot_row), jnp.asarray(w_idx),
+                jnp.asarray(w_val),
+                n_t1=tl.n_tiles + 1, s_pad=s_pad, n_queries=1)
+            state.append({"tl": tl, "tids": tids, "ub_ref": ub_ref})
 
-        seed_c = int(os.environ.get("SEARCHLITE_SEED_TILES", 0)) \
-            or max(4, -(-4 * k // tl.T))
-        seed_c = min(seed_c, tl.n_tiles)
-        if seed_c < tl.n_tiles:
-            part = np.argpartition(-ub, seed_c - 1)[:seed_c]
-        else:
-            part = np.arange(tl.n_tiles)
-        tiles = np.unique(part[ub[part] > 0.0])
-        if len(tiles) == 0:
-            return (np.full(k, -np.inf, dtype=np.float32),
-                    np.zeros(k, dtype=np.int64), 0, 0)
+        ub_vals = iter(jax.device_get(tuple(
+            st["ub_ref"] for st in state if "ub_ref" in st)))
 
-        run_exec = compiled.tile_executor()
-        scored = np.zeros(tl.n_tiles, dtype=bool)
-        all_scores: list[np.ndarray] = []
-        all_docs: list[np.ndarray] = []
-        total_mc = 0
-        postings_real = 0
-        for _wave in range(2):
-            runs = tl.run_tables(tids, tiles)
+        def launch_wave(job, st, tiles):
+            """Dispatch one exact-scoring wave; returns refs or None on
+            int32 overflow (dense/chunked fallback)."""
+            dseg, qargs = job[0], job[1]
+            phrase_masks, filter_masks, col_vals, col_has, root_mask = \
+                job[2:7]
+            k = job[7]
+            tl = st["tl"]
+            runs = tl.run_tables(st["tids"], tiles)
             n_cols = runs["n_cols"]
+            s_pad = qargs["s_pad"]
             if s_pad * n_cols + runs["p_pad"] >= 2**31:
-                return None  # wave too wide — dense path instead
-            ph2 = tl.gather_cols(phrase_masks, tiles, fill=False)
-            fl2 = tl.gather_cols(filter_masks, tiles, fill=False)
-            cv2 = tl.gather_cols(col_vals, tiles, fill=0.0)
-            ch2 = tl.gather_cols(col_has, tiles, fill=False)
-            rm2 = tl.gather_cols(root_mask, tiles, fill=False)
-            del2 = tl.deleted_cols(tiles)
-            kk = min(k, n_cols)
-            ts, ti, mc = run_exec(
-                dseg.docs_flat, dseg.impacts_flat, jnp.asarray(del2),
+                return None
+            refs = compiled.tile_executor()(
+                dseg.docs_flat, dseg.impacts_flat,
+                jnp.asarray(tl.deleted_cols(tiles)),
                 jnp.asarray(runs["run_start"]),
                 jnp.asarray(runs["run_len"]),
                 jnp.asarray(runs["run_slot"]),
@@ -1517,35 +1541,94 @@ class IndexReader:
                 jnp.asarray(qargs["w_leaf"]),
                 jnp.asarray(qargs["leaf_ind"]),
                 jnp.asarray(qargs["group_ind"]),
-                jnp.asarray(ph2), jnp.asarray(fl2),
-                jnp.asarray(cv2), jnp.asarray(ch2), jnp.asarray(rm2),
-                k=kk, s_pad=s_pad, n_cols=n_cols, p_pad=runs["p_pad"],
+                jnp.asarray(tl.gather_cols(phrase_masks, tiles, False)),
+                jnp.asarray(tl.gather_cols(filter_masks, tiles, False)),
+                jnp.asarray(tl.gather_cols(col_vals, tiles, 0.0)),
+                jnp.asarray(tl.gather_cols(col_has, tiles, False)),
+                jnp.asarray(tl.gather_cols(root_mask, tiles, False)),
+                k=min(k, n_cols), s_pad=s_pad, n_cols=n_cols,
+                p_pad=runs["p_pad"],
                 has_scored_terms=has_scored, need_scores=need_scores)
-            ts, ti, mc = jax.device_get((ts, ti, mc))
-            ts = np.asarray(ts)
-            all_scores.append(ts)
-            all_docs.append(tl.map_ids(tiles, np.asarray(ti)))
-            total_mc += int(mc)
-            postings_real += runs["postings"]
-            scored[tiles] = True
-            merged = np.concatenate(all_scores)
-            valid = merged > -np.inf
-            if int(valid.sum()) >= k:
-                theta = np.partition(merged[valid], -k)[-k]
+            return refs, runs["postings"]
+
+        # --- wave 2: seed tiles (per-query top-C by bound) ---
+        for job, st in zip(jobs, state):
+            if "ub_ref" not in st:
+                continue
+            tl = st["tl"]
+            k = job[7]
+            ub = np.asarray(next(ub_vals))[0, :tl.n_tiles]
+            st["ub"] = ub
+            seed_c = min(seed_env or max(4, -(-4 * k // tl.T)),
+                         tl.n_tiles)
+            if seed_c < tl.n_tiles:
+                part = np.argpartition(-ub, seed_c - 1)[:seed_c]
             else:
-                theta = -np.inf
-            surv = (ub >= theta) & (ub > 0.0) & ~scored
-            tiles = np.flatnonzero(surv)
+                part = np.arange(tl.n_tiles)
+            tiles = np.unique(part[ub[part] > 0.0])
             if len(tiles) == 0:
+                st["result"] = (np.full(k, -np.inf, dtype=np.float32),
+                                np.zeros(k, dtype=np.int64), 0, 0)
+                continue
+            launched = launch_wave(job, st, tiles)
+            if launched is None:
+                st.clear()
+                st["fallback"] = True
+                continue
+            st["wave"] = (tiles, *launched)
+            st["scored"] = np.zeros(tl.n_tiles, dtype=bool)
+            st["scores"] = []
+            st["docs"] = []
+            st["mc"] = 0
+            st["postings"] = 0
+
+        # --- fetch wave 2, compute survivors, wave 3, finalize ---
+        for wave_i in range(2):
+            flat = [x for st in state if "wave" in st
+                    for x in st["wave"][1][:3]]
+            if not flat:
                 break
-        scores_cat = np.concatenate(all_scores)
-        docs_cat = np.concatenate(all_docs)
-        order = np.lexsort((docs_cat, -scores_cat))[:k]
-        out_s = np.full(k, -np.inf, dtype=np.float32)
-        out_d = np.zeros(k, dtype=np.int64)
-        out_s[:len(order)] = scores_cat[order]
-        out_d[:len(order)] = docs_cat[order]
-        return (out_s, out_d, total_mc, postings_real)
+            vals = iter(jax.device_get(tuple(flat)))
+            for job, st in zip(jobs, state):
+                if "wave" not in st:
+                    continue
+                tiles, refs, postings = st.pop("wave")
+                tl = st["tl"]
+                k = job[7]
+                ts = np.asarray(next(vals))
+                ti = np.asarray(next(vals))
+                mc = next(vals)
+                st["scores"].append(ts)
+                st["docs"].append(tl.map_ids(tiles, ti))
+                st["mc"] += int(mc)
+                st["postings"] += postings
+                st["scored"][tiles] = True
+                merged = np.concatenate(st["scores"])
+                valid = merged > -np.inf
+                theta = (np.partition(merged[valid], -k)[-k]
+                         if int(valid.sum()) >= k else -np.inf)
+                surv = (st["ub"] >= theta) & (st["ub"] > 0.0) \
+                    & ~st["scored"]
+                extra = np.flatnonzero(surv)
+                if wave_i == 0 and len(extra):
+                    launched = launch_wave(job, st, extra)
+                    if launched is None:
+                        st.clear()
+                        st["fallback"] = True
+                        continue
+                    st["wave"] = (extra, *launched)
+                    continue
+                # finalize: exact merged top-k
+                scores_cat = np.concatenate(st["scores"])
+                docs_cat = np.concatenate(st["docs"])
+                order = np.lexsort((docs_cat, -scores_cat))[:k]
+                out_s = np.full(k, -np.inf, dtype=np.float32)
+                out_d = np.zeros(k, dtype=np.int64)
+                out_s[:len(order)] = scores_cat[order]
+                out_d[:len(order)] = docs_cat[order]
+                st["result"] = (out_s, out_d, st["mc"], st["postings"])
+
+        return [st.get("result") for st in state]
 
     def _search_segment_sharded(self, mesh, dseg, compiled, qargs,
                                 phrase_masks, filter_masks, col_vals,
