@@ -1,0 +1,49 @@
+#!/bin/bash
+# Run every hardware measurement in sequence with per-step timeouts,
+# logging to /tmp/benchrun/. Fire this the moment the TPU tunnel is up:
+#     bash tools/run_all_benches.sh
+# Results summarized at the end; each step tolerates failure and moves
+# on (the tunnel has a history of wedging mid-run).
+
+set -u
+cd "$(dirname "$0")/.."
+OUT=${BENCH_OUT:-/tmp/benchrun}
+mkdir -p "$OUT"
+
+step() {
+  local name=$1 tmo=$2; shift 2
+  echo "=== $name ($(date -u +%H:%M:%S)) ===" | tee -a "$OUT/summary.log"
+  timeout "$tmo" "$@" > "$OUT/$name.log" 2>&1
+  local rc=$?
+  tail -3 "$OUT/$name.log" | tee -a "$OUT/summary.log"
+  echo "--- $name rc=$rc" | tee -a "$OUT/summary.log"
+}
+
+# 0. probe (fail fast if the tunnel is down)
+step probe 300 python -c "
+import jax, numpy as np, jax.numpy as jnp
+x = jnp.ones((128, 128))
+print('probe ok', float(np.asarray(jax.device_get(x @ x))[0, 0]))
+print('devices', jax.devices())
+"
+grep -q "probe ok" "$OUT/probe.log" || { echo "TUNNEL DOWN — abort" | tee -a "$OUT/summary.log"; exit 2; }
+
+# 1. headline bench (BENCH_r02 material)
+step bench_headline 2500 python bench.py
+
+# 2. headline with the dense/sparse M split (decide the default)
+step bench_split 2500 env SEARCHLITE_DENSE_M_BYTES=1073741824 python bench.py
+
+# 3. headline with bf16 scoring (measure the delta)
+step bench_bf16 2500 env SEARCHLITE_PRECISION=bf16 python bench.py
+
+# 4. micro scenarios (criterion parity + pruned scenario)
+step micro 2500 python benches/micro.py
+
+# 5. 1M-doc batched QPS (doc-sharded path)
+step bench_1m 3600 python tools/bench_1m.py
+
+# 6. 5M-doc MS-MARCO-shaped scale run (bm25 + bmw)
+step bench_scale_5m 7200 python tools/bench_scale.py 5000000
+
+echo "ALL DONE ($(date -u +%H:%M:%S))" | tee -a "$OUT/summary.log"
