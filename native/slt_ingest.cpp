@@ -25,6 +25,7 @@
 #include <vector>
 
 #include "slt_porter2.h"
+#include "slt_unicode.h"
 
 namespace {
 
@@ -174,6 +175,39 @@ long long slt_add_text(void* handle, const char* field_prefix, int prefix_len,
       ++count;
       token.clear();
     }
+  }
+  return count;
+}
+
+// Tokenize+add one text value through the `unicode` analyzer chain
+// (NFKC -> UAX#29 unicode_words -> lowercase [-> stopwords]) — the
+// native twin of analysis/tokenizers.py::unicode_tokenize +
+// analysis/uax29.py, equivalence-fuzzed in tests/test_native.py.
+// Handles ANY input (no ASCII restriction). Returns the surviving
+// token count; out_max_pos as in slt_add_text.
+long long slt_add_text_unicode(void* handle, const char* field_prefix,
+                               int prefix_len, uint32_t doc,
+                               const char* text, long long text_len,
+                               uint32_t position_offset,
+                               int use_stopwords,
+                               uint32_t* out_max_pos) {
+  auto* b = static_cast<Builder*>(handle);
+  const std::string prefix(field_prefix, static_cast<size_t>(prefix_len));
+  std::vector<std::string> tokens;
+  sltu::unicode_analyze(text, text_len, tokens);
+  long long count = 0;
+  uint32_t position = 0;
+  *out_max_pos = 0xFFFFFFFFu;
+  std::string key;
+  for (auto& tok : tokens) {
+    if (use_stopwords && b->stopwords.count(tok)) continue;
+    key = prefix;
+    key += tok;
+    b->term(key).add(doc, position_offset + position,
+                     b->enable_positions);
+    *out_max_pos = position;
+    ++position;
+    ++count;
   }
   return count;
 }

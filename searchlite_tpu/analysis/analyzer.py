@@ -56,9 +56,13 @@ class Analyzer:
         # native (C++) ASCII fast path at ingest
         self.is_plain_default = (tokenizer == "default"
                                  and not self._filters)
-        # native (C++) filter profile: (stopwords frozenset|None, stem)
-        # when the chain is default-tokenizer + [stopwords?][stemmer?]
-        # (lowercase is a no-op for ASCII default tokens); None otherwise
+        # native (C++) analyzer profile: (tokenizer, stopwords
+        # frozenset|None, stem) when the chain runs natively —
+        # default-tokenizer + [stopwords?][stemmer?] (lowercase is a
+        # no-op for ASCII default tokens), or unicode-tokenizer +
+        # [stopwords?] (NFKC + UAX#29 + lowercase in native/
+        # slt_unicode.h; the English stemmer chain stays Python for
+        # non-ASCII-token parity); None otherwise
         self.native_profile = None
         if tokenizer == "default":
             kinds = [d for d in (descriptors or [])
@@ -69,7 +73,15 @@ class Analyzer:
                 stop = next((payload for k, payload in kinds
                              if k == "stopwords"), None)
                 stem = any(k == "stemmer" for k, _p in kinds)
-                self.native_profile = (stop, stem)
+                self.native_profile = ("default", stop, stem)
+        elif tokenizer == "unicode":
+            kinds = [d for d in (descriptors or [])
+                     if d[0] != "lowercase"]
+            seq = [k for k, _payload in kinds]
+            if seq in ([], ["stopwords"]):
+                stop = next((payload for k, payload in kinds
+                             if k == "stopwords"), None)
+                self.native_profile = ("unicode", stop, False)
 
     def analyze(self, text: str) -> list[Token]:
         tokens = self._tokenize(text)

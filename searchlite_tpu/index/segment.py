@@ -380,8 +380,10 @@ class SegmentWriter:
                     doc_len = 0
                     use_native = False
                     native_flags = (False, False)
+                    native_tok = "default"
                     if native and analyzer.native_profile is not None:
-                        stopwords, stem_flag = analyzer.native_profile
+                        native_tok, stopwords, stem_flag = \
+                            analyzer.native_profile
                         if stopwords is None:
                             use_native = True
                             native_flags = (False, stem_flag)
@@ -394,7 +396,7 @@ class SegmentWriter:
                         if use_native:
                             fast = postings_builder.add_text(
                                 field, doc_ord, text, position_offset,
-                                *native_flags)
+                                *native_flags, tokenizer=native_tok)
                             if fast is not None:
                                 count, max_pos = fast
                                 doc_len += count

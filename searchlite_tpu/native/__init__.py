@@ -40,7 +40,12 @@ def _build_lib() -> str | None:
         "searchlite_tpu")
     os.makedirs(cache_dir, exist_ok=True)
     out = os.path.join(cache_dir, "slt_ingest.so")
-    if os.path.exists(out) and os.path.getmtime(out) >= os.path.getmtime(src):
+    src_dir = os.path.dirname(src)
+    newest = max(
+        (os.path.getmtime(os.path.join(src_dir, f))
+         for f in os.listdir(src_dir)
+         if f.endswith((".cpp", ".h"))), default=0)
+    if os.path.exists(out) and os.path.getmtime(out) >= newest:
         return out
     tmp = out + f".tmp{os.getpid()}"
     cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", src, "-o", tmp]
@@ -85,6 +90,12 @@ def get_lib():
             ctypes.POINTER(ctypes.c_uint32)]
         lib.slt_add_stopword.argtypes = [
             ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int]
+        lib.slt_add_text_unicode.restype = ctypes.c_longlong
+        lib.slt_add_text_unicode.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int,
+            ctypes.c_uint32, ctypes.c_char_p, ctypes.c_longlong,
+            ctypes.c_uint32, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint32)]
         lib.slt_stem.restype = ctypes.c_int
         lib.slt_stem.argtypes = [
             ctypes.c_char_p, ctypes.c_int, ctypes.c_char_p, ctypes.c_int]
@@ -203,21 +214,31 @@ class NativeIndexBuilder:
 
     def add_text(self, field: str, doc: int, text: str,
                  position_offset: int, use_stopwords: bool = False,
-                 use_stem: bool = False):
-        """Tokenize+add an ASCII text value natively (optionally through
-        the English stopword/stemmer chain).
+                 use_stem: bool = False, tokenizer: str = "default"):
+        """Tokenize+add one text value natively.
 
-        Returns (token_count, max_position) or None when the value
-        contains non-ASCII bytes (caller must fall back per value)."""
-        if not text.isascii():
-            return None
+        tokenizer="default": the ASCII fast path (optionally through
+        the English stopword/stemmer chain); returns None when the
+        value contains non-ASCII bytes (caller falls back per value).
+        tokenizer="unicode": the full NFKC + UAX#29 + lowercase chain
+        (native/slt_unicode.h), any input.
+
+        Returns (token_count, max_position)."""
         prefix = f"{field}:".encode()
         raw = text.encode()
         out_max = ctypes.c_uint32(0)
-        count = self._lib.slt_add_text(
-            self._handle, prefix, len(prefix), doc, raw, len(raw),
-            position_offset, 1 if use_stopwords else 0,
-            1 if use_stem else 0, ctypes.byref(out_max))
+        if tokenizer == "unicode":
+            count = self._lib.slt_add_text_unicode(
+                self._handle, prefix, len(prefix), doc, raw, len(raw),
+                position_offset, 1 if use_stopwords else 0,
+                ctypes.byref(out_max))
+        else:
+            if not text.isascii():
+                return None
+            count = self._lib.slt_add_text(
+                self._handle, prefix, len(prefix), doc, raw, len(raw),
+                position_offset, 1 if use_stopwords else 0,
+                1 if use_stem else 0, ctypes.byref(out_max))
         if count < 0:
             return None
         max_pos = None if out_max.value == 0xFFFFFFFF else int(out_max.value)

@@ -278,3 +278,131 @@ def test_native_english_chain_fuzz(monkeypatch):
     col_p = sp.fast.column("_len:body")
     np.testing.assert_array_equal(col_n.row_ids, col_p.row_ids)
     np.testing.assert_array_equal(col_n.values, col_p.values)
+
+
+class TestNativeUnicode:
+    """Native NFKC + UAX#29 + lowercase chain vs the Python pipeline
+    (analysis/uax29.py + tokenizers.py): token streams must be
+    byte-identical."""
+
+    def _stream_native(self, texts, stopwords=None):
+        from searchlite_tpu.native import NativeIndexBuilder
+
+        nb = NativeIndexBuilder(True)
+        if stopwords is not None:
+            assert nb.register_stopwords(frozenset(stopwords))
+        for doc, text in enumerate(texts):
+            out = nb.add_text("f", doc, text, 0,
+                              use_stopwords=stopwords is not None,
+                              tokenizer="unicode")
+            assert out is not None
+        return nb.build()
+
+    def _stream_python(self, texts, stopwords=None):
+        descriptors = ([("stopwords", frozenset(stopwords))]
+                       if stopwords is not None else [])
+        from searchlite_tpu.analysis.analyzer import AnalyzerRegistry
+
+        if stopwords is None:
+            analyzer = Analyzer("unicode")
+        else:
+            analyzer = AnalyzerRegistry.from_defs([{
+                "name": "u", "tokenizer": "unicode",
+                "filters": [{"type": "stopwords",
+                             "stopwords": sorted(stopwords)}],
+            }]).get("u")
+        pb = InvertedIndexBuilder(True)
+        for doc, text in enumerate(texts):
+            for tok in analyzer.analyze(text):
+                pb.add_term(f"f:{tok.text}", doc, tok.position)
+        return pb.build()
+
+    def _assert_same(self, pn, pp):
+        assert pn.terms == pp.terms
+        np.testing.assert_array_equal(pn.block_docs, pp.block_docs)
+        np.testing.assert_array_equal(pn.block_tfs, pp.block_tfs)
+        np.testing.assert_array_equal(pn.term_df, pp.term_df)
+        np.testing.assert_array_equal(pn.pos_offsets, pp.pos_offsets)
+        np.testing.assert_array_equal(pn.pos_values, pp.pos_values)
+
+    def test_multilingual_corpus(self):
+        texts = [
+            "Füße laufen ÜBER die Straße",
+            "ＨＥＬＬＯ ﬁle x² ﬂow",
+            "can't jump 32.3 feet, right?",
+            "קל\"ב א' ГОД Δος ΑΣ ΣΑΣ",
+            "가나다 한국어 각 조합",  # composed + jamo
+            "カタカナ 日本語 ひらがな",
+            "étude + Zalgo ȩ̴́x",  # ccc ordering
+            "emoji 😀 flags 🇺🇸🇫🇷 zwj 👩‍🚀 done",
+            "mixed_ExtendNumLet_2 a:b example.com 1,000.5",
+            "مرحبا بالعالم हिन्दी ภาษาไทย",
+            "",
+            "   \t\r\n  ",
+        ]
+        self._assert_same(self._stream_native(texts),
+                          self._stream_python(texts))
+
+    def test_fuzz_codepoint_soup(self):
+        rng = random.Random(71)
+        pool = (
+            "abcXYZÀÉÏüßΑΒΓΣςαбВгאב'ג\"کمह한각中カナ"
+            "😀🇺🇸‍̴ְ̧́ \t\n.,:-_'\"0129٣²ﬁＡ"
+            "ﷺ㌀¼")
+        texts = []
+        for _ in range(400):
+            texts.append("".join(rng.choice(pool)
+                                 for _ in range(rng.randint(0, 40))))
+        self._assert_same(self._stream_native(texts),
+                          self._stream_python(texts))
+
+    def test_unicode_with_stopwords(self):
+        stop = {"the", "ένα", "और"}
+        texts = ["The THE the quick ένα και और भी fox"]
+        self._assert_same(self._stream_native(texts, stop),
+                          self._stream_python(texts, stop))
+
+    def test_segment_writer_unicode_native_matches_python(self, monkeypatch):
+        import random as _r
+
+        from searchlite_tpu.index.manifest import Schema
+        from searchlite_tpu.index.segment import SegmentWriter
+        from searchlite_tpu.storage import InMemoryStorage
+
+        rng = _r.Random(5)
+        schema = Schema.from_json({
+            "analyzers": [{"name": "u", "tokenizer": "unicode",
+                           "filters": []}],
+            "text_fields": [{"name": "body", "analyzer": "u",
+                             "stored": False, "indexed": True}]})
+        words = ["Füße", "ΑΣ", "한국어", "ﬁle", "étude", "中文",
+                 "can't", "3.14", "🇺🇸", "مرحبا"]
+        docs = [{"_id": str(i),
+                 "body": " ".join(rng.choices(words, k=rng.randint(1, 12)))}
+                for i in range(120)]
+
+        def write(disable_native):
+            if disable_native:
+                monkeypatch.setenv("SEARCHLITE_DISABLE_NATIVE", "1")
+            else:
+                monkeypatch.delenv("SEARCHLITE_DISABLE_NATIVE",
+                                   raising=False)
+            import searchlite_tpu.native as native_mod
+            monkeypatch.setattr(native_mod, "_LIB_FAILED", False)
+            storage = InMemoryStorage()
+            writer = SegmentWriter(schema, storage)
+            meta = writer.write_segment(iter(docs), generation=1)
+            return storage, meta
+
+        from searchlite_tpu.index.segment import SegmentReader
+        sa, ma = write(False)
+        sb, mb = write(True)
+        ra = SegmentReader(ma, sa)
+        rb = SegmentReader(mb, sb)
+        assert ra.postings.terms == rb.postings.terms
+        np.testing.assert_array_equal(ra.postings.block_docs,
+                                      rb.postings.block_docs)
+        np.testing.assert_array_equal(ra.postings.block_tfs,
+                                      rb.postings.block_tfs)
+        np.testing.assert_array_equal(ra.postings.pos_values,
+                                      rb.postings.pos_values)
