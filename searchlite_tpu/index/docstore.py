@@ -77,10 +77,17 @@ class DocStoreWriter:
         self._offsets: list[int] = []
         self._pos = 0
 
+    _EMPTY = b"{}"
+
     def add_document(self, doc: dict) -> None:
-        data = json.dumps(doc, separators=(",", ":"),
-                          ensure_ascii=False).encode()
-        data = _compress(self.codec, data)
+        # schemas with no stored fields write one constant record per
+        # doc — skip the per-doc json/compress work (hot at ingest)
+        if not doc:
+            data = self._empty_record()
+        else:
+            data = json.dumps(doc, separators=(",", ":"),
+                              ensure_ascii=False).encode()
+            data = _compress(self.codec, data)
         if len(data) > MAX_DOCSTORE_BYTES:
             raise StorageError(
                 f"document of {len(data)} bytes exceeds docstore cap")
@@ -88,6 +95,13 @@ class DocStoreWriter:
         self._file.write(len(data).to_bytes(4, "little"))
         self._file.write(data)
         self._pos += 4 + len(data)
+
+    def _empty_record(self) -> bytes:
+        cached = getattr(self, "_empty_cache", None)
+        if cached is None:
+            cached = _compress(self.codec, self._EMPTY)
+            self._empty_cache = cached
+        return cached
 
     @property
     def offsets(self) -> list[int]:
