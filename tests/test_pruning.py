@@ -215,3 +215,70 @@ def test_bmw_block_size_knob(monkeypatch):
                              "bmw_block_size": size})
         assert [h.doc_id for h in res.hits] == \
             [h.doc_id for h in base.hits], size
+
+
+def test_tile_index_tables_match_bruteforce():
+    """TileIndex entry runs / tile maxes / run tables vs a brute-force
+    recomputation from the flat postings."""
+    import numpy as np
+
+    from searchlite_tpu.ops.tiles import TileIndex
+
+    idx, vocab, rng = _build_index(57, segments=1, docs_per_segment=700,
+                                   delete=0)
+    reader = idx.reader()
+    seg = reader.segments[0]
+    dseg = reader.device_segments[0]
+    tl = TileIndex(dseg, tile_width=128)
+
+    docs = dseg.docs_flat_np
+    imps = dseg.impacts_flat_np
+    term_df = seg.postings.term_df.astype(np.int64)
+    base = dseg.posting_base
+
+    for tid in rng.sample(range(len(term_df)), k=min(25, len(term_df))):
+        lo, hi = int(base[tid]), int(base[tid + 1])
+        tdocs, timps = docs[lo:hi], imps[lo:hi]
+        # brute per-tile groups
+        tiles = tdocs // 128
+        e_lo, e_hi = int(tl.entry_base[tid]), int(tl.entry_base[tid + 1])
+        got_tiles = tl.entry_tile[e_lo:e_hi]
+        want_tiles = np.unique(tiles)
+        np.testing.assert_array_equal(got_tiles, want_tiles)
+        for e in range(e_lo, e_hi):
+            t = tl.entry_tile[e]
+            sel = tiles == t
+            assert tl.entry_len[e] == sel.sum()
+            assert tl.entry_max[e] == pytest.approx(timps[sel].max())
+            run = slice(int(tl.entry_start[e]),
+                        int(tl.entry_start[e]) + int(tl.entry_len[e]))
+            np.testing.assert_array_equal(docs[run], tdocs[sel])
+
+    # run_tables over a random tile selection: runs cover exactly the
+    # slots' postings within the selected tiles
+    tids = np.asarray(rng.sample(range(len(term_df)),
+                                 k=min(6, len(term_df))), dtype=np.int64)
+    sel_tiles = np.unique(np.asarray(
+        rng.sample(range(tl.n_tiles), k=max(1, tl.n_tiles // 3))))
+    runs = tl.run_tables(tids, sel_tiles)
+    covered = 0
+    for i in range(len(runs["run_start"])):
+        ln = int(runs["run_len"][i])
+        if ln == 0:
+            continue
+        start = int(runs["run_start"][i])
+        s = int(runs["run_slot"][i])
+        off = int(runs["run_off"][i])
+        rdocs = docs[start:start + ln]
+        tile = rdocs[0] // 128
+        assert tile in sel_tiles
+        # destination columns land in the tile's rank slice
+        rank = int(np.searchsorted(sel_tiles, tile))
+        dest = rdocs + off
+        assert dest.min() >= rank * 128 and dest.max() < (rank + 1) * 128
+        covered += ln
+    want = 0
+    for tid in tids:
+        lo, hi = int(base[tid]), int(base[tid + 1])
+        want += int(np.isin(docs[lo:hi] // 128, sel_tiles).sum())
+    assert covered == want == runs["postings"]
