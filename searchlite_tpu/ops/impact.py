@@ -278,9 +278,11 @@ def build_impact_batch(seg, dseg, queries: list[list[tuple[str, str]]],
     }
     out["slot_start"][:len(slot_start)] = slot_start
     out["slot_len"][:len(slot_len)] = slot_len
-    if s_pad * (dseg.n1) + nb_pad * 128 >= 2**31:
-        raise OverflowError(
-            "impact matrix exceeds int32 indexing; shard the doc space")
+    # flat scatter extent of the dense [s_pad, n1] M build; callers that
+    # densify over the full doc axis must route to a doc-sharded or tile
+    # path when this exceeds int32 indexing (tile/run paths never build
+    # the full-width M and ignore it)
+    out["flat_extent"] = s_pad * dseg.n1 + nb_pad * 128
     return out
 
 

@@ -65,6 +65,34 @@ def test_sharded_batch_matches_unsharded(index, monkeypatch):
             [(d, round(s, 4)) for d, s in exp]
 
 
+def test_int32_overflow_routes_to_sharded(index, monkeypatch):
+    """A batch whose dense M would exceed int32 flat indexing must route
+    through the doc-sharded path instead of raising. Regression: 1M-doc
+    corpora raised OverflowError from inside build_impact_batch before
+    search_batch_many's budget check could route (caught by
+    tools/bench_1m.py on hardware, 2026-08-16)."""
+    from searchlite_tpu.api import reader as reader_mod
+
+    rd = index.reader()
+    queries = ["w1 w2", "w3", "w10 w20 w30"]
+    expected = rd.search_batch(queries, limit=10)
+    # lower the wall so this corpus is "past" it; the dense launch guard
+    # raises QueryError on the same constant, so a routing failure fails
+    # loudly rather than silently passing through the dense path
+    monkeypatch.setattr(reader_mod, "FLAT_INDEX_LIMIT", 1)
+    rd2 = index.reader()
+    got = rd2.search_batch(queries, limit=10)
+    for exp, g in zip(expected, got):
+        assert [(d, round(s, 4)) for d, s in g] == \
+            [(d, round(s, 4)) for d, s in exp]
+    # the pruned tile path never builds the full-width M: it must keep
+    # working (not raise) past the wall too
+    pruned = rd2.search_batch(queries, limit=10, execution="bmw")
+    for exp, g in zip(expected, pruned):
+        assert [(d, round(s, 4)) for d, s in g] == \
+            [(d, round(s, 4)) for d, s in exp]
+
+
 def test_bf16_fast_mode_close_to_exact(index, monkeypatch):
     reader = index.reader()
     queries = ["w1 w2", "w5 w9 w12"]
@@ -104,12 +132,12 @@ def test_dense_split_path_matches_plain(index, monkeypatch):
     """SEARCHLITE_DENSE_M_BYTES routes high-df slots through precomputed
     dense impact rows; results must match the plain block-scatter path
     (scores to f32 summation-order tolerance)."""
-    reader = index.reader()
     rng = random.Random(21)
     queries = [" ".join(rng.sample([f"w{i}" for i in range(60)],
                                    k=rng.randint(1, 4)))
                for _ in range(12)]
-    plain = reader.search_batch(queries, limit=10)
+    monkeypatch.setenv("SEARCHLITE_DENSE_M_BYTES", "0")  # split OFF
+    plain = index.reader().search_batch(queries, limit=10)
     monkeypatch.setenv("SEARCHLITE_DENSE_M_BYTES", str(64 * 1024 * 1024))
     # fresh reader: dense rows are cached per DeviceSegment
     split = index.reader().search_batch(queries, limit=10)
