@@ -212,6 +212,85 @@ long long slt_add_text_unicode(void* handle, const char* field_prefix,
   return count;
 }
 
+// Bulk tokenize+add: n_items text values, processed in order. Items
+// belonging to one (doc, field) group are consecutive; new_group[i]=1
+// resets the position-offset chain, so a group behaves exactly like
+// repeated slt_add_text calls with chained position_offset. Per-field
+// analyzer settings come from the parallel field table (prefixes
+// include the ':'). Default-tokenizer items must be pure ASCII (the
+// caller pre-checks with str.isascii(); bytes >= 0x80 would merely act
+// as token separators here). out_counts[i] receives each item's
+// surviving token count. One call amortizes the Python->C boundary
+// over thousands of values (~30us/call measured via ctypes).
+void slt_add_texts(void* handle, const char* texts, const int64_t* text_off,
+                   const uint32_t* doc_ords, const int32_t* field_ids,
+                   const uint8_t* new_group, long long n_items,
+                   const char* prefixes, const int32_t* prefix_off,
+                   const uint8_t* f_stop, const uint8_t* f_stem,
+                   const uint8_t* f_unicode, int n_fields,
+                   int64_t* out_counts) {
+  auto* b = static_cast<Builder*>(handle);
+  uint32_t offset = 0;
+  std::string token;
+  std::string key;
+  std::vector<std::string> tokens;
+  for (long long it = 0; it < n_items; ++it) {
+    if (new_group[it]) offset = 0;
+    const int32_t f = field_ids[it];
+    const char* text = texts + text_off[it];
+    const long long tlen = text_off[it + 1] - text_off[it];
+    const char* pfx = prefixes + prefix_off[f];
+    const size_t plen = static_cast<size_t>(prefix_off[f + 1] - prefix_off[f]);
+    const bool use_stop = f_stop[f] != 0;
+    long long count = 0;
+    uint32_t position = 0;
+    uint32_t max_pos = 0xFFFFFFFFu;
+    if (f_unicode[f]) {
+      tokens.clear();
+      sltu::unicode_analyze(text, tlen, tokens);
+      for (auto& tok : tokens) {
+        if (use_stop && b->stopwords.count(tok)) continue;
+        key.assign(pfx, plen);
+        key += tok;
+        b->term(key).add(doc_ords[it], offset + position,
+                         b->enable_positions);
+        max_pos = position;
+        ++position;
+        ++count;
+      }
+    } else {
+      const bool stem = f_stem[f] != 0;
+      token.clear();
+      for (long long i = 0; i <= tlen; ++i) {
+        const bool alnum =
+            i < tlen && is_ascii_alnum(static_cast<unsigned char>(text[i]));
+        if (alnum) {
+          char c = text[i];
+          if (c >= 'A' && c <= 'Z') c = static_cast<char>(c + 32);
+          token.push_back(c);
+        } else if (!token.empty()) {
+          if (use_stop && b->stopwords.count(token)) {
+            token.clear();
+            continue;
+          }
+          if (stem) token = slt_porter2::stem(std::move(token));
+          key.assign(pfx, plen);
+          key += token;
+          b->term(key).add(doc_ords[it], offset + position,
+                           b->enable_positions);
+          max_pos = position;
+          ++position;
+          ++count;
+          token.clear();
+        }
+      }
+    }
+    out_counts[it] = count;
+    offset += (max_pos == 0xFFFFFFFFu) ? 1u : (max_pos + 1u);
+  }
+  (void)n_fields;
+}
+
 // Sort terms, compute export sizes.
 void slt_finish(void* handle) {
   auto* b = static_cast<Builder*>(handle);

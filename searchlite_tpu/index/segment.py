@@ -23,6 +23,7 @@ streams.
 from __future__ import annotations
 
 import json
+import os
 import uuid as uuid_mod
 from dataclasses import dataclass
 from typing import Any, Iterable, Optional
@@ -317,6 +318,97 @@ def _collect_vector_value(schema: Schema, field: str, value
 # Writer
 # ---------------------------------------------------------------------------
 
+class _BulkTextBuffer:
+    """Accumulates (doc, field) text-value groups for bulk native
+    tokenization (NativeIndexBuilder.add_texts): one C call per few
+    thousand values instead of one per value (~30us ctypes boundary
+    each, measured ~1/3 of ingest time at 50k docs).
+
+    Ordering contract: postings must stay doc-ascending per term. Items
+    are appended in doc order and flushed in order, and term keys are
+    disjoint across fields, so the only hazard is the same FIELD being
+    processed both here and inline (non-ASCII fallback / a second
+    stopword set): callers must flush() before inline-adding any field
+    that has buffered items (`fields` exposes the live set)."""
+
+    MAX_ITEMS = 8192
+    MAX_BYTES = 4 << 20
+
+    def __init__(self, builder, on_group):
+        self._builder = builder
+        self._on_group = on_group  # (field, doc_ord, token_count) ->
+        self._field_ids: dict[tuple[str, bool, bool, bool], int] = {}
+        self._prefixes: list[bytes] = []
+        self._f_stop: list[int] = []
+        self._f_stem: list[int] = []
+        self._f_unicode: list[int] = []
+        self._texts: list[bytes] = []
+        self._doc_ords: list[int] = []
+        self._item_fids: list[int] = []
+        self._new_group: list[int] = []
+        self._groups: list[tuple[str, int, int, int]] = []
+        self._bytes = 0
+        self.fields: set[str] = set()
+
+    def add_group(self, field: str, doc_ord: int, values: list[str],
+                  use_stopwords: bool, use_stem: bool,
+                  unicode_tok: bool) -> None:
+        fkey = (field, use_stopwords, use_stem, unicode_tok)
+        fid = self._field_ids.get(fkey)
+        if fid is None:
+            fid = len(self._prefixes)
+            self._field_ids[fkey] = fid
+            self._prefixes.append(f"{field}:".encode())
+            self._f_stop.append(1 if use_stopwords else 0)
+            self._f_stem.append(1 if use_stem else 0)
+            self._f_unicode.append(1 if unicode_tok else 0)
+        lo = len(self._texts)
+        first = 1
+        for text in values:
+            raw = text.encode()
+            self._texts.append(raw)
+            self._bytes += len(raw)
+            self._doc_ords.append(doc_ord)
+            self._item_fids.append(fid)
+            self._new_group.append(first)
+            first = 0
+        self._groups.append((field, doc_ord, lo, len(self._texts)))
+        self.fields.add(field)
+        if (len(self._texts) >= self.MAX_ITEMS
+                or self._bytes >= self.MAX_BYTES):
+            self.flush()
+
+    def flush(self) -> None:
+        if not self._groups:
+            return
+        lens = np.fromiter((len(t) for t in self._texts),
+                           dtype=np.int64, count=len(self._texts))
+        text_off = np.zeros(len(lens) + 1, dtype=np.int64)
+        np.cumsum(lens, out=text_off[1:])
+        prefix_off = np.zeros(len(self._prefixes) + 1, dtype=np.int32)
+        np.cumsum([len(p) for p in self._prefixes], out=prefix_off[1:])
+        counts = self._builder.add_texts(
+            b"".join(self._texts), text_off,
+            np.asarray(self._doc_ords, dtype=np.uint32),
+            np.asarray(self._item_fids, dtype=np.int32),
+            np.asarray(self._new_group, dtype=np.uint8),
+            b"".join(self._prefixes), prefix_off,
+            np.asarray(self._f_stop, dtype=np.uint8),
+            np.asarray(self._f_stem, dtype=np.uint8),
+            np.asarray(self._f_unicode, dtype=np.uint8))
+        for field, doc_ord, lo, hi in self._groups:
+            self._on_group(field, doc_ord, int(counts[lo:hi].sum()))
+        # field table persists across flushes (ids stay valid); items
+        # and groups reset
+        self._texts.clear()
+        self._doc_ords.clear()
+        self._item_fids.clear()
+        self._new_group.clear()
+        self._groups.clear()
+        self._bytes = 0
+        self.fields.clear()
+
+
 class SegmentWriter:
     def __init__(self, schema: Schema, storage: Storage,
                  enable_positions: bool = True, compress: bool = False):
@@ -356,6 +448,15 @@ class SegmentWriter:
         vector_buckets: dict[str, list[Optional[list[float]]]] = {
             vf.name: [] for vf in self.schema.vector_fields}
 
+        bulk = None
+        if native and not os.environ.get("SEARCHLITE_DISABLE_BULK"):
+            def _on_group(field: str, doc_ord: int, count: int) -> None:
+                total_doc_lengths[field] = (
+                    total_doc_lengths.get(field, 0) + count)
+                fast_writer.set_i64(
+                    doc_length_key(field), doc_ord, count)
+            bulk = _BulkTextBuffer(postings_builder, _on_group)
+
         doc_file = self.storage.open_write(paths.docstore)
         doc_writer = DocStoreWriter(doc_file, self.compress)
         try:
@@ -392,6 +493,21 @@ class SegmentWriter:
                             # second distinct set falls back to Python
                             use_native = True
                             native_flags = (True, stem_flag)
+                    if use_native and bulk is not None:
+                        # whole-group bulk buffering (one C call per few
+                        # thousand values); groups with any non-ASCII
+                        # value under the default tokenizer take the
+                        # inline per-value path below, after flushing
+                        # any buffered items of the same field so each
+                        # term's postings stay doc-ascending
+                        if native_tok == "unicode" or all(
+                                t.isascii() for t in values):
+                            bulk.add_group(
+                                field, doc_ord, values, native_flags[0],
+                                native_flags[1], native_tok == "unicode")
+                            continue
+                        if field in bulk.fields:
+                            bulk.flush()
                     for text in values:
                         if use_native:
                             fast = postings_builder.add_text(
@@ -482,6 +598,8 @@ class SegmentWriter:
 
         total_docs = len(doc_ids)
 
+        if bulk is not None:
+            bulk.flush()
         postings = postings_builder.build()
         self.storage.write_all(paths.terms, write_terms(postings.terms))
         self.storage.write_all(paths.postings, postings.to_bytes())

@@ -96,6 +96,20 @@ def get_lib():
             ctypes.c_uint32, ctypes.c_char_p, ctypes.c_longlong,
             ctypes.c_uint32, ctypes.c_int,
             ctypes.POINTER(ctypes.c_uint32)]
+        lib.slt_add_texts.restype = None
+        lib.slt_add_texts.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p,
+            np.ctypeslib.ndpointer(np.int64),
+            np.ctypeslib.ndpointer(np.uint32),
+            np.ctypeslib.ndpointer(np.int32),
+            np.ctypeslib.ndpointer(np.uint8),
+            ctypes.c_longlong, ctypes.c_char_p,
+            np.ctypeslib.ndpointer(np.int32),
+            np.ctypeslib.ndpointer(np.uint8),
+            np.ctypeslib.ndpointer(np.uint8),
+            np.ctypeslib.ndpointer(np.uint8),
+            ctypes.c_int,
+            np.ctypeslib.ndpointer(np.int64)]
         lib.slt_stem.restype = ctypes.c_int
         lib.slt_stem.argtypes = [
             ctypes.c_char_p, ctypes.c_int, ctypes.c_char_p, ctypes.c_int]
@@ -243,6 +257,25 @@ class NativeIndexBuilder:
             return None
         max_pos = None if out_max.value == 0xFFFFFFFF else int(out_max.value)
         return int(count), max_pos
+
+    def add_texts(self, texts_blob: bytes, text_off: np.ndarray,
+                  doc_ords: np.ndarray, field_ids: np.ndarray,
+                  new_group: np.ndarray, prefixes_blob: bytes,
+                  prefix_off: np.ndarray, f_stop: np.ndarray,
+                  f_stem: np.ndarray, f_unicode: np.ndarray
+                  ) -> np.ndarray:
+        """Bulk tokenize+add (one C call for thousands of values; the
+        per-call ctypes boundary costs ~30us). See slt_add_texts in
+        native/slt_ingest.cpp for the item/group contract. Returns the
+        per-item surviving token counts."""
+        n = len(doc_ords)
+        out_counts = np.empty(n, dtype=np.int64)
+        self._lib.slt_add_texts(
+            self._handle, texts_blob, text_off, doc_ords, field_ids,
+            new_group, n, prefixes_blob, prefix_off, f_stop, f_stem,
+            f_unicode, len(f_stop), out_counts)
+        self._count += int(out_counts.sum())
+        return out_counts
 
     def build(self) -> PostingsData:
         lib = self._lib
