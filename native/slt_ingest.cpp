@@ -2,24 +2,33 @@
 //
 // Replaces the hot host-side ingest loop (tokenize -> postings
 // accumulate; the reference's `index/segment.rs:655-698` +
-// `index/postings.rs:31-57` equivalent) with a single C++ pass.
+// `index/postings.rs:31-57` equivalent) with C++ passes.
 //
-// Scope: the `default` tokenizer's ASCII subset (split on non-alnum,
-// lowercase ASCII letters). Texts containing any byte >= 0x80 are
-// REJECTED by slt_add_text (return -1, no side effects) so the caller
-// can fall back to the exact Python Unicode path — ASCII behaviour is
-// byte-identical in both.
+// Tokenizers: the `default` tokenizer's ASCII subset (split on
+// non-alnum, lowercase ASCII letters; byte-identical to the Python
+// path for ASCII input) and the full `unicode` chain (NFKC + UAX#29 +
+// lowercase, slt_unicode.h). Optional English filter chain (stopwords
+// + Porter2 stemming, slt_porter2.h).
+//
+// The term table is sharded by a stable FNV-1a hash of the key so the
+// bulk entry point (slt_add_texts) can run multi-threaded: phase A
+// tokenizes item ranges in parallel (ranges aligned to position-chain
+// group boundaries), phase B inserts each hash-shard's tokens on its
+// own thread, scanning the phase-A streams in order so every term's
+// postings stay doc-ascending. Output is deterministic for any thread
+// count: slt_finish sorts terms globally before export.
 //
 // Exported arrays mirror the TPU block layout of
 // `searchlite_tpu/index/postings.py` (128-wide doc/tf blocks, ragged
 // CSR positions).
 //
-// Built with: g++ -O3 -shared -fPIC -std=c++17 slt_ingest.cpp -o ...
+// Built with: g++ -O3 -shared -fPIC -pthread -std=c++17 slt_ingest.cpp
 
 #include <algorithm>
 #include <cstdint>
 #include <cstring>
 #include <string>
+#include <thread>
 #include <unordered_map>
 #include <unordered_set>
 #include <vector>
@@ -58,20 +67,19 @@ struct TermPostings {
   }
 };
 
-struct Builder {
-  bool enable_positions;
+inline uint64_t fnv1a(const char* p, size_t n) {
+  uint64_t h = 1469598103934665603ull;
+  for (size_t i = 0; i < n; ++i) {
+    h ^= static_cast<unsigned char>(p[i]);
+    h *= 1099511628211ull;
+  }
+  return h;
+}
+
+struct Shard {
   std::unordered_map<std::string, uint32_t> term_ids;
   std::vector<TermPostings> terms;
   std::vector<std::string> term_keys;
-  // optional analyzer filter chain (English profile)
-  std::unordered_set<std::string> stopwords;
-
-  // finish() products
-  std::vector<uint32_t> sorted_order;
-  uint64_t n_blocks = 0;
-  uint64_t n_postings = 0;
-  uint64_t n_positions = 0;
-  uint64_t terms_bytes = 0;
 
   TermPostings& term(const std::string& key) {
     auto it = term_ids.find(key);
@@ -86,18 +94,122 @@ struct Builder {
   }
 };
 
+struct Builder {
+  bool enable_positions;
+  int n_shards;
+  std::vector<Shard> shards;
+  // optional analyzer filter chain (English profile)
+  std::unordered_set<std::string> stopwords;
+
+  // finish() products
+  struct Ref {
+    uint32_t shard;
+    uint32_t id;
+  };
+  std::vector<Ref> sorted_order;
+  uint64_t n_blocks = 0;
+  uint64_t n_postings = 0;
+  uint64_t n_positions = 0;
+  uint64_t terms_bytes = 0;
+
+  TermPostings& term(const std::string& key) {
+    return shards[fnv1a(key.data(), key.size()) %
+                  static_cast<uint64_t>(n_shards)]
+        .term(key);
+  }
+};
+
 inline bool is_ascii_alnum(unsigned char c) {
   return (c >= '0' && c <= '9') || (c >= 'a' && c <= 'z') ||
          (c >= 'A' && c <= 'Z');
 }
 
+// Tokenize one text value through either analyzer chain, emitting
+// (key, position) for every surviving token. Returns the surviving
+// token count; *max_pos_out = last surviving position (0xFFFFFFFF when
+// none). Shared by the sequential and the threaded bulk paths so their
+// token streams are identical by construction.
+template <typename Emit>
+long long analyze_item(const std::unordered_set<std::string>& stopwords,
+                       const char* text, long long tlen, const char* pfx,
+                       size_t plen, bool use_stop, bool use_stem,
+                       bool use_unicode, uint32_t* max_pos_out,
+                       Emit&& emit) {
+  long long count = 0;
+  uint32_t position = 0;
+  uint32_t max_pos = 0xFFFFFFFFu;
+  std::string key;
+  if (use_unicode) {
+    std::vector<std::string> tokens;
+    sltu::unicode_analyze(text, tlen, tokens);
+    for (auto& tok : tokens) {
+      if (use_stop && stopwords.count(tok)) continue;
+      key.assign(pfx, plen);
+      key += tok;
+      emit(key, position);
+      max_pos = position;
+      ++position;
+      ++count;
+    }
+  } else {
+    std::string token;
+    for (long long i = 0; i <= tlen; ++i) {
+      const bool alnum =
+          i < tlen && is_ascii_alnum(static_cast<unsigned char>(text[i]));
+      if (alnum) {
+        char c = text[i];
+        if (c >= 'A' && c <= 'Z') c = static_cast<char>(c + 32);
+        token.push_back(c);
+      } else if (!token.empty()) {
+        if (use_stop && stopwords.count(token)) {
+          token.clear();
+          continue;
+        }
+        if (use_stem) token = slt_porter2::stem(std::move(token));
+        key.assign(pfx, plen);
+        key += token;
+        emit(key, position);
+        max_pos = position;
+        ++position;
+        ++count;
+        token.clear();
+      }
+    }
+  }
+  *max_pos_out = max_pos;
+  return count;
+}
+
+// Phase-A output: one token stream per item range.
+struct TokRec {
+  uint64_t hash;
+  uint32_t doc;
+  uint32_t pos;
+  uint32_t key_off;
+  uint32_t key_len;
+};
+
+struct Stream {
+  std::vector<TokRec> toks;
+  std::string arena;
+};
+
 }  // namespace
 
 extern "C" {
 
-void* slt_new(int enable_positions) {
+// n_threads <= 0 selects automatically (hardware_concurrency, capped).
+void* slt_new(int enable_positions, int n_threads) {
   auto* b = new Builder();
   b->enable_positions = enable_positions != 0;
+  int t = n_threads;
+  if (t <= 0) {
+    t = static_cast<int>(std::thread::hardware_concurrency());
+    if (t > 8) t = 8;
+  }
+  if (t < 1) t = 1;
+  b->n_shards = t;
+  b->shards.resize(static_cast<size_t>(t));
   return b;
 }
 
@@ -147,35 +259,12 @@ long long slt_add_text(void* handle, const char* field_prefix, int prefix_len,
     if (static_cast<unsigned char>(text[i]) >= 0x80) return -1;
   }
   auto* b = static_cast<Builder*>(handle);
-  const std::string prefix(field_prefix, static_cast<size_t>(prefix_len));
-  std::string token;
-  std::string key;
-  long long count = 0;
-  uint32_t position = 0;
-  *out_max_pos = 0xFFFFFFFFu;
-  for (long long i = 0; i <= text_len; ++i) {
-    const bool alnum =
-        i < text_len && is_ascii_alnum(static_cast<unsigned char>(text[i]));
-    if (alnum) {
-      char c = text[i];
-      if (c >= 'A' && c <= 'Z') c = static_cast<char>(c + 32);
-      token.push_back(c);
-    } else if (!token.empty()) {
-      if (use_stopwords && b->stopwords.count(token)) {
-        token.clear();
-        continue;
-      }
-      if (use_stem) token = slt_porter2::stem(std::move(token));
-      key = prefix;
-      key += token;
-      b->term(key).add(doc, position_offset + position,
-                       b->enable_positions);
-      *out_max_pos = position;
-      ++position;
-      ++count;
-      token.clear();
-    }
-  }
+  long long count = analyze_item(
+      b->stopwords, text, text_len, field_prefix,
+      static_cast<size_t>(prefix_len), use_stopwords != 0, use_stem != 0,
+      false, out_max_pos, [&](const std::string& key, uint32_t pos) {
+        b->term(key).add(doc, position_offset + pos, b->enable_positions);
+      });
   return count;
 }
 
@@ -192,23 +281,12 @@ long long slt_add_text_unicode(void* handle, const char* field_prefix,
                                int use_stopwords,
                                uint32_t* out_max_pos) {
   auto* b = static_cast<Builder*>(handle);
-  const std::string prefix(field_prefix, static_cast<size_t>(prefix_len));
-  std::vector<std::string> tokens;
-  sltu::unicode_analyze(text, text_len, tokens);
-  long long count = 0;
-  uint32_t position = 0;
-  *out_max_pos = 0xFFFFFFFFu;
-  std::string key;
-  for (auto& tok : tokens) {
-    if (use_stopwords && b->stopwords.count(tok)) continue;
-    key = prefix;
-    key += tok;
-    b->term(key).add(doc, position_offset + position,
-                     b->enable_positions);
-    *out_max_pos = position;
-    ++position;
-    ++count;
-  }
+  long long count = analyze_item(
+      b->stopwords, text, text_len, field_prefix,
+      static_cast<size_t>(prefix_len), use_stopwords != 0, false, true,
+      out_max_pos, [&](const std::string& key, uint32_t pos) {
+        b->term(key).add(doc, position_offset + pos, b->enable_positions);
+      });
   return count;
 }
 
@@ -221,7 +299,9 @@ long long slt_add_text_unicode(void* handle, const char* field_prefix,
 // caller pre-checks with str.isascii(); bytes >= 0x80 would merely act
 // as token separators here). out_counts[i] receives each item's
 // surviving token count. One call amortizes the Python->C boundary
-// over thousands of values (~30us/call measured via ctypes).
+// over thousands of values (~30us/call measured via ctypes), and runs
+// the builder's thread count across tokenize (phase A, by item range)
+// and term-table insert (phase B, by term-hash shard).
 void slt_add_texts(void* handle, const char* texts, const int64_t* text_off,
                    const uint32_t* doc_ords, const int32_t* field_ids,
                    const uint8_t* new_group, long long n_items,
@@ -230,91 +310,125 @@ void slt_add_texts(void* handle, const char* texts, const int64_t* text_off,
                    const uint8_t* f_unicode, int n_fields,
                    int64_t* out_counts) {
   auto* b = static_cast<Builder*>(handle);
-  uint32_t offset = 0;
-  std::string token;
-  std::string key;
-  std::vector<std::string> tokens;
-  for (long long it = 0; it < n_items; ++it) {
-    if (new_group[it]) offset = 0;
-    const int32_t f = field_ids[it];
-    const char* text = texts + text_off[it];
-    const long long tlen = text_off[it + 1] - text_off[it];
-    const char* pfx = prefixes + prefix_off[f];
-    const size_t plen = static_cast<size_t>(prefix_off[f + 1] - prefix_off[f]);
-    const bool use_stop = f_stop[f] != 0;
-    long long count = 0;
-    uint32_t position = 0;
-    uint32_t max_pos = 0xFFFFFFFFu;
-    if (f_unicode[f]) {
-      tokens.clear();
-      sltu::unicode_analyze(text, tlen, tokens);
-      for (auto& tok : tokens) {
-        if (use_stop && b->stopwords.count(tok)) continue;
-        key.assign(pfx, plen);
-        key += tok;
-        b->term(key).add(doc_ords[it], offset + position,
-                         b->enable_positions);
-        max_pos = position;
-        ++position;
-        ++count;
-      }
-    } else {
-      const bool stem = f_stem[f] != 0;
-      token.clear();
-      for (long long i = 0; i <= tlen; ++i) {
-        const bool alnum =
-            i < tlen && is_ascii_alnum(static_cast<unsigned char>(text[i]));
-        if (alnum) {
-          char c = text[i];
-          if (c >= 'A' && c <= 'Z') c = static_cast<char>(c + 32);
-          token.push_back(c);
-        } else if (!token.empty()) {
-          if (use_stop && b->stopwords.count(token)) {
-            token.clear();
-            continue;
-          }
-          if (stem) token = slt_porter2::stem(std::move(token));
-          key.assign(pfx, plen);
-          key += token;
-          b->term(key).add(doc_ords[it], offset + position,
-                           b->enable_positions);
-          max_pos = position;
-          ++position;
-          ++count;
-          token.clear();
-        }
+  (void)n_fields;
+  const int T = b->n_shards;
+
+  if (T == 1) {
+    // sequential fast path: insert directly, no token materialization
+    uint32_t offset = 0;
+    for (long long it = 0; it < n_items; ++it) {
+      if (new_group[it]) offset = 0;
+      const int32_t f = field_ids[it];
+      uint32_t max_pos = 0xFFFFFFFFu;
+      out_counts[it] = analyze_item(
+          b->stopwords, texts + text_off[it],
+          text_off[it + 1] - text_off[it], prefixes + prefix_off[f],
+          static_cast<size_t>(prefix_off[f + 1] - prefix_off[f]),
+          f_stop[f] != 0, f_stem[f] != 0, f_unicode[f] != 0, &max_pos,
+          [&](const std::string& key, uint32_t pos) {
+            b->shards[0].term(key).add(doc_ords[it], offset + pos,
+                                       b->enable_positions);
+          });
+      offset += (max_pos == 0xFFFFFFFFu) ? 1u : (max_pos + 1u);
+    }
+    return;
+  }
+
+  // phase A — parallel tokenize over item ranges aligned to group
+  // boundaries (the position chain never crosses a range)
+  std::vector<long long> bounds(static_cast<size_t>(T) + 1, 0);
+  bounds[static_cast<size_t>(T)] = n_items;
+  for (int t = 1; t < T; ++t) {
+    long long target = n_items * t / T;
+    while (target < n_items && !new_group[target]) ++target;
+    bounds[static_cast<size_t>(t)] = target;
+  }
+  for (int t = 1; t <= T; ++t) {
+    if (bounds[t] < bounds[t - 1]) bounds[t] = bounds[t - 1];
+  }
+  std::vector<Stream> streams(static_cast<size_t>(T));
+  auto phase_a = [&](int t) {
+    Stream& out = streams[static_cast<size_t>(t)];
+    out.arena.reserve(1 << 16);
+    uint32_t offset = 0;
+    for (long long it = bounds[t]; it < bounds[t + 1]; ++it) {
+      if (new_group[it]) offset = 0;
+      const int32_t f = field_ids[it];
+      uint32_t max_pos = 0xFFFFFFFFu;
+      out_counts[it] = analyze_item(
+          b->stopwords, texts + text_off[it],
+          text_off[it + 1] - text_off[it], prefixes + prefix_off[f],
+          static_cast<size_t>(prefix_off[f + 1] - prefix_off[f]),
+          f_stop[f] != 0, f_stem[f] != 0, f_unicode[f] != 0, &max_pos,
+          [&](const std::string& key, uint32_t pos) {
+            out.toks.push_back(
+                {fnv1a(key.data(), key.size()), doc_ords[it], offset + pos,
+                 static_cast<uint32_t>(out.arena.size()),
+                 static_cast<uint32_t>(key.size())});
+            out.arena.append(key);
+          });
+      offset += (max_pos == 0xFFFFFFFFu) ? 1u : (max_pos + 1u);
+    }
+  };
+  {
+    std::vector<std::thread> workers;
+    workers.reserve(static_cast<size_t>(T));
+    for (int t = 0; t < T; ++t) workers.emplace_back(phase_a, t);
+    for (auto& w : workers) w.join();
+  }
+
+  // phase B — each hash shard inserts its tokens on its own thread,
+  // scanning streams in range order so postings stay doc-ascending
+  auto phase_b = [&](uint32_t shard_id) {
+    Shard& s = b->shards[shard_id];
+    const uint64_t mod = static_cast<uint64_t>(T);
+    std::string key;
+    for (const auto& st : streams) {
+      for (const auto& tk : st.toks) {
+        if (tk.hash % mod != shard_id) continue;
+        key.assign(st.arena.data() + tk.key_off, tk.key_len);
+        s.term(key).add(tk.doc, tk.pos, b->enable_positions);
       }
     }
-    out_counts[it] = count;
-    offset += (max_pos == 0xFFFFFFFFu) ? 1u : (max_pos + 1u);
+  };
+  {
+    std::vector<std::thread> workers;
+    workers.reserve(static_cast<size_t>(T));
+    for (int t = 0; t < T; ++t)
+      workers.emplace_back(phase_b, static_cast<uint32_t>(t));
+    for (auto& w : workers) w.join();
   }
-  (void)n_fields;
 }
 
-// Sort terms, compute export sizes.
+// Sort terms globally, compute export sizes.
 void slt_finish(void* handle) {
   auto* b = static_cast<Builder*>(handle);
-  const size_t n = b->terms.size();
-  b->sorted_order.resize(n);
-  for (size_t i = 0; i < n; ++i) b->sorted_order[i] = i;
+  b->sorted_order.clear();
+  for (uint32_t s = 0; s < b->shards.size(); ++s) {
+    const size_t n = b->shards[s].terms.size();
+    for (uint32_t i = 0; i < n; ++i) b->sorted_order.push_back({s, i});
+  }
   std::sort(b->sorted_order.begin(), b->sorted_order.end(),
-            [b](uint32_t a, uint32_t c) {
-              return b->term_keys[a] < b->term_keys[c];
+            [b](const Builder::Ref& a, const Builder::Ref& c) {
+              return b->shards[a.shard].term_keys[a.id] <
+                     b->shards[c.shard].term_keys[c.id];
             });
   b->n_blocks = 0;
   b->n_postings = 0;
   b->n_positions = 0;
   b->terms_bytes = 0;
-  for (size_t i = 0; i < n; ++i) {
-    const auto& t = b->terms[i];
+  for (const auto& r : b->sorted_order) {
+    const auto& t = b->shards[r.shard].terms[r.id];
     b->n_postings += t.docs.size();
     b->n_positions += t.pos_data.size();
     b->n_blocks += (t.docs.size() + BLOCK - 1) / BLOCK;
-    b->terms_bytes += 4 + b->term_keys[i].size();
+    b->terms_bytes += 4 + b->shards[r.shard].term_keys[r.id].size();
   }
 }
 
-uint64_t slt_n_terms(void* h) { return static_cast<Builder*>(h)->terms.size(); }
+uint64_t slt_n_terms(void* h) {
+  return static_cast<Builder*>(h)->sorted_order.size();
+}
 uint64_t slt_n_blocks(void* h) { return static_cast<Builder*>(h)->n_blocks; }
 uint64_t slt_n_postings(void* h) {
   return static_cast<Builder*>(h)->n_postings;
@@ -351,9 +465,9 @@ void slt_export(void* handle, char* terms_buf, int32_t* block_docs,
   char* tb = terms_buf;
   pos_offsets[0] = 0;
   for (size_t rank = 0; rank < n; ++rank) {
-    const uint32_t src = b->sorted_order[rank];
-    const auto& key = b->term_keys[src];
-    const auto& t = b->terms[src];
+    const Builder::Ref ref = b->sorted_order[rank];
+    const auto& key = b->shards[ref.shard].term_keys[ref.id];
+    const auto& t = b->shards[ref.shard].terms[ref.id];
     const uint32_t klen = static_cast<uint32_t>(key.size());
     std::memcpy(tb, &klen, 4);
     tb += 4;

@@ -48,7 +48,8 @@ def _build_lib() -> str | None:
     if os.path.exists(out) and os.path.getmtime(out) >= newest:
         return out
     tmp = out + f".tmp{os.getpid()}"
-    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", src, "-o", tmp]
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-pthread", "-std=c++17",
+           src, "-o", tmp]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
         os.replace(tmp, out)
@@ -77,7 +78,7 @@ def get_lib():
             _LIB_FAILED = True
             return None
         lib.slt_new.restype = ctypes.c_void_p
-        lib.slt_new.argtypes = [ctypes.c_int]
+        lib.slt_new.argtypes = [ctypes.c_int, ctypes.c_int]
         lib.slt_free.argtypes = [ctypes.c_void_p]
         lib.slt_add_token.argtypes = [
             ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int,
@@ -198,7 +199,12 @@ class NativeIndexBuilder:
         if self._lib is None:
             raise RuntimeError("native library unavailable")
         self.enable_positions = enable_positions
-        self._handle = self._lib.slt_new(1 if enable_positions else 0)
+        # term-table shard / thread count for bulk adds: auto (<=0) uses
+        # hardware_concurrency capped at 8; output is deterministic for
+        # any value (terms are globally sorted at build)
+        n_threads = int(os.environ.get("SEARCHLITE_INGEST_THREADS", 0))
+        self._handle = self._lib.slt_new(
+            1 if enable_positions else 0, n_threads)
         self._count = 0
         self._stopwords: frozenset | None = None
 

@@ -44,6 +44,53 @@ def test_native_matches_python_builder():
     np.testing.assert_array_equal(pn.block_max_tf, pp.block_max_tf)
 
 
+def test_bulk_sharded_builder_deterministic(monkeypatch):
+    """Bulk adds through N term-hash shards (phase-A/phase-B threading)
+    must produce output identical to the sequential single-shard path —
+    the sandbox often has 1 CPU, so the threaded path is forced here."""
+    import numpy as np
+
+    from searchlite_tpu.native import NativeIndexBuilder
+
+    rng = random.Random(23)
+    words = ["Apple", "beta-42", "Gamma", "CAFE", "zz9", "a1b2", "the"]
+
+    def build(n_threads):
+        monkeypatch.setenv("SEARCHLITE_INGEST_THREADS", str(n_threads))
+        nb = NativeIndexBuilder(True)
+        rng2 = random.Random(23)
+        texts, doc_ords, fids, new_group = [], [], [], []
+        for doc in range(500):
+            # two values per doc: the position chain must span them
+            for vi in range(2):
+                texts.append(" ".join(
+                    rng2.choices(words, k=rng2.randint(1, 25))).encode())
+                doc_ords.append(doc)
+                fids.append(0)
+                new_group.append(1 if vi == 0 else 0)
+        lens = np.asarray([len(t) for t in texts], dtype=np.int64)
+        text_off = np.zeros(len(lens) + 1, dtype=np.int64)
+        np.cumsum(lens, out=text_off[1:])
+        counts = nb.add_texts(
+            b"".join(texts), text_off,
+            np.asarray(doc_ords, dtype=np.uint32),
+            np.asarray(fids, dtype=np.int32),
+            np.asarray(new_group, dtype=np.uint8),
+            b"body:", np.asarray([0, 5], dtype=np.int32),
+            np.zeros(1, dtype=np.uint8), np.zeros(1, dtype=np.uint8),
+            np.zeros(1, dtype=np.uint8))
+        return counts, nb.build()
+
+    c1, p1 = build(1)
+    c4, p4 = build(4)
+    np.testing.assert_array_equal(c1, c4)
+    assert p1.terms == p4.terms
+    np.testing.assert_array_equal(p1.block_docs, p4.block_docs)
+    np.testing.assert_array_equal(p1.block_tfs, p4.block_tfs)
+    np.testing.assert_array_equal(p1.pos_offsets, p4.pos_offsets)
+    np.testing.assert_array_equal(p1.pos_values, p4.pos_values)
+
+
 def test_non_ascii_rejected_without_side_effects():
     from searchlite_tpu.native import NativeIndexBuilder
 
