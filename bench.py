@@ -206,7 +206,7 @@ def main():
 
     # sustained throughput: a stream of batches through the pipelined
     # API (dispatch all, one bulk fetch) — the serving pattern
-    stream = batches[1:] * 4
+    stream = batches[1:] * 8  # ~1.5s of measurement at 16k QPS
     t0 = time.perf_counter()
     reader.search_batch_many(stream, limit=K)
     dt = time.perf_counter() - t0

@@ -20,6 +20,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from searchlite_tpu.api.types import IndexOptions, StorageType  # noqa: E402
+from searchlite_tpu.errors import QueryError  # noqa: E402
 from searchlite_tpu.index import Index  # noqa: E402
 from searchlite_tpu.index.manifest import Schema  # noqa: E402
 
@@ -198,11 +199,60 @@ def bench_search_pruned():
             "value": round(timeit(run, 10) * 1000, 2)}
 
 
+def bench_vector_hybrid():
+    """Vector-only + hybrid alpha-blend search over 10k 64-dim cosine
+    vectors (BASELINE config 5's shape; exact MXU similarity)."""
+    import random
+
+    rng = random.Random(17)
+    schema = Schema.from_json({
+        "text_fields": [{"name": "body", "analyzer": "default",
+                         "stored": False, "indexed": True}],
+        "vector_fields": [{"name": "emb", "dim": 64,
+                           "metric": "Cosine"}],
+    })
+    index = Index.create(
+        IndexOptions(path="", create_if_missing=True,
+                     storage=StorageType.IN_MEMORY), schema)
+    writer = index.writer()
+    vocab = [f"t{i}" for i in range(200)]
+    for i in range(10_000):
+        writer.add_document({
+            "_id": str(i),
+            "body": " ".join(rng.choices(vocab, k=12)),
+            "emb": [rng.gauss(0, 1) for _ in range(64)]})
+    writer.commit()
+    reader = index.reader()
+    qvec = [rng.gauss(0, 1) for _ in range(64)]
+    vec_only = {"query": {"type": "vector", "field": "emb",
+                          "vector": qvec, "alpha": 0.0}, "limit": 10}
+    hybrid = {"query": "t1 t2 t3",
+              "vector_query": {"field": "emb", "vector": qvec,
+                               "alpha": 0.5},
+              "limit": 10}
+    out = []
+    for name, req in (("vector_only_10k", vec_only),
+                      ("hybrid_blend_10k", hybrid)):
+        try:
+            reader.search(req)  # warm
+
+            def run(req=req):
+                reader.search(req)
+
+            out.append({"bench": name, "unit": "ms",
+                        "value": round(timeit(run, 10) * 1000, 2)})
+        except QueryError as e:
+            out.append({"bench": name, "error": str(e)})
+    return out
+
+
 def main():
     for bench in (bench_index_small, bench_search_small,
                   bench_search_nested_filters, bench_cursor_pagination,
                   bench_aggs, bench_search_pruned):
         print(json.dumps(bench()), flush=True)
+    for line in bench_vector_hybrid():
+        print(json.dumps(line), flush=True)
 
 
 if __name__ == "__main__":
