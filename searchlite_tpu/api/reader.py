@@ -1522,38 +1522,49 @@ class IndexReader:
         ub_vals = iter(jax.device_get(tuple(
             st["ub_ref"] for st in state if "ub_ref" in st)))
 
+        wave_budget = int(os.environ.get(
+            "SEARCHLITE_M_BUDGET_BYTES", 2 * 1024**3)) // 2
+
         def launch_wave(job, st, tiles):
-            """Dispatch one exact-scoring wave; returns refs or None on
-            int32 overflow (dense/chunked fallback)."""
+            """Dispatch one exact-scoring wave as HBM-budgeted chunk
+            launches; returns a list of (tiles_chunk, refs, postings),
+            or None on int32 overflow (dense/chunked fallback)."""
             dseg, qargs = job[0], job[1]
             phrase_masks, filter_masks, col_vals, col_has, root_mask = \
                 job[2:7]
             k = job[7]
             tl = st["tl"]
-            runs = tl.run_tables(st["tids"], tiles)
-            n_cols = runs["n_cols"]
             s_pad = qargs["s_pad"]
-            if s_pad * n_cols + runs["p_pad"] >= 2**31:
-                return None
-            refs = compiled.tile_executor()(
-                dseg.docs_flat, dseg.impacts_flat,
-                jnp.asarray(tl.deleted_cols(tiles)),
-                jnp.asarray(runs["run_start"]),
-                jnp.asarray(runs["run_len"]),
-                jnp.asarray(runs["run_slot"]),
-                jnp.asarray(runs["run_off"]),
-                jnp.asarray(qargs["w_leaf"]),
-                jnp.asarray(qargs["leaf_ind"]),
-                jnp.asarray(qargs["group_ind"]),
-                jnp.asarray(tl.gather_cols(phrase_masks, tiles, False)),
-                jnp.asarray(tl.gather_cols(filter_masks, tiles, False)),
-                jnp.asarray(tl.gather_cols(col_vals, tiles, 0.0)),
-                jnp.asarray(tl.gather_cols(col_has, tiles, False)),
-                jnp.asarray(tl.gather_cols(root_mask, tiles, False)),
-                k=min(k, n_cols), s_pad=s_pad, n_cols=n_cols,
-                p_pad=runs["p_pad"],
-                has_scored_terms=has_scored, need_scores=need_scores)
-            return refs, runs["postings"]
+            max_tiles = max(1, wave_budget // (4 * max(s_pad, 1) * tl.T))
+            out = []
+            for lo in range(0, len(tiles), max_tiles):
+                chunk = tiles[lo:lo + max_tiles]
+                runs = tl.run_tables(st["tids"], chunk)
+                n_cols = runs["n_cols"]
+                if s_pad * n_cols + runs["p_pad"] >= 2**31:
+                    return None
+                refs = compiled.tile_executor()(
+                    dseg.docs_flat, dseg.impacts_flat,
+                    jnp.asarray(tl.deleted_cols(chunk)),
+                    jnp.asarray(runs["run_start"]),
+                    jnp.asarray(runs["run_len"]),
+                    jnp.asarray(runs["run_slot"]),
+                    jnp.asarray(runs["run_off"]),
+                    jnp.asarray(qargs["w_leaf"]),
+                    jnp.asarray(qargs["leaf_ind"]),
+                    jnp.asarray(qargs["group_ind"]),
+                    jnp.asarray(tl.gather_cols(phrase_masks, chunk,
+                                               False)),
+                    jnp.asarray(tl.gather_cols(filter_masks, chunk,
+                                               False)),
+                    jnp.asarray(tl.gather_cols(col_vals, chunk, 0.0)),
+                    jnp.asarray(tl.gather_cols(col_has, chunk, False)),
+                    jnp.asarray(tl.gather_cols(root_mask, chunk, False)),
+                    k=min(k, n_cols), s_pad=s_pad, n_cols=n_cols,
+                    p_pad=runs["p_pad"],
+                    has_scored_terms=has_scored, need_scores=need_scores)
+                out.append((chunk, refs, runs["postings"]))
+            return out
 
         # --- wave 2: seed tiles (per-query top-C by bound) ---
         for job, st in zip(jobs, state):
@@ -1579,7 +1590,7 @@ class IndexReader:
                 st.clear()
                 st["fallback"] = True
                 continue
-            st["wave"] = (tiles, *launched)
+            st["wave"] = launched
             st["scored"] = np.zeros(tl.n_tiles, dtype=bool)
             st["scores"] = []
             st["docs"] = []
@@ -1589,24 +1600,25 @@ class IndexReader:
         # --- fetch wave 2, compute survivors, wave 3, finalize ---
         for wave_i in range(2):
             flat = [x for st in state if "wave" in st
-                    for x in st["wave"][1][:3]]
+                    for _t, refs, _p in st["wave"] for x in refs[:3]]
             if not flat:
                 break
             vals = iter(jax.device_get(tuple(flat)))
             for job, st in zip(jobs, state):
                 if "wave" not in st:
                     continue
-                tiles, refs, postings = st.pop("wave")
+                launched = st.pop("wave")
                 tl = st["tl"]
                 k = job[7]
-                ts = np.asarray(next(vals))
-                ti = np.asarray(next(vals))
-                mc = next(vals)
-                st["scores"].append(ts)
-                st["docs"].append(tl.map_ids(tiles, ti))
-                st["mc"] += int(mc)
-                st["postings"] += postings
-                st["scored"][tiles] = True
+                for tiles, _refs, postings in launched:
+                    ts = np.asarray(next(vals))
+                    ti = np.asarray(next(vals))
+                    mc = next(vals)
+                    st["scores"].append(ts)
+                    st["docs"].append(tl.map_ids(tiles, ti))
+                    st["mc"] += int(mc)
+                    st["postings"] += postings
+                    st["scored"][tiles] = True
                 merged = np.concatenate(st["scores"])
                 valid = merged > -np.inf
                 theta = (np.partition(merged[valid], -k)[-k]
@@ -1620,7 +1632,7 @@ class IndexReader:
                         st.clear()
                         st["fallback"] = True
                         continue
-                    st["wave"] = (extra, *launched)
+                    st["wave"] = launched
                     continue
                 # finalize: exact merged top-k
                 scores_cat = np.concatenate(st["scores"])
@@ -2157,7 +2169,7 @@ class IndexReader:
             wave2.append((ub, seed, refs))
 
         flat2 = [x for _ub, _seed, refs in wave2 if refs is not None
-                 for x in refs[:2]]
+                 for chunk in refs for x in chunk[:2]]
         vals2 = iter(jax.device_get(tuple(flat2)))
 
         # wave 3 — survivors: tiles with UB >= theta for any query
@@ -2167,9 +2179,21 @@ class IndexReader:
                 wave3.append((None, None, None))
                 continue
             k_batch = int(limits[bi].max()) if len(limits[bi]) else limit
-            scores2 = np.asarray(next(vals2))
-            ids2 = np.asarray(next(vals2))
-            docs2 = tl.map_ids(seed, ids2)
+            s_parts, d_parts = [], []
+            for _s, _i, chunk_tiles, _p in refs:
+                s_np = np.asarray(next(vals2))
+                i_np = np.asarray(next(vals2))
+                s_parts.append(s_np)
+                d_parts.append(tl.map_ids(chunk_tiles, i_np))
+            scores2 = np.concatenate(s_parts, axis=1)
+            docs2 = np.concatenate(d_parts, axis=1)
+            # rows must be (score desc, doc asc)-sorted for the per-query
+            # threshold pick below; single-chunk rows already are, chunked
+            # rows need the merge sort
+            if len(refs) > 1:
+                order = np.lexsort((docs2, -scores2), axis=-1)
+                scores2 = np.take_along_axis(scores2, order, axis=1)
+                docs2 = np.take_along_axis(docs2, order, axis=1)
             nq = scores2.shape[0]
             valid = scores2 > -np.inf
             nvalid = valid.sum(axis=1)
@@ -2194,7 +2218,7 @@ class IndexReader:
             wave3.append((res, extra, refs3))
 
         flat3 = [x for _res, _extra, refs in wave3 if refs is not None
-                 for x in refs[:2]]
+                 for chunk in refs for x in chunk[:2]]
         vals3 = iter(jax.device_get(tuple(flat3)))
 
         # merge per (batch, segment) then across segments per batch
@@ -2206,11 +2230,14 @@ class IndexReader:
             k_batch = int(limits[bi].max()) if len(limits[bi]) else limit
             scores2, docs2 = res
             if refs3 is not None:
-                scores3 = np.asarray(next(vals3))
-                ids3 = np.asarray(next(vals3))
-                docs3 = tl.map_ids(extra, ids3)
-                scores2 = np.concatenate([scores2, scores3], axis=1)
-                docs2 = np.concatenate([docs2, docs3], axis=1)
+                s_parts, d_parts = [scores2], [docs2]
+                for _s, _i, chunk_tiles, _p in refs3:
+                    s_np = np.asarray(next(vals3))
+                    i_np = np.asarray(next(vals3))
+                    s_parts.append(s_np)
+                    d_parts.append(tl.map_ids(chunk_tiles, i_np))
+                scores2 = np.concatenate(s_parts, axis=1)
+                docs2 = np.concatenate(d_parts, axis=1)
             # exact per-query top-limit: sort by (-score, doc)
             order = np.lexsort((docs2, -scores2), axis=-1)[:, :k_batch]
             top_s = np.take_along_axis(scores2, order, axis=1)
@@ -2232,8 +2259,27 @@ class IndexReader:
 
     def _launch_tile_runs(self, dseg, tl, qb, tiles, limit: int,
                           run_scorer, filter_table=(None, None)):
-        """Dispatch one exact-scoring wave over the selected tiles.
-        Returns (scores_ref, ids_ref, postings_count)."""
+        """Dispatch one exact-scoring wave over the selected tiles,
+        split into launches whose M matrix fits the HBM budget (the
+        wave-3 survivor set is unbounded — at millions of docs a single
+        launch could exceed device memory; observed RESOURCE_EXHAUSTED
+        at 5M docs). Returns a list of (scores_ref, ids_ref,
+        tiles_chunk, postings_count); per-chunk top-k are merged
+        host-side by the caller (exactness unaffected: every selected
+        tile is still scored exactly)."""
+        budget = int(os.environ.get(
+            "SEARCHLITE_M_BUDGET_BYTES", 2 * 1024**3)) // 2
+        per_tile = 4 * max(qb["s_pad"], 1) * tl.T
+        max_tiles = max(1, budget // per_tile)
+        return [
+            self._launch_tile_runs_one(
+                dseg, tl, qb, tiles[lo:lo + max_tiles], limit,
+                run_scorer, filter_table)
+            for lo in range(0, len(tiles), max_tiles)
+        ]
+
+    def _launch_tile_runs_one(self, dseg, tl, qb, tiles, limit: int,
+                              run_scorer, filter_table=(None, None)):
         import jax.numpy as jnp
 
         n_slots = qb["n_slots"]
@@ -2265,7 +2311,7 @@ class IndexReader:
             k=min(limit, n_cols), n_cols=n_cols, p_pad=runs["p_pad"],
             s_pad=s_pad, n_queries=qb["n_queries"],
             use_filters=use_filters)
-        return (scores, ids, runs["postings"])
+        return (scores, ids, tiles, runs["postings"])
 
     def _ub_scorer(self):
         from searchlite_tpu.ops.tiles import make_ub_scorer

@@ -90,6 +90,36 @@ def test_batch_pruned_seed_extremes(monkeypatch):
             for a, b in zip(dense, pruned))
 
 
+def test_pruned_waves_chunked_by_memory_budget(monkeypatch):
+    """A tiny M budget splits every exact-scoring wave into multiple
+    chunk launches; results must stay identical to dense. Regression:
+    the wave-3 survivor set is unbounded and a single launch OOMed the
+    device at 5M docs (RESOURCE_EXHAUSTED, 2026-08-16)."""
+    monkeypatch.setenv("SEARCHLITE_TILE_WIDTH", "128")
+    idx, vocab, rng = _build_index(13, segments=2, docs_per_segment=500)
+    reader = idx.reader()
+    queries = [" ".join(rng.sample(vocab, k=rng.randint(1, 4)))
+               for _ in range(16)]
+    dense = reader.search_batch(queries, limit=10)
+    single_dense = [reader.search({"query": q, "limit": 10})
+                    for q in queries[:6]]
+    # ~64KB budget => a handful of tiles per launch at s_pad 64, T 128
+    monkeypatch.setenv("SEARCHLITE_M_BUDGET_BYTES", "131072")
+    reader2 = idx.reader()
+    pruned = reader2.search_batch(queries, limit=10, execution="bmw")
+    for query, a, b in zip(queries, dense, pruned):
+        assert [d for d, _ in a] == [d for d, _ in b], query
+        for (_, sa), (_, sb) in zip(a, b):
+            assert sa == pytest.approx(sb, abs=1e-5), query
+    for q, exp in zip(queries[:6], single_dense):
+        got = reader2.search({"query": q, "limit": 10,
+                              "execution": "bmw"})
+        assert [h.doc_id for h in got.hits] == \
+            [h.doc_id for h in exp.hits], q
+        for ha, hb in zip(exp.hits, got.hits):
+            assert hb.score == pytest.approx(ha.score, abs=1e-5)
+
+
 def test_batch_pruned_rejects_unknown_execution():
     idx, _vocab, _rng = _build_index(5, segments=1, docs_per_segment=50,
                                      delete=0)
