@@ -55,7 +55,10 @@ class DeviceSegment:
         self.n_block_rows = bd.shape[0]
         self.block_docs = jnp.asarray(np.concatenate(
             [bd, np.full((1, 128), self.n_docs, dtype=np.int32)]))
-        self.block_tfs = jnp.asarray(bt)
+        # raw tfs stay host-side (nothing on the scoring path reads them
+        # from HBM; 1.2 GB at 5M docs) — upload lazily if ever needed
+        self.block_tfs_np = bt
+        self._block_tfs = None
 
         # doc-length matrix over fields that have _len columns, plus one
         # zero row (avgdl 0 → norm 1) for length-less fields (keywords)
@@ -137,6 +140,12 @@ class DeviceSegment:
         self._docs_flat = None
         self._impacts_flat = None
         self._jnp = jnp
+
+    @property
+    def block_tfs(self):
+        if self._block_tfs is None:
+            self._block_tfs = self._jnp.asarray(self.block_tfs_np)
+        return self._block_tfs
 
     @property
     def docs_flat(self):
