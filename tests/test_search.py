@@ -483,6 +483,27 @@ class TestQueryAst:
             "limit": 10})
         assert [h.doc_id for h in res.hits] == ["3"]
 
+    def test_multi_match_cross_fields_operator_and(self):
+        """cross_fields + operator=and: each term must appear in SOME
+        queried field, not necessarily the same one (reference
+        tests/multi_field.rs::cross_fields_operator_and_matches_split_terms)."""
+        index = make_index(docs=[
+            {"_id": "1", "title": "rust search", "body": "fast",
+             "tag": "a", "year": 1, "rating": 1.0},
+            {"_id": "2", "title": "rust", "body": "search",
+             "tag": "a", "year": 1, "rating": 1.0},
+            {"_id": "4", "title": "boring", "body": "rust",
+             "tag": "a", "year": 1, "rating": 1.0},
+        ])
+        res = index.reader().search({
+            "query": {"type": "multi_match", "query": "rust search",
+                      "fields": ["title", "body"],
+                      "match_type": "cross_fields", "operator": "and"},
+            "limit": 10})
+        hit_ids = {h.doc_id for h in res.hits}
+        assert "2" in hit_ids      # terms split across fields
+        assert "4" not in hit_ids  # "search" appears nowhere
+
     def test_multi_match_minimum_should_match_percentage(self):
         index = make_index(docs=DOCS)
         res = index.reader().search({
