@@ -995,15 +995,19 @@ def _finalize_histogram(inter, spec) -> dict:
     offset = float(spec.get("offset") or 0.0)
     extended = spec.get("extended_bounds")
     min_doc_count = spec.get("min_doc_count")
-    # default 0 when extended bounds requested, else 1
-    # (parity: aggs/mod.rs:1150)
+    # default 0 when extended OR hard bounds requested, else 1
+    # (parity: aggs/mod.rs:1145-1150 `has_bounds`)
+    has_bounds = extended is not None or spec.get("hard_bounds") is not None
     if min_doc_count is None:
-        min_doc_count = 0 if extended is not None else 1
+        min_doc_count = 0 if has_bounds else 1
     min_doc_count = int(min_doc_count)
     keys = sorted(buckets)
-    if extended is not None and interval > 0:
-        lo = _histogram_key(float(extended["min"]), interval, offset)
-        hi = _histogram_key(float(extended["max"]), interval, offset)
+    # densify empty buckets across extended-or-hard bounds
+    # (parity: aggs/mod.rs:1215 `extended_bounds.or(hard_bounds)`)
+    bounds = extended if extended is not None else spec.get("hard_bounds")
+    if bounds is not None and interval > 0:
+        lo = _histogram_key(float(bounds["min"]), interval, offset)
+        hi = _histogram_key(float(bounds["max"]), interval, offset)
         k = lo
         while k <= hi + 1e-9:
             buckets.setdefault(k, BucketIntermediate())
@@ -1034,6 +1038,34 @@ def _finalize_date_histogram(inter, spec) -> dict:
     min_doc_count = spec.get("min_doc_count")
     # date_histogram defaults to 0 (parity: aggs/mod.rs:1304)
     min_doc_count = 0 if min_doc_count is None else int(min_doc_count)
+    # densify empty buckets across extended-or-hard bounds (parity:
+    # aggs/mod.rs:1366-1390 `extended_bounds.or(hard_bounds)`)
+    bounds = spec.get("extended_bounds")
+    if bounds is None:
+        bounds = spec.get("hard_bounds")
+    if bounds is not None:
+        calendar = spec.get("calendar_interval")
+        offset_ms = dtu.parse_duration_millis(spec["offset"]) \
+            if spec.get("offset") else 0
+        lo_ms = dtu.parse_datetime_millis(bounds["min"])
+        hi_ms = dtu.parse_datetime_millis(bounds["max"])
+        if lo_ms > hi_ms:
+            lo_ms, hi_ms = hi_ms, lo_ms
+
+        if calendar is not None:
+            key_of = lambda v: dtu.calendar_bucket(v, calendar)
+            step = lambda k: dtu.next_calendar_bucket(k, calendar)
+        else:
+            width = dtu.parse_duration_millis(spec["fixed_interval"])
+            key_of = lambda v: ((v - offset_ms) // width) * width + offset_ms
+            step = lambda k: k + width
+        k, end = key_of(lo_ms), key_of(hi_ms)
+        while k <= end:
+            buckets.setdefault(k, BucketIntermediate())
+            nxt = step(k)
+            if nxt <= k:
+                break
+            k = nxt
     keys = sorted(buckets)
     out_buckets = []
     for k in keys:

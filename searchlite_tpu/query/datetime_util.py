@@ -75,6 +75,32 @@ def calendar_bucket(millis: int, interval: str) -> int:
     return int(start.timestamp() * 1000)
 
 
+def next_calendar_bucket(millis: int, interval: str) -> int:
+    """Start of the calendar bucket after the one at `millis` (parity:
+    aggs/mod.rs add_interval — used to densify empty buckets across
+    extended/hard bounds)."""
+    dt = datetime.fromtimestamp(millis / 1000.0, tz=timezone.utc)
+    name = interval.strip().lower()
+    if name in ("day", "1d"):
+        nxt = dt + timedelta(days=1)
+    elif name in ("week", "1w"):
+        nxt = dt + timedelta(weeks=1)
+    elif name in ("month", "1M"):
+        if dt.month == 12:
+            nxt = dt.replace(year=dt.year + 1, month=1)
+        else:
+            nxt = dt.replace(month=dt.month + 1)
+    elif name in ("quarter", "1q"):
+        month = dt.month + 3
+        nxt = dt.replace(year=dt.year + (month - 1) // 12,
+                         month=(month - 1) % 12 + 1)
+    elif name in ("year", "1y"):
+        nxt = dt.replace(year=dt.year + 1)
+    else:
+        raise QueryError(f"unknown calendar interval `{interval}`")
+    return int(nxt.timestamp() * 1000)
+
+
 def format_millis(millis: int, fmt: str | None = None) -> str:
     dt = datetime.fromtimestamp(millis / 1000.0, tz=timezone.utc)
     if fmt is None or fmt in ("strict_date_time", "rfc3339"):

@@ -186,6 +186,52 @@ class TestBucketAggs:
         assert buckets == {str(-3_600_000): 1, str(3_600_000): 2,
                            str(3 * 3_600_000): 2}
 
+    def test_date_histogram_hard_bounds_filter_and_fill(self):
+        """Values outside hard_bounds are dropped AND empty buckets are
+        generated across the bounds (reference tests/aggregations.rs::
+        date_histogram_hard_bounds_filter_out_of_range: ts 0 is
+        filtered, keys become [1000, 2000] with counts [1, 0])."""
+        docs = [
+            {"_id": "1", "body": "match", "tag": "a", "price": 1,
+             "score": 0.0, "ts": 1_000},
+            {"_id": "0", "body": "match", "tag": "a", "price": 1,
+             "score": 0.0, "ts": 0},
+        ]
+        index = make_index(docs)
+        out = run_aggs(index, {
+            "h": {"type": "date_histogram", "field": "ts",
+                  "fixed_interval": "1s", "min_doc_count": 0,
+                  "hard_bounds": {"min": "1970-01-01T00:00:01Z",
+                                  "max": "1970-01-01T00:00:02Z"}}})
+        buckets = out["h"]["buckets"]
+        assert [b["key_as_millis"] for b in buckets] == [1_000, 2_000]
+        assert [b["doc_count"] for b in buckets] == [1, 0]
+
+    def test_histogram_hard_bounds_filter_and_fill(self):
+        index = make_index(DOCS)  # prices 10..60
+        out = run_aggs(index, {
+            "h": {"type": "histogram", "field": "price", "interval": 20,
+                  "hard_bounds": {"min": 40, "max": 100}}})
+        # min_doc_count defaults to 0 because bounds are present
+        # (parity: aggs/mod.rs:1145-1150); 40-bucket holds prices 40+50
+        buckets = {b["key"]: b["doc_count"] for b in out["h"]["buckets"]}
+        assert buckets == {40.0: 2, 60.0: 0, 80.0: 0, 100.0: 0}
+
+    def test_pipeline_gap_policy_inserts_zeros(self):
+        """A buckets_path that resolves to nothing yields zeros under
+        gap_policy=insert_zeros, so the derivative is 0.0 (reference
+        tests/aggregations.rs::pipeline_missing_metric_path_with_
+        gap_policy_inserts_zeros)."""
+        index = make_index(DOCS)
+        out = run_aggs(index, {
+            "h": {"type": "histogram", "field": "price", "interval": 20},
+            "d": {"type": "derivative", "buckets_path": "h>missing.metric",
+                  "gap_policy": "insert_zeros", "unit": 1.0},
+        })
+        buckets = out["h"]["buckets"]
+        assert len(buckets) >= 2
+        assert buckets[1]["aggregations"]["derivative"]["value"] == 0.0
+
     def test_composite_histogram_source(self):
         index = make_index(DOCS)
         out = run_aggs(index, {
