@@ -186,6 +186,42 @@ class TestHybrid:
         ids = [h.doc_id for h in res.hits]
         assert "c" in ids
 
+    def test_multiple_vector_clauses_merge_candidates(self):
+        """Two vector clauses over DIFFERENT vector fields merge their
+        candidate sets (reference tests/vector_search.rs::
+        multiple_vector_clauses_merge_candidates: doc-1 tops on vec_a,
+        doc-2 matches both, doc-3 only vec_a's query direction)."""
+        schema = Schema.from_json({
+            "text_fields": [{"name": "body", "analyzer": "default",
+                             "stored": True, "indexed": True}],
+            "vector_fields": [
+                {"name": "vec_a", "dim": 2, "metric": "Cosine"},
+                {"name": "vec_b", "dim": 2, "metric": "Cosine"},
+            ],
+        })
+        index = Index.create(
+            IndexOptions(path="", create_if_missing=True,
+                         storage=StorageType.IN_MEMORY), schema)
+        writer = index.writer()
+        writer.add_document({"_id": "doc-1", "body": "first",
+                             "vec_a": [1.0, 0.0], "vec_b": [0.0, 1.0]})
+        writer.add_document({"_id": "doc-2", "body": "second",
+                             "vec_a": [0.0, 1.0], "vec_b": [0.0, 1.0]})
+        writer.add_document({"_id": "doc-3", "body": "third",
+                             "vec_a": [0.0, 1.0], "vec_b": [1.0, 0.0]})
+        writer.commit()
+        res = index.reader().search({
+            "query": {"type": "bool", "should": [
+                {"type": "vector", "field": "vec_a",
+                 "vector": [1.0, 0.0], "k": 3, "alpha": 0.0,
+                 "candidate_size": 3, "boost": 1.0},
+                {"type": "vector", "field": "vec_b",
+                 "vector": [0.0, 1.0], "k": 3, "alpha": 0.0,
+                 "candidate_size": 3, "boost": 1.0},
+            ]},
+            "limit": 3})
+        assert [h.doc_id for h in res.hits] == ["doc-1", "doc-2", "doc-3"]
+
     def test_conflicting_vector_specs_rejected(self):
         index = make_vector_index()
         with pytest.raises(QueryError):
