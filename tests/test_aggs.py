@@ -281,6 +281,27 @@ class TestBucketAggs:
         # docs with match OR five → docs 1-5
         assert out["sig"]["doc_count"] == 5
 
+    def test_significant_terms_respects_deletions(self):
+        """Deleted docs contribute to neither foreground nor background
+        counts (reference tests/aggregations.rs::
+        significant_terms_respects_deletions)."""
+        index = make_index([
+            {"_id": "1", "body": "keep me", "tag": "foo", "price": 1,
+             "score": 0.0, "ts": 0},
+            {"_id": "2", "body": "delete me", "tag": "foo", "price": 1,
+             "score": 0.0, "ts": 0},
+        ])
+        writer = index.writer()
+        writer.delete_document("2")
+        writer.commit()
+        out = run_aggs(index, {
+            "sig": {"type": "significant_terms", "field": "tag",
+                    "size": 5}}, query="keep")
+        buckets = out["sig"]["buckets"]
+        assert len(buckets) == 1
+        assert buckets[0]["key"] == "foo"
+        assert buckets[0]["doc_count"] == 1
+
     def test_rare_terms(self):
         index = make_index(DOCS)
         out = run_aggs(index, {
