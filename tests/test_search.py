@@ -694,6 +694,29 @@ class TestCustomScoring:
             "limit": 10})
         assert sorted(h.doc_id for h in res.hits) == ["1", "3"]
 
+    def test_min_score_branch_does_not_drop_other_clauses(self):
+        """A function_score with min_score inside a `should` only gates
+        its own branch; docs matching a sibling clause survive
+        (reference tests/function_score.rs::
+        min_score_branch_does_not_drop_other_clauses)."""
+        index = make_index(docs=[
+            {"_id": "doc-1", "title": "t", "body": "rust fast",
+             "tag": "a", "year": 1, "rating": 1.0},
+            {"_id": "doc-2", "title": "t", "body": "rust slow",
+             "tag": "a", "year": 1, "rating": 1.0},
+        ])
+        res = index.reader().search({
+            "query": {"type": "bool", "should": [
+                {"type": "term", "field": "body", "value": "fast"},
+                {"type": "function_score", "query": {"type": "match_all"},
+                 "functions": [{"type": "weight", "weight": 1.0}],
+                 "score_mode": "sum", "boost_mode": "multiply",
+                 "min_score": 10.0},
+            ], "minimum_should_match": 1},
+            "limit": 10})
+        assert [h.doc_id for h in res.hits] == ["doc-1"]
+        assert res.hits[0].score > 0.0
+
     def test_rank_feature(self):
         index = make_index(docs=DOCS)
         res = index.reader().search({
