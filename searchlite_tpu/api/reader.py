@@ -1522,9 +1522,6 @@ class IndexReader:
         ub_vals = iter(jax.device_get(tuple(
             st["ub_ref"] for st in state if "ub_ref" in st)))
 
-        wave_budget = int(os.environ.get(
-            "SEARCHLITE_M_BUDGET_BYTES", 2 * 1024**3)) // 2
-
         def launch_wave(job, st, tiles):
             """Dispatch one exact-scoring wave as HBM-budgeted chunk
             launches; returns a list of (tiles_chunk, refs, postings),
@@ -1535,13 +1532,13 @@ class IndexReader:
             k = job[7]
             tl = st["tl"]
             s_pad = qargs["s_pad"]
-            max_tiles = max(1, wave_budget // (4 * max(s_pad, 1) * tl.T))
-            out = []
-            for lo in range(0, len(tiles), max_tiles):
-                chunk = tiles[lo:lo + max_tiles]
+            overflow = []
+
+            def launch_one(chunk):
                 runs = tl.run_tables(st["tids"], chunk)
                 n_cols = runs["n_cols"]
                 if s_pad * n_cols + runs["p_pad"] >= 2**31:
+                    overflow.append(True)
                     return None
                 refs = compiled.tile_executor()(
                     dseg.docs_flat, dseg.impacts_flat,
@@ -1563,7 +1560,14 @@ class IndexReader:
                     k=min(k, n_cols), s_pad=s_pad, n_cols=n_cols,
                     p_pad=runs["p_pad"],
                     has_scored_terms=has_scored, need_scores=need_scores)
-                out.append((chunk, refs, runs["postings"]))
+                return (chunk, refs, runs["postings"])
+
+            out = []
+            for chunk in self._plan_wave_chunks(tl, st["tids"], tiles,
+                                                s_pad):
+                out.extend(self._launch_chunk_retrying(chunk, launch_one))
+                if overflow:
+                    return None
             return out
 
         # --- wave 2: seed tiles (per-query top-C by bound) ---
@@ -2257,26 +2261,88 @@ class IndexReader:
                 queries, per_segment, limits[bi]))
         return out
 
+    @staticmethod
+    def _plan_wave_chunks(tl, slot_tids, tiles, s_pad: int) -> list:
+        """Split a wave's tile set into launch chunks bounded by the
+        HBM budget, counting BOTH the M matrix (4·s_pad·T per tile) and
+        the posting-proportional device intermediates of
+        build_m_from_runs (~8 pow4-padded arrays of 4 bytes per posting
+        slot — the part the M-only bound missed; observed
+        RESOURCE_EXHAUSTED at 5M docs where one chunk's postings padded
+        to 256M slots). Returns a list of tile-subset arrays."""
+        from searchlite_tpu.ops.tiles import pow4_bucket  # noqa: PLC0415
+
+        budget = int(os.environ.get(
+            "SEARCHLITE_M_BUDGET_BYTES", 2 * 1024**3)) // 2
+        per_tile_m = 4 * max(s_pad, 1) * tl.T
+        tile_posts = tl.tile_postings(slot_tids, tiles)
+        csum = np.concatenate([[0], np.cumsum(tile_posts)])
+
+        def fits(lo, hi):
+            m_bytes = per_tile_m * (hi - lo)
+            p_pad = pow4_bucket(max(int(csum[hi] - csum[lo]), 1),
+                                minimum=1024)
+            return m_bytes + 32 * p_pad <= budget
+
+        max_tiles_m = max(1, budget // per_tile_m)
+        chunks = []
+        lo, n_sel = 0, len(tiles)
+        while lo < n_sel:
+            hi = min(lo + max_tiles_m, n_sel)
+            # largest prefix that fits (binary search over hi)
+            good, bad = lo + 1, hi + 1
+            while bad - good > 1:
+                mid = (good + bad) // 2
+                if fits(lo, mid):
+                    good = mid
+                else:
+                    bad = mid
+            hi = good
+            chunks.append(tiles[lo:hi])
+            lo = hi
+        return chunks
+
     def _launch_tile_runs(self, dseg, tl, qb, tiles, limit: int,
                           run_scorer, filter_table=(None, None)):
         """Dispatch one exact-scoring wave over the selected tiles,
-        split into launches whose M matrix fits the HBM budget (the
-        wave-3 survivor set is unbounded — at millions of docs a single
-        launch could exceed device memory; observed RESOURCE_EXHAUSTED
-        at 5M docs). Returns a list of (scores_ref, ids_ref,
-        tiles_chunk, postings_count); per-chunk top-k are merged
-        host-side by the caller (exactness unaffected: every selected
-        tile is still scored exactly)."""
-        budget = int(os.environ.get(
-            "SEARCHLITE_M_BUDGET_BYTES", 2 * 1024**3)) // 2
-        per_tile = 4 * max(qb["s_pad"], 1) * tl.T
-        max_tiles = max(1, budget // per_tile)
-        return [
-            self._launch_tile_runs_one(
-                dseg, tl, qb, tiles[lo:lo + max_tiles], limit,
-                run_scorer, filter_table)
-            for lo in range(0, len(tiles), max_tiles)
-        ]
+        split into HBM-budgeted launches (see _plan_wave_chunks — the
+        wave-3 survivor set is unbounded). Returns a list of
+        (scores_ref, ids_ref, tiles_chunk, postings_count); per-chunk
+        top-k are merged host-side by the caller (exactness unaffected:
+        every selected tile is still scored exactly). A launch that
+        still exhausts HBM evicts rebuildable device caches (doc-shard
+        re-blocks, dense rows, whole-segment block arrays) and retries
+        on progressively smaller chunks."""
+        chunks = self._plan_wave_chunks(
+            tl, qb["slot_tids"][:qb["n_slots"]], tiles, qb["s_pad"])
+        out = []
+        for chunk in chunks:
+            out.extend(self._launch_chunk_retrying(
+                chunk, lambda c: self._launch_tile_runs_one(
+                    dseg, tl, qb, c, limit, run_scorer, filter_table)))
+        return out
+
+    def _launch_chunk_retrying(self, chunk, launch_one) -> list:
+        try:
+            return [launch_one(chunk)]
+        except Exception as e:  # noqa: BLE001 — jax raises backend types
+            if "RESOURCE_EXHAUSTED" not in str(e):
+                raise
+            for ds in self.device_segments:
+                ds.evict_device_caches()
+            import gc  # noqa: PLC0415
+
+            gc.collect()
+            try:
+                return [launch_one(chunk)]
+            except Exception as e2:  # noqa: BLE001
+                if "RESOURCE_EXHAUSTED" not in str(e2) or len(chunk) <= 1:
+                    raise
+                mid = len(chunk) // 2
+                return (self._launch_chunk_retrying(chunk[:mid],
+                                                    launch_one)
+                        + self._launch_chunk_retrying(chunk[mid:],
+                                                      launch_one))
 
     def _launch_tile_runs_one(self, dseg, tl, qb, tiles, limit: int,
                               run_scorer, filter_table=(None, None)):

@@ -53,8 +53,13 @@ class DeviceSegment:
         # trailing all-sentinel row: pads blk_idx gathers (every entry
         # routes to the scatter dump zone — see build_m_from_blocks)
         self.n_block_rows = bd.shape[0]
-        self.block_docs = jnp.asarray(np.concatenate(
-            [bd, np.full((1, 128), self.n_docs, dtype=np.int32)]))
+        # block arrays upload lazily on first use: the doc-sharded and
+        # pruned paths (the ones giant corpora route through) never read
+        # them, and eagerly uploading ~4 GB at 5M docs starves the
+        # pruned waves of HBM (observed RESOURCE_EXHAUSTED on v5e)
+        self.block_docs_np = np.concatenate(
+            [bd, np.full((1, 128), self.n_docs, dtype=np.int32)])
+        self._block_docs = None
         # raw tfs stay host-side (nothing on the scoring path reads them
         # from HBM; 1.2 GB at 5M docs) — upload lazily if ever needed
         self.block_tfs_np = bt
@@ -128,8 +133,9 @@ class DeviceSegment:
             bi = blocked.reshape(-1, 128)
         else:
             bi = np.zeros((1, 128), dtype=np.float32)
-        self.block_impacts = jnp.asarray(np.concatenate(
-            [bi, np.zeros((1, 128), dtype=np.float32)]))
+        self.block_impacts_np = np.concatenate(
+            [bi, np.zeros((1, 128), dtype=np.float32)])
+        self._block_impacts = None
         if len(docs_flat) == 0:
             docs_flat = np.zeros(1, dtype=np.int32)
             impacts = np.zeros(1, dtype=np.float32)
@@ -146,6 +152,29 @@ class DeviceSegment:
         if self._block_tfs is None:
             self._block_tfs = self._jnp.asarray(self.block_tfs_np)
         return self._block_tfs
+
+    @property
+    def block_docs(self):
+        if self._block_docs is None:
+            self._block_docs = self._jnp.asarray(self.block_docs_np)
+        return self._block_docs
+
+    @property
+    def block_impacts(self):
+        if self._block_impacts is None:
+            self._block_impacts = self._jnp.asarray(self.block_impacts_np)
+        return self._block_impacts
+
+    def evict_device_caches(self) -> None:
+        """Drop rebuildable HBM residents (the host copies stay). Called
+        when a pruned wave launch hits RESOURCE_EXHAUSTED: the doc-shard
+        re-block, dense rows, and whole-segment block arrays are pure
+        caches the next dense query can re-upload."""
+        self._doc_shards = None
+        self._dense_rows = None
+        self._block_tfs = None
+        self._block_docs = None
+        self._block_impacts = None
 
     @property
     def docs_flat(self):

@@ -212,6 +212,28 @@ class TileIndex:
         }
         return out
 
+    def tile_postings(self, slot_tids, tiles: np.ndarray) -> np.ndarray:
+        """Posting count per selected tile, summed over the given slots
+        ([n_sel] int64). Used to bound wave launches by the device-side
+        posting intermediates, not just the M matrix."""
+        n_sel = len(tiles)
+        tids = np.asarray(slot_tids, dtype=np.int64)
+        out = np.zeros(n_sel, dtype=np.int64)
+        if n_sel == 0 or len(tids) == 0:
+            return out
+        lo = self.entry_base[tids]
+        counts = self.entry_base[tids + 1] - lo
+        total = int(counts.sum())
+        bases = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        e_idx = (np.repeat(lo - bases, counts)
+                 + np.arange(total, dtype=np.int64))
+        etiles = self.entry_tile[e_idx]
+        pos = np.searchsorted(tiles, etiles)
+        pos_c = np.minimum(pos, n_sel - 1)
+        hit = tiles[pos_c] == etiles
+        np.add.at(out, pos_c[hit], self.entry_len[e_idx[hit]])
+        return out
+
     def gather_cols(self, arr: np.ndarray, tiles: np.ndarray,
                     fill=0) -> np.ndarray:
         """Gather a host [-1, n1] (or [n1]) doc-axis array into tile

@@ -312,3 +312,52 @@ def test_tile_index_tables_match_bruteforce():
         lo, hi = int(base[tid]), int(base[tid + 1])
         want += int(np.isin(docs[lo:hi] // 128, sel_tiles).sum())
     assert covered == want == runs["postings"]
+
+    # tile_postings: per-tile posting sums over the same selection
+    per_tile = tl.tile_postings(tids, sel_tiles)
+    assert per_tile.sum() == want
+    for rank, tile in enumerate(sel_tiles):
+        brute = 0
+        for tid in tids:
+            lo, hi = int(base[tid]), int(base[tid + 1])
+            brute += int((docs[lo:hi] // 128 == tile).sum())
+        assert per_tile[rank] == brute
+
+
+def test_wave_launch_oom_evicts_and_retries(monkeypatch):
+    """A RESOURCE_EXHAUSTED wave launch evicts rebuildable device
+    caches and retries; results stay exact (regression: 5M-doc bmw run,
+    2026-08-16, OOMed after the bm25 doc-shard pass filled HBM)."""
+    import searchlite_tpu.api.reader as reader_mod
+
+    monkeypatch.setenv("SEARCHLITE_TILE_WIDTH", "128")
+    idx, vocab, rng = _build_index(29, segments=1, docs_per_segment=600,
+                                   delete=0)
+    reader = idx.reader()
+    queries = [" ".join(rng.sample(vocab, k=3)) for _ in range(8)]
+    dense = reader.search_batch(queries, limit=10)
+
+    reader2 = idx.reader()
+    # warm the doc-shard + dense-row caches so eviction has targets
+    dseg = reader2.device_segments[0]
+    dseg.doc_shards(2)
+    assert getattr(dseg, "_doc_shards", None) is not None
+
+    fails = {"left": 2}
+    orig = reader_mod.IndexReader._launch_tile_runs_one
+
+    def flaky(self, *args, **kwargs):
+        if fails["left"] > 0:
+            fails["left"] -= 1
+            raise RuntimeError("RESOURCE_EXHAUSTED: TPU backend error")
+        return orig(self, *args, **kwargs)
+
+    monkeypatch.setattr(reader_mod.IndexReader,
+                        "_launch_tile_runs_one", flaky)
+    pruned = reader2.search_batch(queries, limit=10, execution="bmw")
+    assert fails["left"] == 0
+    assert getattr(dseg, "_doc_shards", None) is None  # evicted
+    for query, a, b in zip(queries, dense, pruned):
+        assert [d for d, _ in a] == [d for d, _ in b], query
+        for (_, sa), (_, sb) in zip(a, b):
+            assert sa == pytest.approx(sb, abs=1e-5), query

@@ -117,8 +117,11 @@ def main():
     t0 = time.perf_counter()
     reader = index.reader()
     dseg = reader.device_segments[0]
-    post_bytes = int(dseg.block_docs.size * 4 * 2
-                     + dseg.block_impacts.size * 4)
+    # host-side accounting: block arrays upload lazily per path, so
+    # touching the device copies here would force a 4 GB upload the
+    # sharded/pruned paths never need
+    post_bytes = int(dseg.block_docs_np.size * 4
+                     + dseg.block_impacts_np.size * 4)
     log(phase="upload", upload_s=round(time.perf_counter() - t0, 1),
         hbm_block_bytes=post_bytes,
         n_blocks=int(dseg.n_block_rows))
