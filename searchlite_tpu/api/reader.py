@@ -2488,37 +2488,58 @@ class IndexReader:
             shard_tables.append((bstarts, bcnts))
             max_blocks = max(max_blocks, int(bcnts.sum()))
         max_blocks = pow4_bucket(max_blocks, minimum=32)
-        deleted_np = dseg.deleted_np
         use_filters = fidx is not None
-        rows_np = (self._segment_filter_rows_np(dseg, distinct)
-                   if use_filters else None)
-        fidx_dev = (jnp.asarray(fidx) if use_filters
-                    else jnp.zeros(1, dtype=jnp.int32))
+        # host→device transfers cost a tunnel round trip EACH; at many
+        # shards x many batches they dominated the 5M-doc bench. Batch-
+        # invariant per-shard deleted masks are cached on the shard dict
+        # as ONE stacked upload; per-batch tables are stacked to one
+        # upload each and sliced on device; w arrays upload once, not
+        # once per shard.
+        del_stack = shards.get("deleted_stack")
+        if del_stack is None:
+            deleted_np = dseg.deleted_np
+            stacked = np.ones((n_shards, width + 1), dtype=bool)
+            for d in range(n_shards):
+                lo = d * width
+                hi = min(lo + width, dseg.n1)
+                if hi > lo:
+                    stacked[d, : hi - lo] = deleted_np[lo:hi]
+            del_stack = jnp.asarray(stacked)
+            shards["deleted_stack"] = del_stack
+        blk_stack = np.stack([
+            np.stack(build_block_tables(
+                bstarts, bcnts, sentinel_row=shards["sentinel_row"],
+                min_blocks=max_blocks)[:2])
+            for bstarts, bcnts in shard_tables])  # [n_shards, 2, nb]
+        blk_dev = jnp.asarray(blk_stack)
+        w_idx_dev = jnp.asarray(qb["w_idx"])
+        w_val_dev = jnp.asarray(qb["w_val"])
+        if use_filters:
+            rows_np = self._segment_filter_rows_np(dseg, distinct)
+            rows_stack = np.zeros(
+                (n_shards, rows_np.shape[0], width + 1), dtype=bool)
+            for d in range(n_shards):
+                lo = d * width
+                hi = min(lo + width, dseg.n1)
+                if hi > lo:
+                    rows_stack[d, :, : hi - lo] = rows_np[:, lo:hi]
+            rows_dev = jnp.asarray(rows_stack)
+            fidx_dev = jnp.asarray(fidx)
+        else:
+            rows_dev = jnp.zeros((n_shards, 1, 1), dtype=bool)
+            fidx_dev = jnp.zeros(1, dtype=jnp.int32)
         for d in range(n_shards):
             lo = d * width
             hi = min(lo + width, dseg.n1)
             if hi <= lo:
                 continue  # trailing empty shard (n_shards rounded up)
-            local_deleted = np.ones(width + 1, dtype=bool)
-            local_deleted[: hi - lo] = deleted_np[lo:hi]
-            if use_filters:
-                local_rows = np.zeros((rows_np.shape[0], width + 1),
-                                      dtype=bool)
-                local_rows[:, : hi - lo] = rows_np[:, lo:hi]
-                filter_rows = jnp.asarray(local_rows)
-            else:
-                filter_rows = jnp.zeros((1, 1), dtype=bool)
-            bstarts, bcnts = shard_tables[d]
-            blk_idx, slot_row, _ = build_block_tables(
-                bstarts, bcnts, sentinel_row=shards["sentinel_row"],
-                min_blocks=max_blocks)
             k = min(limit, width)
             scores, ids = scorer(
                 shards["block_docs"], shards["block_impacts"],
-                jnp.asarray(local_deleted),
-                jnp.asarray(blk_idx), jnp.asarray(slot_row),
-                jnp.asarray(qb["w_idx"]), jnp.asarray(qb["w_val"]),
-                filter_rows, fidx_dev,
+                del_stack[d],
+                blk_dev[d, 0], blk_dev[d, 1],
+                w_idx_dev, w_val_dev,
+                rows_dev[d], fidx_dev,
                 k=k, s_pad=s_pad, n_queries=q, use_filters=use_filters)
             per_shard.append((scores, ids, lo))
         all_scores = []
