@@ -1,9 +1,11 @@
 """DeviceSegment: one segment's postings resident in HBM.
 
-The TPU-side mirror of a ``SegmentReader``. Each segment uploads once at
-reader open (segments are immutable, so commits only upload the new
-segment — the incremental-write story mirrors the reference's segment
-model):
+The TPU-side mirror of a ``SegmentReader``. Each array uploads at most
+once, lazily on first use by a scoring path (segments are immutable, so
+commits only ever add new segments — the incremental-write story
+mirrors the reference's segment model; laziness keeps paths that never
+read an array — e.g. doc-sharded/pruned execution vs the whole-segment
+block arrays — from paying its HBM footprint):
 
 - ``block_docs [B+1,128] int32`` — doc ordinals; padding remapped from
   -1 to the sentinel ordinal ``n_docs`` (dead slot of the
