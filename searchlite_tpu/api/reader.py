@@ -1535,6 +1535,7 @@ class IndexReader:
             overflow = []
 
             def launch_one(chunk):
+                chunk = tl.pad_tiles(np.asarray(chunk))
                 runs = tl.run_tables(st["tids"], chunk)
                 n_cols = runs["n_cols"]
                 if s_pad * n_cols + runs["p_pad"] >= 2**31:
@@ -1622,7 +1623,7 @@ class IndexReader:
                     st["docs"].append(tl.map_ids(tiles, ti))
                     st["mc"] += int(mc)
                     st["postings"] += postings
-                    st["scored"][tiles] = True
+                    st["scored"][tiles[tiles < tl.n_tiles]] = True
                 merged = np.concatenate(st["scores"])
                 valid = merged > -np.inf
                 theta = (np.partition(merged[valid], -k)[-k]
@@ -2279,7 +2280,8 @@ class IndexReader:
         csum = np.concatenate([[0], np.cumsum(tile_posts)])
 
         def fits(lo, hi):
-            m_bytes = per_tile_m * (hi - lo)
+            # launches pad the tile count to pow2 (compile bucketing)
+            m_bytes = per_tile_m * next_pow2(hi - lo)
             p_pad = pow4_bucket(max(int(csum[hi] - csum[lo]), 1),
                                 minimum=1024)
             return m_bytes + 32 * p_pad <= budget
@@ -2348,6 +2350,8 @@ class IndexReader:
                               run_scorer, filter_table=(None, None)):
         import jax.numpy as jnp
 
+        # pow2 tile count → compile-cache bucketed wave shapes
+        tiles = tl.pad_tiles(np.asarray(tiles))
         n_slots = qb["n_slots"]
         runs = tl.run_tables(qb["slot_tids"][:n_slots], tiles)
         n_cols = runs["n_cols"]

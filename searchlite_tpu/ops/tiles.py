@@ -212,6 +212,23 @@ class TileIndex:
         }
         return out
 
+    def pad_tiles(self, tiles: np.ndarray) -> np.ndarray:
+        """Pad a sorted tile selection to a pow2 count with sentinel
+        tiles (= n_tiles, past the doc space). Wave shapes then fall
+        into compile-cache buckets instead of recompiling the run
+        scorer per distinct survivor count. Sentinel columns are out of
+        doc range: gather_cols fills them (deleted=True), run_tables
+        matches no entries, so they score -inf and never surface."""
+        from searchlite_tpu.ops.impact import next_pow2  # noqa: PLC0415
+
+        n = len(tiles)
+        width = next_pow2(max(n, 1))
+        if width == n:
+            return tiles
+        out = np.full(width, self.n_tiles, dtype=np.int64)
+        out[:n] = tiles
+        return out
+
     def tile_postings(self, slot_tids, tiles: np.ndarray) -> np.ndarray:
         """Posting count per selected tile, summed over the given slots
         ([n_sel] int64). Used to bound wave launches by the device-side

@@ -74,9 +74,11 @@ def main():
     print(f"{n_docs} docs, {n_queries} queries, top-{K}")
     results = {}
     for strategy in ("bm25", "wand", "bmw"):
-        # warm compile outside the timed loop
-        reader.search({"query": queries[0], "limit": K,
-                       "execution": strategy})
+        # warm the compile-cache shape buckets outside the timed loop
+        # (wave shapes are pow2-bucketed; a few queries cover them)
+        for q in queries[:5]:
+            reader.search({"query": q, "limit": K,
+                           "execution": strategy})
         scored = advanced = 0
         t0 = time.perf_counter()
         for q in queries:
