@@ -2461,7 +2461,7 @@ class IndexReader:
         import jax
         import jax.numpy as jnp
 
-        from searchlite_tpu.ops.impact import build_block_tables, pow4_bucket
+        from searchlite_tpu.ops.impact import pow4_bucket
 
         n_shards = 1
         while est_bytes // n_shards > budget:
@@ -2476,29 +2476,29 @@ class IndexReader:
         shards = dseg.doc_shards(n_shards)
         width = shards["shard_width"]
         n_terms = shards["n_terms"]
-        scorer = self._batched_scorer()
+        scorer = self._expand_batched_scorer()
         tids = qb["slot_tids"]
         s_pad = qb["s_pad"]
         q = qb["n_queries"]
         per_shard = []
-        # uniform pow-4 block bucket across shards AND batches so all
-        # shard launches share one compiled trace
-        shard_tables = []
+        # host→device transfers are the scarce resource here (a tunnel
+        # round trip each, ~24 MB/s): per-batch uploads are one stacked
+        # [n_shards, 2, s_pad] array of per-slot block ranges — the
+        # O(total_blocks) gather tables (~64 MB/batch at 5M docs) are
+        # expanded ON DEVICE (expand_block_tables_dev). Batch-invariant
+        # per-shard deleted masks are cached device-side on the shard
+        # dict; w arrays upload once, not once per shard. nb_pad is a
+        # uniform pow-4 bucket so all shard launches share one trace.
+        bs_stack = np.zeros((n_shards, 2, s_pad), dtype=np.int32)
         max_blocks = 1
         for d in range(n_shards):
             keys = d * n_terms + tids
-            bstarts = shards["block_base"][keys]
             bcnts = shards["blocks"][keys]
-            shard_tables.append((bstarts, bcnts))
+            bs_stack[d, 0, :len(tids)] = shards["block_base"][keys]
+            bs_stack[d, 1, :len(tids)] = bcnts
             max_blocks = max(max_blocks, int(bcnts.sum()))
         max_blocks = pow4_bucket(max_blocks, minimum=32)
         use_filters = fidx is not None
-        # host→device transfers cost a tunnel round trip EACH; at many
-        # shards x many batches they dominated the 5M-doc bench. Batch-
-        # invariant per-shard deleted masks are cached on the shard dict
-        # as ONE stacked upload; per-batch tables are stacked to one
-        # upload each and sliced on device; w arrays upload once, not
-        # once per shard.
         del_stack = shards.get("deleted_stack")
         if del_stack is None:
             deleted_np = dseg.deleted_np
@@ -2510,12 +2510,11 @@ class IndexReader:
                     stacked[d, : hi - lo] = deleted_np[lo:hi]
             del_stack = jnp.asarray(stacked)
             shards["deleted_stack"] = del_stack
-        blk_stack = np.stack([
-            np.stack(build_block_tables(
-                bstarts, bcnts, sentinel_row=shards["sentinel_row"],
-                min_blocks=max_blocks)[:2])
-            for bstarts, bcnts in shard_tables])  # [n_shards, 2, nb]
-        blk_dev = jnp.asarray(blk_stack)
+        sentinel_dev = shards.get("sentinel_dev")
+        if sentinel_dev is None:
+            sentinel_dev = jnp.int32(shards["sentinel_row"])
+            shards["sentinel_dev"] = sentinel_dev
+        bs_dev = jnp.asarray(bs_stack)
         w_idx_dev = jnp.asarray(qb["w_idx"])
         w_val_dev = jnp.asarray(qb["w_val"])
         if use_filters:
@@ -2541,10 +2540,11 @@ class IndexReader:
             scores, ids = scorer(
                 shards["block_docs"], shards["block_impacts"],
                 del_stack[d],
-                blk_dev[d, 0], blk_dev[d, 1],
+                bs_dev[d, 0], bs_dev[d, 1], sentinel_dev,
                 w_idx_dev, w_val_dev,
                 rows_dev[d], fidx_dev,
-                k=k, s_pad=s_pad, n_queries=q, use_filters=use_filters)
+                k=k, s_pad=s_pad, nb_pad=max_blocks, n_queries=q,
+                use_filters=use_filters)
             per_shard.append((scores, ids, lo))
         all_scores = []
         all_ids = []
@@ -2637,6 +2637,17 @@ class IndexReader:
             if scorer is None:
                 scorer = make_impact_scorer(precision)
                 _GLOBAL_SCORERS[("block", precision)] = scorer
+            return scorer
+
+    def _expand_batched_scorer(self):
+        from searchlite_tpu.ops.impact import make_expand_impact_scorer
+
+        precision = os.environ.get("SEARCHLITE_PRECISION", "f32")
+        with _GLOBAL_LOCK:
+            scorer = _GLOBAL_SCORERS.get(("block_expand", precision))
+            if scorer is None:
+                scorer = make_expand_impact_scorer(precision)
+                _GLOBAL_SCORERS[("block_expand", precision)] = scorer
             return scorer
 
     def _flat_batched_scorer(self):

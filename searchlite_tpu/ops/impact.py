@@ -286,6 +286,60 @@ def build_impact_batch(seg, dseg, queries: list[list[tuple[str, str]]],
     return out
 
 
+def expand_block_tables_dev(jnp, bstart, bcnt, sentinel_row, nb_pad: int):
+    """Device-side build_block_tables: expand per-slot block ranges
+    into (blk_idx, slot_row) gather tables without shipping
+    O(total_blocks) tables over the host link — at 5M docs the host
+    tables were ~64 MB per batch over a ~24 MB/s tunnel; the per-slot
+    ranges are KBs. Segmented iota, same pattern as build_m_from_runs.
+    sentinel_row is a traced scalar so shard launches share one trace
+    across segments."""
+    s = bcnt.shape[0]
+    ends = jnp.cumsum(bcnt)
+    total = ends[s - 1]
+    begin = ends - bcnt
+    positions = jnp.arange(nb_pad, dtype=jnp.int32)
+    marks = jnp.zeros(nb_pad, dtype=jnp.int32).at[ends].add(
+        1, mode="drop")
+    rid = jnp.cumsum(marks)
+    valid = positions < total
+    rid_safe = jnp.minimum(rid, s - 1)
+    blk = bstart[rid_safe] + (positions - begin[rid_safe])
+    blk_idx = jnp.where(valid, blk, sentinel_row)
+    slot_row = jnp.where(valid, rid_safe, 0)
+    return blk_idx, slot_row
+
+
+def make_expand_impact_scorer(precision: str = "f32"):
+    """Batched block-layout scorer that expands its block gather tables
+    on device (see expand_block_tables_dev). Drop-in for
+    make_impact_scorer where the caller holds per-slot (block_start,
+    block_count) ranges — the doc-sharded path's per-batch uploads drop
+    from O(blocks) to O(slots)."""
+    import jax
+    import jax.numpy as jnp
+
+    use_bf16 = precision == "bf16"
+
+    @partial(jax.jit,
+             static_argnames=("k", "s_pad", "nb_pad", "n_queries",
+                              "use_filters"))
+    def scorer(block_docs, block_impacts, deleted, slot_bstart,
+               slot_bcnt, sentinel_row, w_idx, w_val, filter_rows, fidx,
+               *, k: int, s_pad: int, nb_pad: int, n_queries: int,
+               use_filters: bool = False):
+        blk_idx, slot_row = expand_block_tables_dev(
+            jnp, slot_bstart, slot_bcnt, sentinel_row, nb_pad)
+        m = build_m_from_blocks(jnp, block_docs, block_impacts,
+                                blk_idx, slot_row, deleted.shape[0],
+                                s_pad)
+        return _score_m(jax, jnp, m, deleted, w_idx, w_val,
+                        k, s_pad, n_queries, use_bf16,
+                        filter_rows if use_filters else None, fidx)
+
+    return scorer
+
+
 def make_split_impact_scorer(precision: str = "f32"):
     """Batched scorer with the dense/sparse slot split: high-df slots
     come as row gathers from a precomputed dense impact matrix (zipf
