@@ -1543,7 +1543,8 @@ class IndexReader:
                     return None
                 refs = compiled.tile_executor()(
                     dseg.docs_flat, dseg.impacts_flat,
-                    jnp.asarray(tl.deleted_cols(chunk)),
+                    tl.deleted_tiles,
+                    jnp.asarray(chunk.astype(np.int32)),
                     jnp.asarray(runs["run_start"]),
                     jnp.asarray(runs["run_len"]),
                     jnp.asarray(runs["run_slot"]),
@@ -1778,9 +1779,9 @@ class IndexReader:
             cv2 = tl.gather_cols(col_vals, tiles, fill=0.0)
             ch2 = tl.gather_cols(col_has, tiles, fill=False)
             rm2 = tl.gather_cols(root_mask, tiles, fill=False)
-            del2 = tl.deleted_cols(tiles)
             refs = run_exec(
-                dseg.docs_flat, dseg.impacts_flat, jnp.asarray(del2),
+                dseg.docs_flat, dseg.impacts_flat, tl.deleted_tiles,
+                jnp.asarray(tiles.astype(np.int32)),
                 jnp.asarray(runs["run_start"]),
                 jnp.asarray(runs["run_len"]),
                 jnp.asarray(runs["run_slot"]),
@@ -2360,7 +2361,6 @@ class IndexReader:
             raise QueryError(
                 "tile wave exceeds int32 device indexing; lower "
                 "SEARCHLITE_SEED_TILES or shard the corpus")
-        deleted_cols = tl.deleted_cols(tiles)
         fidx, distinct = filter_table
         use_filters = fidx is not None
         if use_filters:
@@ -2373,7 +2373,7 @@ class IndexReader:
             fidx_dev = jnp.zeros(1, dtype=jnp.int32)
         scores, ids = run_scorer(
             dseg.docs_flat, dseg.impacts_flat,
-            jnp.asarray(deleted_cols),
+            tl.deleted_tiles, jnp.asarray(tiles.astype(np.int32)),
             jnp.asarray(runs["run_start"]), jnp.asarray(runs["run_len"]),
             jnp.asarray(runs["run_slot"]), jnp.asarray(runs["run_off"]),
             jnp.asarray(qb["w_idx"]), jnp.asarray(qb["w_val"]),

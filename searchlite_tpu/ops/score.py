@@ -477,7 +477,7 @@ class CompiledQuery:
         jnp = self._jnp
         jax = self._jax
 
-        def run(docs_flat, impacts_flat, deleted_cols,
+        def run(docs_flat, impacts_flat, deleted_tiles, tiles,
                 run_start, run_len, run_slot, run_off,
                 w_leaf, leaf_ind, group_ind,
                 phrase_masks, filter_masks, col_vals, col_has,
@@ -489,6 +489,9 @@ class CompiledQuery:
             m = build_m_from_runs(jnp, docs_flat, impacts_flat,
                                   run_start, run_len, run_slot, run_off,
                                   n_cols, s_pad, p_pad)
+            # tile-space deleted mask from the resident padded copy
+            # (no per-launch host upload)
+            deleted_cols = deleted_tiles[tiles].reshape(-1)
             final_mask, adjusted, _matcher_mask, _ones = self._core(
                 m, deleted_cols, w_leaf, leaf_ind, group_ind,
                 phrase_masks, filter_masks, col_vals, col_has,
@@ -513,7 +516,7 @@ class CompiledQuery:
         jnp = self._jnp
         jax = self._jax
 
-        def run(docs_flat, impacts_flat, deleted_cols,
+        def run(docs_flat, impacts_flat, deleted_tiles, tiles,
                 run_start, run_len, run_slot, run_off,
                 w_leaf, leaf_ind, group_ind,
                 phrase_masks, filter_masks, col_vals, col_has,
@@ -525,6 +528,7 @@ class CompiledQuery:
             m = build_m_from_runs(jnp, docs_flat, impacts_flat,
                                   run_start, run_len, run_slot, run_off,
                                   n_cols, s_pad, p_pad)
+            deleted_cols = deleted_tiles[tiles].reshape(-1)
             final_mask, adjusted, matcher_mask, _ones = self._core(
                 m, deleted_cols, w_leaf, leaf_ind, group_ind,
                 phrase_masks, filter_masks, col_vals, col_has,

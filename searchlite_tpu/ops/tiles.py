@@ -269,6 +269,20 @@ class TileIndex:
         """Deleted mask in tile space (out-of-range cols deleted)."""
         return self.gather_cols(self.dseg.deleted_np, tiles, fill=True)
 
+    @property
+    def deleted_tiles(self):
+        """Device-resident deleted mask in tile layout [n_tiles+1, T]
+        (sentinel row all-deleted). Wave launches row-gather this by
+        tile instead of uploading an [n_cols] bool per launch — at 5M
+        docs that upload was ~5 MB per wave over the host link; the
+        row gather runs near memory speed on device."""
+        if self._deleted_pad is None:
+            dp = np.ones((self.n_tiles + 1, self.T), dtype=bool)
+            flat = dp[: self.n_tiles].reshape(-1)
+            flat[: self.dseg.n1] = self.dseg.deleted_np
+            self._deleted_pad = self._jnp.asarray(dp)
+        return self._deleted_pad
+
     def map_ids(self, tiles: np.ndarray, ids: np.ndarray) -> np.ndarray:
         """Map compacted top-k ids back to doc ordinals."""
         t = tiles[np.minimum(ids // self.T, len(tiles) - 1)]
@@ -364,7 +378,7 @@ def make_run_batch_scorer():
     @partial(jax.jit,
              static_argnames=("k", "n_cols", "p_pad", "s_pad",
                               "n_queries", "use_filters"))
-    def scorer(docs_flat, impacts_flat, deleted_cols,
+    def scorer(docs_flat, impacts_flat, deleted_tiles, tiles,
                run_start, run_len, run_slot, run_off, w_idx, w_val,
                filter_rows, fidx,
                *, k: int, n_cols: int, p_pad: int, s_pad: int,
@@ -372,6 +386,9 @@ def make_run_batch_scorer():
         m = build_m_from_runs(jnp, docs_flat, impacts_flat, run_start,
                               run_len, run_slot, run_off, n_cols, s_pad,
                               p_pad)
+        # tile-space deleted mask: row gather from the resident padded
+        # copy (no per-launch host upload)
+        deleted_cols = deleted_tiles[tiles].reshape(-1)
         w_flat = jnp.zeros(n_queries * s_pad + w_idx.shape[0],
                            dtype=jnp.float32)
         w_flat = w_flat.at[w_idx].set(
