@@ -154,7 +154,13 @@ def main():
             warm_s=round(warm, 1), qps=round(n / dt, 1))
         summary[f"qps_{execution}"] = round(n / dt, 1)
 
-        # p50 single-query latency
+        # p50 single-query latency: warm one pass first (distinct term
+        # counts land in distinct pow4 shape buckets; a cold bucket is
+        # an XLA compile, minutes at 5M docs — steady state is the
+        # number that matters)
+        for q in queries[:9]:
+            reader.search({"query": q, "limit": K,
+                           "execution": execution})
         lat = []
         for q in queries[:9]:
             t1 = time.perf_counter()
