@@ -124,8 +124,8 @@ def build_queries(seed=11):
     return batches
 
 
-def cpu_reference_qps(reader, queries, n_queries=8):
-    """Single-thread numpy exact scoring over the same postings arrays."""
+def _oracle_scores(reader, raw_query):
+    """Exact numpy BM25 scores [n_docs] for one query string."""
     seg = reader.segments[0]
     dseg = reader.device_segments[0]
     postings = seg.postings
@@ -136,22 +136,52 @@ def cpu_reference_qps(reader, queries, n_queries=8):
     doc_len[col.row_ids] = col.values.astype(np.float32)
     avg = seg.avg_field_length("body")
     live = float(dseg.live_docs)
+    scores = np.zeros(n_docs + 1, dtype=np.float32)
+    for token in raw_query.split():
+        tid = seg.terms.get(f"body:{token}")
+        if tid is None:
+            continue
+        df = float(postings.term_df[tid])
+        idf = max(np.log((live - df + 0.5) / (df + 0.5)), 0.0) + 1.0
+        docs, tfs = postings.term_postings(tid)
+        norm = doc_len[docs] / avg
+        denom = np.maximum(tfs + k1 * (1 - b + b * norm), 1e-6)
+        np.add.at(scores, docs, idf * tfs * (k1 + 1) / denom)
+    return scores[:n_docs]
+
+
+def cpu_reference_qps(reader, queries, n_queries=8):
+    """Single-thread numpy exact scoring over the same postings arrays."""
     t0 = time.perf_counter()
     for raw in queries[:n_queries]:
-        scores = np.zeros(n_docs + 1, dtype=np.float32)
-        for token in raw.split():
-            tid = seg.terms.get(f"body:{token}")
-            if tid is None:
-                continue
-            df = float(postings.term_df[tid])
-            idf = max(np.log((live - df + 0.5) / (df + 0.5)), 0.0) + 1.0
-            docs, tfs = postings.term_postings(tid)
-            norm = doc_len[docs] / avg
-            denom = np.maximum(tfs + k1 * (1 - b + b * norm), 1e-6)
-            np.add.at(scores, docs, idf * tfs * (k1 + 1) / denom)
-        _ = np.argpartition(-scores[:n_docs], K)[:K]
+        scores = _oracle_scores(reader, raw)
+        _ = np.argpartition(-scores, K)[:K]
     dt = time.perf_counter() - t0
     return n_queries / dt
+
+
+def verify_vs_oracle(reader, queries, results) -> bool:
+    """The measured path's device results must BE the oracle's exact
+    top-k — guards against any backend/tunnel weirdness silently
+    corrupting the throughput run. Ids must match (modulo f32 near-tie
+    swaps, accepted when scores agree to 1e-3)."""
+    for raw, got in zip(queries, results):
+        scores = _oracle_scores(reader, raw)
+        order = np.lexsort((np.arange(len(scores)), -scores))[:K]
+        want_ids = [int(i) for i in order if scores[i] > 0.0]
+        got_ids = [int(d) for d, _ in got]
+        got_scores = np.asarray([s for _, s in got], dtype=np.float64)
+        want_scores = scores[order[: len(got_ids)]]
+        if got_ids != want_ids[: len(got_ids)] and not (
+                len(got_scores) == len(want_scores)
+                and np.allclose(got_scores, want_scores, atol=1e-3)):
+            return False
+        if len(got_scores) and not np.allclose(
+                got_scores,
+                scores[np.asarray(got_ids, dtype=np.int64)],
+                rtol=1e-3, atol=1e-3):
+            return False
+    return True
 
 
 def main():
@@ -215,6 +245,14 @@ def main():
     RESULT["value"] = round(qps, 2)
     RESULT["detail"]["batch"] = BATCH
     RESULT["detail"]["terms_per_query"] = TERMS_PER_QUERY
+
+    # correctness gate: the device stream's results are the oracle's
+    # exact top-k (catches silent backend corruption — the QPS number
+    # is meaningless otherwise)
+    verify_queries = batches[1][:16]
+    verify_results = reader.search_batch(verify_queries, limit=K)
+    RESULT["detail"]["verified_vs_oracle"] = verify_vs_oracle(
+        reader, verify_queries, verify_results)
 
     cpu_qps = cpu_reference_qps(reader, batches[0])
     RESULT["vs_baseline"] = round(qps / cpu_qps, 2)
