@@ -161,26 +161,38 @@ def cpu_reference_qps(reader, queries, n_queries=8):
 
 
 def verify_vs_oracle(reader, queries, results) -> bool:
-    """The measured path's device results must BE the oracle's exact
-    top-k — guards against any backend/tunnel weirdness silently
-    corrupting the throughput run. Ids must match (modulo f32 near-tie
-    swaps, accepted when scores agree to 1e-3)."""
+    """The measured path's results must be the oracle's top-k — guards
+    against any backend/tunnel fault silently corrupting the throughput
+    run. In the default fast mode the device computes f32 matmuls with
+    bf16-rounded inputs (~2^-8 relative; ops/precision.py), so the gate
+    accepts near-tie reorderings: each returned score must match the
+    oracle's score for that doc to bf16 tolerance, and no non-returned
+    doc may beat the returned set by more than that tolerance.
+    SEARCHLITE_PRECISION=f32_strict tightens to exact-f32 agreement."""
+    rtol = 1e-6 if os.environ.get(
+        "SEARCHLITE_PRECISION") == "f32_strict" else 6e-3
+    atol = 1e-4 if rtol < 1e-3 else 1e-3
+
+    def tol(s):
+        return atol + rtol * abs(float(s))
+
     for raw, got in zip(queries, results):
         scores = _oracle_scores(reader, raw)
-        order = np.lexsort((np.arange(len(scores)), -scores))[:K]
-        want_ids = [int(i) for i in order if scores[i] > 0.0]
         got_ids = [int(d) for d, _ in got]
-        got_scores = np.asarray([s for _, s in got], dtype=np.float64)
-        want_scores = scores[order[: len(got_ids)]]
-        if got_ids != want_ids[: len(got_ids)] and not (
-                len(got_scores) == len(want_scores)
-                and np.allclose(got_scores, want_scores, atol=1e-3)):
-            return False
-        if len(got_scores) and not np.allclose(
-                got_scores,
-                scores[np.asarray(got_ids, dtype=np.int64)],
-                rtol=1e-3, atol=1e-3):
-            return False
+        got_scores = [float(s) for _, s in got]
+        # 1. per-doc score agreement
+        for i, s in zip(got_ids, got_scores):
+            if abs(s - float(scores[i])) > tol(scores[i]):
+                return False
+        # 2. the returned set is a top-k under tolerance: nothing
+        #    outside it scores above the weakest returned doc + tol
+        if got_ids:
+            floor = min(float(scores[i]) for i in got_ids)
+            mask = np.ones(len(scores), dtype=bool)
+            mask[np.asarray(got_ids, dtype=np.int64)] = False
+            best_out = float(scores[mask].max()) if mask.any() else 0.0
+            if best_out > floor + tol(best_out):
+                return False
     return True
 
 
@@ -253,6 +265,10 @@ def main():
     verify_results = reader.search_batch(verify_queries, limit=K)
     RESULT["detail"]["verified_vs_oracle"] = verify_vs_oracle(
         reader, verify_queries, verify_results)
+    RESULT["detail"]["score_mode"] = (
+        "f32_strict" if os.environ.get(
+            "SEARCHLITE_PRECISION") == "f32_strict"
+        else os.environ.get("SEARCHLITE_PRECISION", "fast-f32"))
 
     cpu_qps = cpu_reference_qps(reader, batches[0])
     RESULT["vs_baseline"] = round(qps / cpu_qps, 2)

@@ -129,6 +129,9 @@ def make_impact_scorer(precision: str = "f32"):
     ~3 decimal digits of score precision — top-k order can differ on
     near-ties, so it is an explicit opt-in (SEARCHLITE_PRECISION=bf16),
     never the default (exact parity is the contract)."""
+    from searchlite_tpu.ops.precision import apply_matmul_precision
+
+    apply_matmul_precision()
     import jax
     import jax.numpy as jnp
 
@@ -181,6 +184,9 @@ def _score_m(jax, jnp, m, deleted, w_idx, w_val, k, s_count, n_queries,
 def make_flat_impact_scorer(precision: str = "f32"):
     """Batched scorer over flat CSR posting slices — used by the
     doc-sharded path, whose per-shard slices have no block layout."""
+    from searchlite_tpu.ops.precision import apply_matmul_precision
+
+    apply_matmul_precision()
     import jax
     import jax.numpy as jnp
 
@@ -316,6 +322,9 @@ def make_expand_impact_scorer(precision: str = "f32"):
     make_impact_scorer where the caller holds per-slot (block_start,
     block_count) ranges — the doc-sharded path's per-batch uploads drop
     from O(blocks) to O(slots)."""
+    from searchlite_tpu.ops.precision import apply_matmul_precision
+
+    apply_matmul_precision()
     import jax
     import jax.numpy as jnp
 
@@ -347,6 +356,9 @@ def make_split_impact_scorer(precision: str = "f32"):
     speed), the sparse tail goes through the block scatter. Scores are
     the sum of two MXU matmuls — identical results to the plain scorer,
     fewer update-bound scatter cycles."""
+    from searchlite_tpu.ops.precision import apply_matmul_precision
+
+    apply_matmul_precision()
     import jax
     import jax.numpy as jnp
 

@@ -1,0 +1,52 @@
+"""Matmul precision policy (divergence D8, COMPONENTS.md).
+
+On TPU, XLA's default matmul precision computes f32 dots with
+bf16-rounded inputs (~2^-8 relative error, f32 accumulation). For
+BM25 scoring that means device scores carry ~0.3% noise vs exact f32,
+and top-k near-ties can order differently than a CPU oracle — measured
+on v5e 2026-08-17; the reference's Rust engine computes exact f32.
+
+Policy:
+
+- ``SEARCHLITE_PRECISION`` unset / ``f32`` (default): keep the TPU-fast
+  default. Idiomatic for the hardware (3x matmul throughput), scores
+  good to ~3 decimal digits, near-tie order may differ from exact f32.
+- ``f32_strict``: force ``jax_default_matmul_precision=highest``
+  (3-pass bf16 → exact-f32 dots on TPU). Bit-honest score parity with
+  the CPU oracle at ~3x scoring-matmul cost.
+- ``bf16``: bf16 storage AND inputs (ops/impact.py scorers) — the
+  explicit speed opt-in, layered on top of either of the above.
+
+The pruned execution's upper bounds are inflated by UB_SAFETY so
+bound-vs-threshold comparisons stay sound under fast-mode rounding
+(an underestimated bound could otherwise prune a true top-k doc's
+tile); exactness of returned scores is unaffected (scored tiles are
+scored with the same dots the dense path uses).
+"""
+
+from __future__ import annotations
+
+import os
+
+# > 2^-7: covers bf16 input rounding (2^-8) with headroom for the
+# f32-accumulation of non-negative terms
+UB_SAFETY = 1.02
+
+_applied = False
+
+
+def apply_matmul_precision() -> None:
+    """Idempotent; call from scorer factories BEFORE tracing/compiling
+    (factories run once per process per config, ahead of first use)."""
+    global _applied
+    if _applied:
+        return
+    if os.environ.get("SEARCHLITE_PRECISION") == "f32_strict":
+        import jax
+
+        jax.config.update("jax_default_matmul_precision", "highest")
+    _applied = True
+
+
+def strict() -> bool:
+    return os.environ.get("SEARCHLITE_PRECISION") == "f32_strict"

@@ -55,6 +55,9 @@ class CompiledQuery:
     by the reader and passed as dense inputs."""
 
     def __init__(self, plan: QueryPlan, schema, k1: float, b: float):
+        from searchlite_tpu.ops.precision import apply_matmul_precision
+
+        apply_matmul_precision()
         import jax  # noqa: PLC0415
         import jax.numpy as jnp  # noqa: PLC0415
 

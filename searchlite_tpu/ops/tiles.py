@@ -350,7 +350,16 @@ def build_m_from_runs(jnp, docs_flat, impacts_flat, run_start, run_len,
 def make_ub_scorer():
     """Wave-1: the full UB matrix [Q, n_t1] = W @ TileMax (no top-k —
     the host needs every tile's bound for seed choice + the survivor
-    check)."""
+    check). Bounds are inflated by UB_SAFETY so fast-mode matmul
+    rounding (bf16 inputs, ~2^-8 relative) can never underestimate a
+    tile's true bound and unsoundly prune a top-k doc's tile
+    (ops/precision.py); returned scores are unaffected."""
+    from searchlite_tpu.ops.precision import (
+        UB_SAFETY,
+        apply_matmul_precision,
+    )
+
+    apply_matmul_precision()
     import jax
     import jax.numpy as jnp
 
@@ -365,13 +374,17 @@ def make_ub_scorer():
             w_val, indices_are_sorted=True, unique_indices=True,
             mode="promise_in_bounds")
         w = w_flat[: n_queries * s_pad].reshape(n_queries, s_pad)
-        return jnp.dot(w, m, preferred_element_type=jnp.float32)
+        return jnp.dot(w, m,
+                       preferred_element_type=jnp.float32) * UB_SAFETY
 
     return ub
 
 
 def make_run_batch_scorer():
     """Wave-2/3 batched scorer over compacted tile columns."""
+    from searchlite_tpu.ops.precision import apply_matmul_precision
+
+    apply_matmul_precision()
     import jax
     import jax.numpy as jnp
 

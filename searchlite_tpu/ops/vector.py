@@ -34,6 +34,9 @@ import numpy as np
 
 
 def make_vector_topk():
+    from searchlite_tpu.ops.precision import apply_matmul_precision
+
+    apply_matmul_precision()
     import jax
     import jax.numpy as jnp
 
