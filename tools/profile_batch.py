@@ -70,10 +70,12 @@ def main():
             t3 = time.perf_counter()
             scorer = reader._batched_scorer()
             scores, ids = scorer(
-                dseg.docs_flat, dseg.impacts_flat, dseg.deleted,
-                jnp.asarray(qb["slot_start"]), jnp.asarray(qb["slot_len"]),
+                dseg.block_docs, dseg.block_impacts, dseg.deleted,
+                jnp.asarray(qb["blk_idx"]), jnp.asarray(qb["slot_row"]),
                 jnp.asarray(qb["w_idx"]), jnp.asarray(qb["w_val"]),
-                k=bench.K, p_pad=qb["p_pad"], n_queries=qb["n_queries"])
+                jnp.zeros((1, 1), dtype=bool),
+                jnp.zeros(1, dtype=jnp.int32),
+                k=bench.K, s_pad=qb["s_pad"], n_queries=qb["n_queries"])
             scores, ids = jax.device_get((scores, ids))
             t4 = time.perf_counter()
             merged = [dict() for _ in batch]
@@ -108,26 +110,27 @@ def main():
     print(f"shapes: s_pad={s_pad} p_pad={p_pad} nq={nq} n1={n1}",
           flush=True)
 
-    slot_start = jnp.asarray(qb["slot_start"])
-    slot_len = jnp.asarray(qb["slot_len"])
+    from searchlite_tpu.ops.impact import build_m_from_blocks
+
+    blk_idx = jnp.asarray(qb["blk_idx"])
+    slot_row = jnp.asarray(qb["slot_row"])
     w_idx = jnp.asarray(qb["w_idx"])
     w_val = jnp.asarray(qb["w_val"])
 
     @jax.jit
-    def stage_m(docs_flat, impacts_flat, ss, sl):
-        return build_m(jnp, docs_flat, impacts_flat, ss, sl,
-                       n1, p_pad).sum()
+    def stage_m(bd, bi, bx, sr):
+        return build_m_from_blocks(jnp, bd, bi, bx, sr, n1, s_pad).sum()
 
     @jax.jit
-    def stage_mm(docs_flat, impacts_flat, ss, sl, wi, wv):
-        m = build_m(jnp, docs_flat, impacts_flat, ss, sl, n1, p_pad)
+    def stage_mm(bd, bi, bx, sr, wi, wv):
+        m = build_m_from_blocks(jnp, bd, bi, bx, sr, n1, s_pad)
         w = jnp.zeros((nq * s_pad,), jnp.float32).at[wi].add(
             wv, mode="drop").reshape(nq, s_pad)
         return (w @ m).sum()
 
     @jax.jit
-    def stage_full(docs_flat, impacts_flat, ss, sl, wi, wv):
-        m = build_m(jnp, docs_flat, impacts_flat, ss, sl, n1, p_pad)
+    def stage_full(bd, bi, bx, sr, wi, wv):
+        m = build_m_from_blocks(jnp, bd, bi, bx, sr, n1, s_pad)
         w = jnp.zeros((nq * s_pad,), jnp.float32).at[wi].add(
             wv, mode="drop").reshape(nq, s_pad)
         scores = w @ m
@@ -144,12 +147,12 @@ def main():
         print(f"{label}: {dt*1e3:.1f}ms", flush=True)
         return out
 
-    timeit("device M-build only", stage_m, dseg.docs_flat,
-           dseg.impacts_flat, slot_start, slot_len)
-    timeit("device M+matmul", stage_mm, dseg.docs_flat, dseg.impacts_flat,
-           slot_start, slot_len, w_idx, w_val)
-    timeit("device M+matmul+topk", stage_full, dseg.docs_flat,
-           dseg.impacts_flat, slot_start, slot_len, w_idx, w_val)
+    timeit("device M-build only", stage_m, dseg.block_docs,
+           dseg.block_impacts, blk_idx, slot_row)
+    timeit("device M+matmul", stage_mm, dseg.block_docs,
+           dseg.block_impacts, blk_idx, slot_row, w_idx, w_val)
+    timeit("device M+matmul+topk", stage_full, dseg.block_docs,
+           dseg.block_impacts, blk_idx, slot_row, w_idx, w_val)
 
 
 if __name__ == "__main__":
