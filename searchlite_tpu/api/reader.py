@@ -2060,16 +2060,15 @@ class IndexReader:
             # single-segment fast path: top_k output is already in the
             # merge order (score desc, doc asc — lowest-index-first ties)
             seg_ord, scores, ids = per_segment[0]
-            seg = self.segments[seg_ord]
-            doc_id = seg.doc_id
-            for qi in range(len(queries)):
-                row = []
-                for score, doc in zip(scores[qi].tolist(),
-                                      ids[qi].tolist()):
-                    if score == -np.inf:
-                        continue
-                    row.append((doc_id(int(doc)), score))
-                results.append(row[:int(limits[qi])])
+            dids = self.segments[seg_ord].doc_ids
+            ninf = -np.inf
+            scores_l = np.asarray(scores).tolist()
+            ids_l = np.asarray(ids).tolist()
+            lims = limits.tolist()
+            for srow, irow, lim in zip(scores_l, ids_l, lims):
+                results.append([
+                    (dids[d], s) for s, d in zip(srow, irow)
+                    if s != ninf][: int(lim)])
             return results
 
         merged: list[dict] = [dict() for _ in queries]

@@ -211,11 +211,17 @@ def make_flat_impact_scorer(precision: str = "f32"):
 def build_impact_batch(seg, dseg, queries: list[list[tuple[str, str]]],
                        slot_bucket: int = 64):
     """Host-side prep: dedupe the batch's terms into slots, build the
-    per-slot posting ranges and the [Q, S] weight matrix."""
+    per-slot posting ranges and the [Q, S] weight matrix. Per-term
+    metadata (tid, ranges, idf) is memoized on the DeviceSegment across
+    batches — term lookups are a bisect each and workloads repeat terms
+    heavily (measured ~20% of stream host time before memoization)."""
     from searchlite_tpu.models.bm25 import idf as bm25_idf
 
     postings = seg.postings
     live = float(max(dseg.live_docs, 0))
+    term_meta = getattr(dseg, "_term_meta", None)
+    if term_meta is None:
+        term_meta = dseg._term_meta = {}
     slots: dict[str, int] = {}
     slot_start: list[int] = []
     slot_len: list[int] = []
@@ -230,19 +236,28 @@ def build_impact_batch(seg, dseg, queries: list[list[tuple[str, str]]],
             key = f"{field}:{token}"
             slot = slots.get(key)
             if slot is None:
-                tid = seg.terms.get(key)
-                if tid is None:
+                meta = term_meta.get(key)
+                if meta is None:
+                    tid = seg.terms.get(key)
+                    if tid is None:
+                        term_meta[key] = False
+                        continue
+                    length = int(postings.term_df[tid])
+                    meta = (int(dseg.posting_base[tid]), length,
+                            bm25_idf(float(length), live), int(tid),
+                            int(postings.term_block_start[tid]),
+                            int(postings.term_block_count[tid]))
+                    term_meta[key] = meta
+                elif meta is False:
                     continue
                 slot = len(slot_start)
                 slots[key] = slot
-                start = int(dseg.posting_base[tid])
-                length = int(postings.term_df[tid])
-                slot_start.append(start)
-                slot_len.append(length)
-                slot_idf.append(bm25_idf(float(length), live))
-                slot_tids.append(int(tid))
-                slot_bstart.append(int(postings.term_block_start[tid]))
-                slot_bcnt.append(int(postings.term_block_count[tid]))
+                slot_start.append(meta[0])
+                slot_len.append(meta[1])
+                slot_idf.append(meta[2])
+                slot_tids.append(meta[3])
+                slot_bstart.append(meta[4])
+                slot_bcnt.append(meta[5])
             row[slot] = row.get(slot, 0.0) + slot_idf[slot]
         rows.append(row)
     s_pad = next_pow2(max(len(slot_start), slot_bucket))
@@ -255,14 +270,17 @@ def build_impact_batch(seg, dseg, queries: list[list[tuple[str, str]]],
         for slot in sorted(row):
             w_entries.append((qi * s_pad + slot, row[slot]))
     w_pad = next_pow2(max(len(w_entries), 16))
-    w_idx = np.full(w_pad, 0, dtype=np.int32)
+    n_entries = len(w_entries)
+    w_idx = np.empty(w_pad, dtype=np.int32)
     w_val = np.zeros(w_pad, dtype=np.float32)
-    for i, (idx, val) in enumerate(w_entries):
-        w_idx[i] = idx
-        w_val[i] = val
+    if n_entries:
+        w_idx[:n_entries] = np.fromiter(
+            (e[0] for e in w_entries), dtype=np.int32, count=n_entries)
+        w_val[:n_entries] = np.fromiter(
+            (e[1] for e in w_entries), dtype=np.float32, count=n_entries)
     # pads point past Q*S into the dump zone, keeping indices sorted+unique
-    for i in range(len(w_entries), w_pad):
-        w_idx[i] = q * s_pad + (i - len(w_entries))
+    w_idx[n_entries:] = q * s_pad + np.arange(
+        w_pad - n_entries, dtype=np.int32)
     blk_idx, slot_row, nb_pad = build_block_tables(
         slot_bstart, slot_bcnt, sentinel_row=dseg.n_block_rows)
     out = {
