@@ -74,9 +74,11 @@ def main():
     print(f"{n_docs} docs, {n_queries} queries, top-{K}")
     results = {}
     for strategy in ("bm25", "wand", "bmw"):
-        # warm the compile-cache shape buckets outside the timed loop
-        # (wave shapes are pow2-bucketed; a few queries cover them)
-        for q in queries[:5]:
+        # warm with a full unmeasured pass: wave shapes are pow2-
+        # bucketed but the first strategy otherwise pays every bucket's
+        # compile for the ones that follow (the scorer caches are
+        # shared), which skews per-strategy comparison
+        for q in queries:
             reader.search({"query": q, "limit": K,
                            "execution": strategy})
         scored = advanced = 0
