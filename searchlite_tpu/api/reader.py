@@ -867,9 +867,11 @@ class IndexReader:
                 col_has, root_mask, cs, eq_mode, cdoc, k))
 
         if pruned_jobs:
-            results = self._run_pruned_jobs(
-                [job[:8] for job in pruned_jobs], compiled, has_scored,
-                need_scores, bmw_block_size=req.bmw_block_size)
+            results = self._retry_oom(
+                lambda: self._run_pruned_jobs(
+                    [job[:8] for job in pruned_jobs], compiled,
+                    has_scored, need_scores,
+                    bmw_block_size=req.bmw_block_size))
             for job, pre in zip(pruned_jobs, results):
                 (dseg, qargs, phrase_masks, filter_masks, col_vals,
                  col_has, root_mask, k, oversize) = job
@@ -1978,8 +1980,9 @@ class IndexReader:
         limits = self._check_batch_limits(batches, limit, limits)
         filter_tables = self._batch_filter_tables(batches, filters)
         if execution in ("wand", "bmw"):
-            return self._search_batch_pruned_many(
-                batches, limit, fields, filter_tables, limits)
+            return self._retry_oom(
+                lambda: self._search_batch_pruned_many(
+                    batches, limit, fields, filter_tables, limits))
 
         # memory budget for the dense M + score matrices on one chip;
         # past it, loop host-defined doc shards
@@ -2323,6 +2326,24 @@ class IndexReader:
                 chunk, lambda c: self._launch_tile_runs_one(
                     dseg, tl, qb, c, limit, run_scorer, filter_table)))
         return out
+
+    def _retry_oom(self, run):
+        """Coarse outer retry: jax dispatch is async, so an execution-
+        time RESOURCE_EXHAUSTED surfaces at the wave's blocking FETCH,
+        past the per-launch retry in _launch_chunk_retrying. Evict
+        rebuildable device caches and re-run the whole pruned pass once
+        (exactness unaffected — the pass is pure)."""
+        try:
+            return run()
+        except Exception as e:  # noqa: BLE001 — jax raises backend types
+            if "RESOURCE_EXHAUSTED" not in str(e):
+                raise
+            for ds in self.device_segments:
+                ds.evict_device_caches()
+            import gc  # noqa: PLC0415
+
+            gc.collect()
+            return run()
 
     def _launch_chunk_retrying(self, chunk, launch_one) -> list:
         try:

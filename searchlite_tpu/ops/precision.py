@@ -32,20 +32,24 @@ import os
 # f32-accumulation of non-negative terms
 UB_SAFETY = 1.02
 
-_applied = False
+_applied: str | None = None
 
 
 def apply_matmul_precision() -> None:
-    """Idempotent; call from scorer factories BEFORE tracing/compiling
-    (factories run once per process per config, ahead of first use)."""
+    """Idempotent per mode; call from scorer factories BEFORE tracing/
+    compiling (factories run once per process per config, ahead of
+    first use). Re-checks the env each call so enabling f32_strict
+    after an earlier scorer was built still takes effect for newly
+    built scorers (already-compiled traces keep their precision)."""
     global _applied
-    if _applied:
+    want = "highest" if strict() else None
+    if want == _applied:
         return
-    if os.environ.get("SEARCHLITE_PRECISION") == "f32_strict":
+    if want is not None:
         import jax
 
-        jax.config.update("jax_default_matmul_precision", "highest")
-    _applied = True
+        jax.config.update("jax_default_matmul_precision", want)
+        _applied = want
 
 
 def strict() -> bool:

@@ -170,28 +170,12 @@ class TileIndex:
         tiles ascending, and docs ascend within a run, so the scatter's
         flat indices are sorted + unique."""
         n_sel = len(tiles)
-        tids = np.asarray(slot_tids, dtype=np.int64)
-        if n_sel and len(tids):
-            # fully vectorized (slot-major) entry gather: CSR expansion
-            # of every slot's entry range, one searchsorted against the
-            # selected tiles
-            lo = self.entry_base[tids]
-            counts = self.entry_base[tids + 1] - lo
-            total = int(counts.sum())
-            bases = np.concatenate([[0], np.cumsum(counts)[:-1]])
-            e_idx = (np.repeat(lo - bases, counts)
-                     + np.arange(total, dtype=np.int64))
-            slot_of = np.repeat(
-                np.arange(len(tids), dtype=np.int64), counts)
-            etiles = self.entry_tile[e_idx]
-            pos = np.searchsorted(tiles, etiles)
-            pos_c = np.minimum(pos, n_sel - 1)
-            hit = tiles[pos_c] == etiles
-            e_hit = e_idx[hit]
+        e_hit, pos_hit, slot_hit = self._entry_hits(slot_tids, tiles)
+        if len(e_hit):
             run_start = self.entry_start[e_hit]
             run_len = self.entry_len[e_hit]
-            run_slot = slot_of[hit]
-            run_off = (pos_c[hit].astype(np.int64)
+            run_slot = slot_hit
+            run_off = (pos_hit.astype(np.int64)
                        - self.entry_tile[e_hit]) * self.T
         else:
             run_start = np.zeros(0, dtype=np.int64)
@@ -229,26 +213,37 @@ class TileIndex:
         out[:n] = tiles
         return out
 
-    def tile_postings(self, slot_tids, tiles: np.ndarray) -> np.ndarray:
-        """Posting count per selected tile, summed over the given slots
-        ([n_sel] int64). Used to bound wave launches by the device-side
-        posting intermediates, not just the M matrix."""
+    def _entry_hits(self, slot_tids, tiles: np.ndarray):
+        """Shared CSR expansion for run_tables/tile_postings: expand
+        every slot's (term, tile) entry range, match against the sorted
+        tile selection with one searchsorted. Returns (entry_idx,
+        tile_rank, slot) arrays for the matching entries."""
         n_sel = len(tiles)
         tids = np.asarray(slot_tids, dtype=np.int64)
-        out = np.zeros(n_sel, dtype=np.int64)
         if n_sel == 0 or len(tids) == 0:
-            return out
+            z = np.zeros(0, dtype=np.int64)
+            return z, z, z
         lo = self.entry_base[tids]
         counts = self.entry_base[tids + 1] - lo
         total = int(counts.sum())
         bases = np.concatenate([[0], np.cumsum(counts)[:-1]])
         e_idx = (np.repeat(lo - bases, counts)
                  + np.arange(total, dtype=np.int64))
+        slot_of = np.repeat(np.arange(len(tids), dtype=np.int64), counts)
         etiles = self.entry_tile[e_idx]
         pos = np.searchsorted(tiles, etiles)
         pos_c = np.minimum(pos, n_sel - 1)
         hit = tiles[pos_c] == etiles
-        np.add.at(out, pos_c[hit], self.entry_len[e_idx[hit]])
+        return e_idx[hit], pos_c[hit], slot_of[hit]
+
+    def tile_postings(self, slot_tids, tiles: np.ndarray) -> np.ndarray:
+        """Posting count per selected tile, summed over the given slots
+        ([n_sel] int64). Used to bound wave launches by the device-side
+        posting intermediates, not just the M matrix."""
+        out = np.zeros(len(tiles), dtype=np.int64)
+        e_hit, pos_hit, _slot = self._entry_hits(slot_tids, tiles)
+        if len(e_hit):
+            np.add.at(out, pos_hit, self.entry_len[e_hit])
         return out
 
     def gather_cols(self, arr: np.ndarray, tiles: np.ndarray,

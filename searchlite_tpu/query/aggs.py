@@ -919,6 +919,18 @@ def _fmt_bound(v) -> str:
 MAX_BUCKETS = 10_000
 
 
+def _check_densify_span(n_buckets: float, what: str) -> None:
+    """Guard the empty-bucket densify loops: a request like
+    fixed_interval=1s over a 100-year bounds span would otherwise run
+    billions of host iterations (the reference's finish() loop is also
+    uncapped, but a Python loop makes it a trivially reachable DoS)."""
+    if n_buckets > MAX_BUCKETS:
+        raise QueryError(
+            f"{what} would generate ~{int(n_buckets)} buckets "
+            f"(max {MAX_BUCKETS}); widen the interval or narrow the "
+            "bounds")
+
+
 def _finalize_terms(inter, spec) -> dict:
     buckets = inter.data["buckets"] if inter else {}
     min_doc_count = int(spec.get("min_doc_count") or 1)
@@ -1008,6 +1020,7 @@ def _finalize_histogram(inter, spec) -> dict:
     if bounds is not None and interval > 0:
         lo = _histogram_key(float(bounds["min"]), interval, offset)
         hi = _histogram_key(float(bounds["max"]), interval, offset)
+        _check_densify_span((hi - lo) / interval, "histogram bounds")
         k = lo
         while k <= hi + 1e-9:
             buckets.setdefault(k, BucketIntermediate())
@@ -1015,6 +1028,8 @@ def _finalize_histogram(inter, spec) -> dict:
         keys = sorted(buckets)
     if keys and min_doc_count == 0:
         # fill gaps between min and max observed keys
+        _check_densify_span((keys[-1] - keys[0]) / interval,
+                            "histogram value range")
         k = keys[0]
         while k <= keys[-1] + 1e-9:
             buckets.setdefault(k, BucketIntermediate())
@@ -1055,10 +1070,19 @@ def _finalize_date_histogram(inter, spec) -> dict:
         if calendar is not None:
             key_of = lambda v: dtu.calendar_bucket(v, calendar)
             step = lambda k: dtu.next_calendar_bucket(k, calendar)
+            approx = {"day": 1, "1d": 1, "week": 7, "1w": 7,
+                      "month": 28, "1m": 28, "quarter": 90, "1q": 90,
+                      "year": 365, "1y": 365}
+            day_ms = 86_400_000
+            width_est = approx.get(calendar.strip().lower(), 1) * day_ms
+            _check_densify_span((hi_ms - lo_ms) / width_est,
+                                "date_histogram bounds")
         else:
             width = dtu.parse_duration_millis(spec["fixed_interval"])
             key_of = lambda v: ((v - offset_ms) // width) * width + offset_ms
             step = lambda k: k + width
+            _check_densify_span((hi_ms - lo_ms) / width,
+                                "date_histogram bounds")
         k, end = key_of(lo_ms), key_of(hi_ms)
         while k <= end:
             buckets.setdefault(k, BucketIntermediate())

@@ -61,7 +61,7 @@ def calendar_bucket(millis: int, interval: str) -> int:
     elif name in ("week", "1w"):
         day_start = dt.replace(hour=0, minute=0, second=0, microsecond=0)
         start = day_start - timedelta(days=day_start.weekday())
-    elif name in ("month", "1M"):
+    elif name in ("month", "1m"):
         start = dt.replace(day=1, hour=0, minute=0, second=0, microsecond=0)
     elif name in ("quarter", "1q"):
         month = ((dt.month - 1) // 3) * 3 + 1
@@ -85,7 +85,7 @@ def next_calendar_bucket(millis: int, interval: str) -> int:
         nxt = dt + timedelta(days=1)
     elif name in ("week", "1w"):
         nxt = dt + timedelta(weeks=1)
-    elif name in ("month", "1M"):
+    elif name in ("month", "1m"):
         if dt.month == 12:
             nxt = dt.replace(year=dt.year + 1, month=1)
         else:

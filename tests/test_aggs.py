@@ -232,6 +232,33 @@ class TestBucketAggs:
         assert len(buckets) >= 2
         assert buckets[1]["aggregations"]["derivative"]["value"] == 0.0
 
+    def test_date_histogram_month_interval_spellings(self):
+        """'1M' (and lowercase '1m') mean calendar month, matching the
+        reference's parse_calendar_interval (aggs/mod.rs:3384) —
+        regression: the lowercased name was compared against '1M' and
+        both spellings raised."""
+        for spelling in ("1M", "1m", "month"):
+            index = make_index(DOCS)
+            out = run_aggs(index, {
+                "m": {"type": "date_histogram", "field": "ts",
+                      "calendar_interval": spelling}})
+            assert len(out["m"]["buckets"]) == 1  # all ts in Jan 1970
+            assert out["m"]["buckets"][0]["doc_count"] == 5
+
+    def test_histogram_bounds_densify_capped(self):
+        index = make_index(DOCS)
+        with pytest.raises(QueryError):
+            run_aggs(index, {
+                "h": {"type": "histogram", "field": "price",
+                      "interval": 0.001,
+                      "extended_bounds": {"min": 0, "max": 1e6}}})
+        with pytest.raises(QueryError):
+            run_aggs(index, {
+                "h": {"type": "date_histogram", "field": "ts",
+                      "fixed_interval": "1s",
+                      "hard_bounds": {"min": "1970-01-01T00:00:00Z",
+                                      "max": "2100-01-01T00:00:00Z"}}})
+
     def test_composite_histogram_source(self):
         index = make_index(DOCS)
         out = run_aggs(index, {

@@ -82,6 +82,7 @@ def main():
             reader.search({"query": q, "limit": K,
                            "execution": strategy})
         scored = advanced = 0
+        all_hits = []
         t0 = time.perf_counter()
         for q in queries:
             res = reader.search({"query": q, "limit": K,
@@ -89,14 +90,17 @@ def main():
             prof = res.profile["execution"]
             scored += prof["scored_docs"]
             advanced += prof["postings_advanced"]
+            all_hits.append([(h.doc_id, round(h.score, 4))
+                             for h in res.hits])
         dt = time.perf_counter() - t0
-        results[strategy] = [h.doc_id for h in res.hits]
+        results[strategy] = all_hits
         print(f"{strategy:>4}: {dt * 1000 / n_queries:>7.2f} ms/q, "
               f"scored {scored:>9} docs, advances {advanced:>10}")
-    # the reference's CI-enforced invariant: identical top-k
+    # the reference's CI-enforced invariant: identical top-k, EVERY query
     assert results["wand"] == results["bm25"]
     assert results["bmw"] == results["bm25"]
-    print("top-k identical across strategies (exactness invariant)")
+    print(f"top-k identical across strategies for all {n_queries} "
+          "queries (exactness invariant)")
 
 
 if __name__ == "__main__":
