@@ -2327,45 +2327,46 @@ class IndexReader:
                     dseg, tl, qb, c, limit, run_scorer, filter_table)))
         return out
 
+    def _evict_and_collect(self):
+        for ds in self.device_segments:
+            ds.evict_device_caches()
+        import gc  # noqa: PLC0415
+
+        gc.collect()
+
     def _retry_oom(self, run):
         """Coarse outer retry: jax dispatch is async, so an execution-
         time RESOURCE_EXHAUSTED surfaces at the wave's blocking FETCH,
         past the per-launch retry in _launch_chunk_retrying. Evict
         rebuildable device caches and re-run the whole pruned pass once
-        (exactness unaffected — the pass is pure)."""
+        (exactness unaffected — the pass is pure). The retry happens
+        AFTER the except block exits: the exception's traceback pins
+        the failed pass's frames — and their device buffer refs — for
+        the handler's lifetime, which would defeat the eviction."""
         try:
             return run()
         except Exception as e:  # noqa: BLE001 — jax raises backend types
             if "RESOURCE_EXHAUSTED" not in str(e):
                 raise
-            for ds in self.device_segments:
-                ds.evict_device_caches()
-            import gc  # noqa: PLC0415
-
-            gc.collect()
-            return run()
+        self._evict_and_collect()
+        return run()
 
     def _launch_chunk_retrying(self, chunk, launch_one) -> list:
+        # retries run outside the except blocks — see _retry_oom
         try:
             return [launch_one(chunk)]
         except Exception as e:  # noqa: BLE001 — jax raises backend types
             if "RESOURCE_EXHAUSTED" not in str(e):
                 raise
-            for ds in self.device_segments:
-                ds.evict_device_caches()
-            import gc  # noqa: PLC0415
-
-            gc.collect()
-            try:
-                return [launch_one(chunk)]
-            except Exception as e2:  # noqa: BLE001
-                if "RESOURCE_EXHAUSTED" not in str(e2) or len(chunk) <= 1:
-                    raise
-                mid = len(chunk) // 2
-                return (self._launch_chunk_retrying(chunk[:mid],
-                                                    launch_one)
-                        + self._launch_chunk_retrying(chunk[mid:],
-                                                      launch_one))
+        self._evict_and_collect()
+        try:
+            return [launch_one(chunk)]
+        except Exception as e2:  # noqa: BLE001
+            if "RESOURCE_EXHAUSTED" not in str(e2) or len(chunk) <= 1:
+                raise
+        mid = len(chunk) // 2
+        return (self._launch_chunk_retrying(chunk[:mid], launch_one)
+                + self._launch_chunk_retrying(chunk[mid:], launch_one))
 
     def _launch_tile_runs_one(self, dseg, tl, qb, tiles, limit: int,
                               run_scorer, filter_table=(None, None)):
