@@ -31,11 +31,11 @@ grep -q "probe ok" "$OUT/probe.log" || { echo "TUNNEL DOWN — abort" | tee -a "
 # 1. headline bench (BENCH_r02 material)
 step bench_headline 2500 python bench.py
 
-# 2. headline with the dense/sparse M split (decide the default)
-step bench_split 2500 env SEARCHLITE_DENSE_M_BYTES=1073741824 python bench.py
-
-# 3. headline with bf16 scoring (measure the delta)
+# 2. headline with bf16 scoring (measure the delta)
 step bench_bf16 2500 env SEARCHLITE_PRECISION=bf16 python bench.py
+
+# 3. headline with bit-exact f32 dots (the cost of strict parity, D8)
+step bench_strict 2500 env SEARCHLITE_PRECISION=f32_strict python bench.py
 
 # 4. micro scenarios (criterion parity + pruned scenario)
 step micro 2500 python benches/micro.py
@@ -45,5 +45,11 @@ step bench_1m 3600 python tools/bench_1m.py
 
 # 6. 5M-doc MS-MARCO-shaped scale run (bm25 + bmw)
 step bench_scale_5m 7200 python tools/bench_scale.py 5000000
+
+# 7. raw matmul+topk probe (achieved FLOPs / sync-latency sanity)
+step probe_matmul 900 python tools/probe_matmul.py
+
+# 8. strategy comparison demo (bm25 vs wand vs bmw, exactness asserted)
+step strategy 2500 python tools/strategy_compare.py 200000 30
 
 echo "ALL DONE ($(date -u +%H:%M:%S))" | tee -a "$OUT/summary.log"
