@@ -10,6 +10,12 @@ posting counts are actually-touched postings, not estimates).
 
 Usage:
     python tools/strategy_compare.py [n_docs] [n_queries] [--cpu]
+        [--vocab N]
+
+A small vocab (default 2k) puts a head term in every doc tile — the
+bound can't exclude tiles and dense wins. A large vocab (e.g. 50k,
+the 5M scale run's shape) gives queries rare tail terms whose tiles
+discipline the bound — where WAND-style pruning actually pays.
 """
 
 from __future__ import annotations
@@ -28,7 +34,12 @@ K = 10
 
 
 def main():
+    global VOCAB
     args = sys.argv[1:]
+    if "--vocab" in args:
+        i = args.index("--vocab")
+        VOCAB = int(args[i + 1])
+        del args[i:i + 2]
     nums = [a for a in args if not a.startswith("-")]
     n_docs = int(nums[0]) if nums else 20_000
     n_queries = int(nums[1]) if len(nums) > 1 else 100
