@@ -53,6 +53,27 @@ class TestFileFormatStability:
         assert varint.encode_u64(300) == b"\xac\x02"
 
 
+class TestConcurrentWriters:
+    def test_stale_writer_refreshes_manifest_before_commit(self):
+        """A writer created before another writer's commit must fold
+        its upsert over the NEWEST manifest: the old version gets
+        tombstoned, the new one is visible (reference
+        tests/regressions.rs::concurrent_writers_refresh_manifest_
+        before_commit)."""
+        index = Index.create(mem_options(), Schema.from_json(SCHEMA))
+        w1 = index.writer()
+        w2 = index.writer()  # stale snapshot: pre-dates w1's commit
+        w1.add_document({"_id": "1", "body": "first body", "tag": "a"})
+        w1.commit()
+        w2.add_document({"_id": "1", "body": "updated body", "tag": "a"})
+        w2.commit()
+        reader = index.reader()
+        assert len(reader.search({"query": "first",
+                                  "limit": 10}).hits) == 0
+        assert len(reader.search({"query": "updated",
+                                  "limit": 10}).hits) == 1
+
+
 class TestAtomicity:
     def test_failed_manifest_persistence_rolls_back(self):
         class FailingManifestStorage(InMemoryStorage):
