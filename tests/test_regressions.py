@@ -53,6 +53,26 @@ class TestFileFormatStability:
         assert varint.encode_u64(300) == b"\xac\x02"
 
 
+def test_in_memory_storage_keeps_disk_clean(tmp_path):
+    """StorageType.IN_MEMORY with a path configured must never touch
+    the filesystem (reference tests/smoke.rs::
+    in_memory_storage_keeps_disk_clean)."""
+    import os
+
+    idx_path = str(tmp_path / "idx")
+    index = Index.create(
+        IndexOptions(path=idx_path, create_if_missing=True,
+                     storage=StorageType.IN_MEMORY),
+        Schema.from_json(SCHEMA))
+    writer = index.writer()
+    writer.add_document({"_id": "mem-1", "body": "in memory wal",
+                         "tag": "a"})
+    writer.commit()
+    hits = index.reader().search({"query": "memory", "limit": 10}).hits
+    assert len(hits) == 1
+    assert not os.path.exists(idx_path)
+
+
 class TestConcurrentWriters:
     def test_stale_writer_refreshes_manifest_before_commit(self):
         """A writer created before another writer's commit must fold
