@@ -17,10 +17,11 @@ The reference's hottest loop is a doc-at-a-time heap walk over postings
 
 Exactness: nothing is pruned — every posting of every query term is
 scored, so results are exact (the reference's ``bm25`` oracle strategy).
-WAND/BMW strategies share this exact path; block-max impact data feeds
-the pruning telemetry (`api/reader.py::_pruned_postings`), and a real
-pruned traversal is a future optimization that must return identical
-top-k.
+WAND/BMW strategies run the REAL doc-tile pruned execution in
+``ops/tiles.py`` (routed by ``api/reader.py``); it returns identical
+top-k (fuzzed in tests/test_pruning.py) while touching fewer postings.
+This module remains the dense oracle path and the executor for the
+full structured-query surface (matchers, score trees, sorts).
 
 One ``CompiledQuery`` is built per query plan; its jitted executor is
 shape-polymorphic, so segments of different sizes reuse the same trace
