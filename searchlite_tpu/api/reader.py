@@ -541,8 +541,11 @@ class IndexReader:
 
         s_pad = next_pow2(max(len(slot_start), 8))
         p_pad = pow4_bucket(sum(slot_len))
+        # coarse (pow-4) buckets: ad-hoc single queries hit many sizes
+        # and compile latency dominates their scatter cost
         blk_idx, slot_row, nb_pad = build_block_tables(
-            slot_bstart, slot_bcnt, sentinel_row=dseg.n_block_rows)
+            slot_bstart, slot_bcnt, sentinel_row=dseg.n_block_rows,
+            coarse=True)
         L = max(n_leaves, 1)
         G = max(n_groups, 1)
         out = {
@@ -2482,7 +2485,7 @@ class IndexReader:
         import jax
         import jax.numpy as jnp
 
-        from searchlite_tpu.ops.impact import pow4_bucket
+        from searchlite_tpu.ops.impact import pow2_bucket
 
         n_shards = 1
         while est_bytes // n_shards > budget:
@@ -2509,7 +2512,9 @@ class IndexReader:
         # expanded ON DEVICE (expand_block_tables_dev). Batch-invariant
         # per-shard deleted masks are cached device-side on the shard
         # dict; w arrays upload once, not once per shard. nb_pad is a
-        # uniform pow-4 bucket so all shard launches share one trace.
+        # uniform pow-2 bucket so all shard launches share one trace
+        # (pow-2, not pow-4: every pad block is 128 wasted updates on
+        # the update-count-bound M scatter).
         bs_stack = np.zeros((n_shards, 2, s_pad), dtype=np.int32)
         max_blocks = 1
         for d in range(n_shards):
@@ -2518,7 +2523,7 @@ class IndexReader:
             bs_stack[d, 0, :len(tids)] = shards["block_base"][keys]
             bs_stack[d, 1, :len(tids)] = bcnts
             max_blocks = max(max_blocks, int(bcnts.sum()))
-        max_blocks = pow4_bucket(max_blocks, minimum=32)
+        max_blocks = pow2_bucket(max_blocks, minimum=32)
         use_filters = fidx is not None
         del_stack = shards.get("deleted_stack")
         if del_stack is None:
@@ -2602,9 +2607,13 @@ class IndexReader:
             filter_rows = jnp.zeros((1, 1), dtype=bool)
             fidx_dev = jnp.zeros(1, dtype=jnp.int32)
         # default ON: measured +52% batched QPS on v5e at 100k docs
-        # (BENCH_NOTES round 2); 0 disables
+        # (BENCH_NOTES round 2); 0 disables. 1 GiB default (bf16 rows
+        # on accelerators — ops/precision.py): on Zipf workloads this
+        # routes nearly all batch postings through the row-gather path,
+        # shrinking the update-bound scatter toward zero; evictable
+        # under HBM pressure (evict_device_caches).
         dense_budget = int(os.environ.get(
-            "SEARCHLITE_DENSE_M_BYTES", 256 * 1024**2))
+            "SEARCHLITE_DENSE_M_BYTES", 1024**3))
         if dense_budget > 0:
             from searchlite_tpu.ops.impact import split_impact_batch
 

@@ -195,37 +195,64 @@ class DeviceSegment:
 
     def dense_rows(self, budget_bytes: int):
         """Precomputed dense impact rows for the highest-df terms
-        (df >= n1/128, highest first) within ``budget_bytes`` of HBM.
+        (df >= n1/256, highest first) within ``budget_bytes`` of HBM.
         Zipf head terms carry most postings, so batch M builds can
         row-gather these instead of scattering their postings —
         the scatter is update-count-bound (~7 cycles/update) while wide
-        row gathers run near memory speed. Returns None when nothing
-        qualifies, else {"row_of_tid": dict, "m_dense": [n_rows+1, n1]
-        jnp (last row zeros, the gather pad)}."""
+        row gathers run near memory speed. Rows are stored in the
+        precision policy's M dtype (ops/precision.py::m_store_dtype):
+        bf16 on accelerators doubles row coverage per byte and is
+        bit-identical under the default fast-f32 matmul. Returns None
+        when nothing qualifies, else {"row_of_tid": dict,
+        "m_dense": [n_rows+1, n1] jnp (last row zeros, the gather
+        pad)}."""
+        import os  # noqa: PLC0415
+
+        from searchlite_tpu.ops.precision import (  # noqa: PLC0415
+            m_store_dtype,
+        )
+
+        dtype = m_store_dtype(os.environ.get("SEARCHLITE_PRECISION",
+                                             "f32"))
+        itemsize = np.dtype(dtype).itemsize
+        key = (budget_bytes, np.dtype(dtype).name)
         cached = getattr(self, "_dense_rows", None)
-        if cached is not None and cached[0] == budget_bytes:
+        if cached is not None and cached[0] == key:
             return cached[1]
         import jax.numpy as jnp  # noqa: PLC0415
 
         postings = self.reader.postings
         term_df = postings.term_df.astype(np.int64)
-        max_rows = budget_bytes // (self.n1 * 4)
+        max_rows = budget_bytes // (self.n1 * itemsize)
         order = np.argsort(-term_df, kind="stable")
         out = None
-        rows = [tid for tid in order[:max_rows]
-                if term_df[tid] * 128 >= self.n1]
-        if rows:
-            m = np.zeros((len(rows) + 1, self.n1), dtype=np.float32)
-            for i, tid in enumerate(rows):
-                start = int(self.posting_base[tid])
-                df = int(term_df[tid])
-                docs = self.docs_flat_np[start:start + df]
-                m[i, docs] = self.impacts_flat_np[start:start + df]
+        sel = order[:max_rows]
+        rows = sel[term_df[sel] * 256 >= self.n1]
+        if len(rows):
+            # one vectorized scatter over all selected rows (a python
+            # per-row loop costs seconds at thousands of rows)
+            n_rows = len(rows)
+            m = np.zeros((n_rows + 1) * self.n1, dtype=np.float32)
+            starts = self.posting_base[rows]
+            dfs = term_df[rows]
+            total = int(dfs.sum())
+            if total:
+                row_of = np.repeat(np.arange(n_rows, dtype=np.int64),
+                                   dfs)
+                p_idx = (np.repeat(starts - np.concatenate(
+                    [[0], np.cumsum(dfs)[:-1]]), dfs)
+                    + np.arange(total, dtype=np.int64))
+                docs = self.docs_flat_np[p_idx].astype(np.int64)
+                m[row_of * self.n1 + docs] = \
+                    self.impacts_flat_np[p_idx]
+            # host-side dtype conversion BEFORE upload: bf16 halves the
+            # transfer (the tunnel link is the scarce resource)
+            m = m.reshape(n_rows + 1, self.n1).astype(np.dtype(dtype))
             out = {
                 "row_of_tid": {int(t): i for i, t in enumerate(rows)},
                 "m_dense": jnp.asarray(m),
             }
-        self._dense_rows = (budget_bytes, out)
+        self._dense_rows = (key, out)
         return out
 
     # -- doc-sharded layout (large corpora) --------------------------------

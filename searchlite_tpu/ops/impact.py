@@ -53,8 +53,20 @@ def pow4_bucket(n: int, minimum: int = 4096) -> int:
     return out
 
 
+def pow2_bucket(n: int, minimum: int = 4096) -> int:
+    """Round up to the pow-2 ladder. Used where the padded extent sets
+    the DEVICE cost (the M scatter is update-count-bound, so every pad
+    slot is a wasted update): pow-4 padding wastes up to 4x updates
+    (measured 60% pads at the headline bench shapes), pow-2 at most 2x,
+    for only one extra compile bucket per octave."""
+    out = minimum
+    while out < n:
+        out *= 2
+    return out
+
+
 def build_m_from_blocks(jnp, block_docs, block_impacts, blk_idx,
-                        slot_row, n1: int, s_count: int):
+                        slot_row, n1: int, s_count: int, dtype=None):
     """Densify term slots into M [s_count, n1] from the 128-wide block
     layout. Measured on v5e: 5-7x faster than the flat-CSR variant
     below, because the ragged per-slot posting expansion becomes ONE
@@ -73,13 +85,15 @@ def build_m_from_blocks(jnp, block_docs, block_impacts, blk_idx,
     nb = blk_idx.shape[0]
     docs2d = block_docs[blk_idx]
     imps2d = block_impacts[blk_idx]
+    if dtype is not None and imps2d.dtype != dtype:
+        imps2d = imps2d.astype(dtype)
     pos = jnp.arange(nb * 128, dtype=jnp.int32).reshape(nb, 128)
     is_pad = docs2d == (n1 - 1)
     flat_idx = jnp.where(
         is_pad,
         s_count * n1 + pos,
         slot_row[:, None] * n1 + docs2d).reshape(-1)
-    m_flat = jnp.zeros(s_count * n1 + nb * 128, dtype=jnp.float32)
+    m_flat = jnp.zeros(s_count * n1 + nb * 128, dtype=imps2d.dtype)
     m_flat = m_flat.at[flat_idx].set(
         imps2d.reshape(-1), unique_indices=True,
         mode="promise_in_bounds")
@@ -87,7 +101,7 @@ def build_m_from_blocks(jnp, block_docs, block_impacts, blk_idx,
 
 
 def build_m(jnp, docs_flat, impacts_flat, slot_start, slot_len,
-            n1: int, p_pad: int):
+            n1: int, p_pad: int, dtype=None):
     """Densify the batch's term slots into M [S, n1] with one
     sorted-unique scatter from flat CSR postings. Still used where
     postings arrive without the block layout (doc-sharded slices,
@@ -110,11 +124,13 @@ def build_m(jnp, docs_flat, impacts_flat, slot_start, slot_len,
     p_idx = jnp.where(valid, p_idx, 0)
     docs = docs_flat[p_idx]
     impacts = jnp.where(valid, impacts_flat[p_idx], 0.0)
+    if dtype is not None and impacts.dtype != dtype:
+        impacts = impacts.astype(dtype)
     flat_idx = jnp.where(
         valid,
         seg_safe * n1 + docs,
         s_count * n1 + (positions - total))
-    m_flat = jnp.zeros(s_count * n1 + p_pad, dtype=jnp.float32)
+    m_flat = jnp.zeros(s_count * n1 + p_pad, dtype=impacts.dtype)
     m_flat = m_flat.at[flat_idx].set(
         impacts, indices_are_sorted=True, unique_indices=True,
         mode="promise_in_bounds")
@@ -124,18 +140,20 @@ def build_m(jnp, docs_flat, impacts_flat, slot_start, slot_len,
 def make_impact_scorer(precision: str = "f32"):
     """Batched scorer over the block layout (the fast path).
 
-    precision="bf16" runs the scoring matmul with bf16 inputs and f32
-    accumulation: ~2x MXU throughput and half the M memory traffic, at
-    ~3 decimal digits of score precision — top-k order can differ on
-    near-ties, so it is an explicit opt-in (SEARCHLITE_PRECISION=bf16),
-    never the default (exact parity is the contract)."""
-    from searchlite_tpu.ops.precision import apply_matmul_precision
+    M's storage dtype follows ops/precision.py::m_store_dtype — bf16 on
+    accelerator backends (bit-identical to the default fast-f32 matmul,
+    which rounds its inputs to bf16 anyway; halves scatter writes and
+    matmul reads), f32 on CPU or under f32_strict."""
+    from searchlite_tpu.ops.precision import (
+        apply_matmul_precision,
+        m_store_dtype,
+    )
 
     apply_matmul_precision()
     import jax
     import jax.numpy as jnp
 
-    use_bf16 = precision == "bf16"
+    m_dtype = m_store_dtype(precision)
 
     @partial(jax.jit,
              static_argnames=("k", "s_pad", "n_queries", "use_filters"))
@@ -152,27 +170,28 @@ def make_impact_scorer(precision: str = "f32"):
         selects each query's row. Returns (scores [Q,k], ids [Q,k])."""
         m = build_m_from_blocks(jnp, block_docs, block_impacts,
                                 blk_idx, slot_row, deleted.shape[0],
-                                s_pad)
+                                s_pad, dtype=m_dtype)
         return _score_m(jax, jnp, m, deleted, w_idx, w_val,
-                        k, s_pad, n_queries, use_bf16,
+                        k, s_pad, n_queries,
                         filter_rows if use_filters else None, fidx)
 
     return scorer
 
 
 def _score_m(jax, jnp, m, deleted, w_idx, w_val, k, s_count, n_queries,
-             use_bf16, filter_rows=None, fidx=None):
+             filter_rows=None, fidx=None):
     """Shared scorer tail: densify the COO weight matrix, W @ M on the
-    MXU, mask non-matches/deleted (+ per-query filter rows), top-k."""
+    MXU, mask non-matches/deleted (+ per-query filter rows), top-k.
+    W is cast to M's dtype (a cheap [Q, S] pass) so a bf16 M runs a
+    clean bf16×bf16 MXU matmul with f32 accumulation."""
     w_flat = jnp.zeros(n_queries * s_count + w_idx.shape[0],
                        dtype=jnp.float32)
     w_flat = w_flat.at[w_idx].set(
         w_val, indices_are_sorted=True, unique_indices=True,
         mode="promise_in_bounds")
     w = w_flat[: n_queries * s_count].reshape(n_queries, s_count)
-    if use_bf16:
-        w = w.astype(jnp.bfloat16)
-        m = m.astype(jnp.bfloat16)
+    if m.dtype != w.dtype:
+        w = w.astype(m.dtype)
     scores = jnp.dot(w, m, preferred_element_type=jnp.float32)
     ok = (scores > 0.0) & ~deleted[None, :]
     if filter_rows is not None:
@@ -184,13 +203,16 @@ def _score_m(jax, jnp, m, deleted, w_idx, w_val, k, s_count, n_queries,
 def make_flat_impact_scorer(precision: str = "f32"):
     """Batched scorer over flat CSR posting slices — used by the
     doc-sharded path, whose per-shard slices have no block layout."""
-    from searchlite_tpu.ops.precision import apply_matmul_precision
+    from searchlite_tpu.ops.precision import (
+        apply_matmul_precision,
+        m_store_dtype,
+    )
 
     apply_matmul_precision()
     import jax
     import jax.numpy as jnp
 
-    use_bf16 = precision == "bf16"
+    m_dtype = m_store_dtype(precision)
 
     @partial(jax.jit,
              static_argnames=("k", "p_pad", "n_queries", "use_filters"))
@@ -200,9 +222,9 @@ def make_flat_impact_scorer(precision: str = "f32"):
                use_filters: bool = False):
         s_count = slot_start.shape[0]
         m = build_m(jnp, docs_flat, impacts_flat, slot_start, slot_len,
-                    deleted.shape[0], p_pad)
+                    deleted.shape[0], p_pad, dtype=m_dtype)
         return _score_m(jax, jnp, m, deleted, w_idx, w_val,
-                        k, s_count, n_queries, use_bf16,
+                        k, s_count, n_queries,
                         filter_rows if use_filters else None, fidx)
 
     return scorer
@@ -288,7 +310,7 @@ def build_impact_batch(seg, dseg, queries: list[list[tuple[str, str]]],
         "slot_len": np.zeros(s_pad, dtype=np.int32),
         "w_idx": w_idx,
         "w_val": w_val,
-        "p_pad": pow4_bucket(int(sum(slot_len))),
+        "p_pad": pow2_bucket(int(sum(slot_len))),
         "blk_idx": blk_idx,
         "slot_row": slot_row,
         "nb_pad": nb_pad,
@@ -346,7 +368,9 @@ def make_expand_impact_scorer(precision: str = "f32"):
     import jax
     import jax.numpy as jnp
 
-    use_bf16 = precision == "bf16"
+    from searchlite_tpu.ops.precision import m_store_dtype
+
+    m_dtype = m_store_dtype(precision)
 
     @partial(jax.jit,
              static_argnames=("k", "s_pad", "nb_pad", "n_queries",
@@ -359,9 +383,9 @@ def make_expand_impact_scorer(precision: str = "f32"):
             jnp, slot_bstart, slot_bcnt, sentinel_row, nb_pad)
         m = build_m_from_blocks(jnp, block_docs, block_impacts,
                                 blk_idx, slot_row, deleted.shape[0],
-                                s_pad)
+                                s_pad, dtype=m_dtype)
         return _score_m(jax, jnp, m, deleted, w_idx, w_val,
-                        k, s_pad, n_queries, use_bf16,
+                        k, s_pad, n_queries,
                         filter_rows if use_filters else None, fidx)
 
     return scorer
@@ -374,13 +398,16 @@ def make_split_impact_scorer(precision: str = "f32"):
     speed), the sparse tail goes through the block scatter. Scores are
     the sum of two MXU matmuls — identical results to the plain scorer,
     fewer update-bound scatter cycles."""
-    from searchlite_tpu.ops.precision import apply_matmul_precision
+    from searchlite_tpu.ops.precision import (
+        apply_matmul_precision,
+        m_store_dtype,
+    )
 
     apply_matmul_precision()
     import jax
     import jax.numpy as jnp
 
-    use_bf16 = precision == "bf16"
+    m_dtype = m_store_dtype(precision)
 
     @partial(jax.jit,
              static_argnames=("k", "d_pad", "s_pad", "n_queries",
@@ -392,14 +419,15 @@ def make_split_impact_scorer(precision: str = "f32"):
                use_filters: bool = False):
         n1 = deleted.shape[0]
         m_sparse = build_m_from_blocks(jnp, block_docs, block_impacts,
-                                       blk_idx, slot_row, n1, s_pad)
+                                       blk_idx, slot_row, n1, s_pad,
+                                       dtype=m_dtype)
         md = m_dense[dense_sel]  # [d_pad, n1]; pad row is all zeros
         wd = _densify_w(jnp, wd_idx, wd_val, n_queries, d_pad)
         ws = _densify_w(jnp, ws_idx, ws_val, n_queries, s_pad)
-        if use_bf16:
-            wd, ws = wd.astype(jnp.bfloat16), ws.astype(jnp.bfloat16)
-            md = md.astype(jnp.bfloat16)
-            m_sparse = m_sparse.astype(jnp.bfloat16)
+        if md.dtype != wd.dtype:
+            wd = wd.astype(md.dtype)
+        if m_sparse.dtype != ws.dtype:
+            ws = ws.astype(m_sparse.dtype)
         scores = (jnp.dot(wd, md, preferred_element_type=jnp.float32)
                   + jnp.dot(ws, m_sparse,
                             preferred_element_type=jnp.float32))
@@ -491,14 +519,19 @@ def split_impact_batch(qb, dense_map: dict, pad_row: int, n1: int):
 
 
 def build_block_tables(slot_bstart, slot_bcnt, sentinel_row: int,
-                       min_blocks: int = 32):
+                       min_blocks: int = 32, coarse: bool = False):
     """Expand per-slot block ranges into (blk_idx, slot_row) gather
-    tables, padded to a pow-4 block bucket with the segment's sentinel
-    block row (all pad docs → dump zone)."""
+    tables, padded to a pow-2 block bucket with the segment's sentinel
+    block row (all pad docs → dump zone). Every pad slot is a wasted
+    scatter update (the M build is update-count-bound), so the bucket
+    ladder is pow-2 by default; ``coarse=True`` keeps the old pow-4
+    ladder for compile-latency-sensitive callers (the single-query UB
+    wave, whose scatter is tiny but whose shapes vary per query)."""
     starts = np.asarray(slot_bstart, dtype=np.int64)
     cnts = np.asarray(slot_bcnt, dtype=np.int64)
     total = int(cnts.sum())
-    nb_pad = pow4_bucket(max(total, 1), minimum=min_blocks)
+    bucket = pow4_bucket if coarse else pow2_bucket
+    nb_pad = bucket(max(total, 1), minimum=min_blocks)
     blk_idx = np.full(nb_pad, sentinel_row, dtype=np.int32)
     slot_row = np.zeros(nb_pad, dtype=np.int32)
     if total:

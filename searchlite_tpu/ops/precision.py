@@ -54,3 +54,26 @@ def apply_matmul_precision() -> None:
 
 def strict() -> bool:
     return os.environ.get("SEARCHLITE_PRECISION") == "f32_strict"
+
+
+def m_store_dtype(precision: str):
+    """Storage dtype for the densified impact matrix M (and the
+    precomputed dense rows).
+
+    On accelerator backends the default ("fast-f32") matmul already
+    rounds its INPUTS to bf16 (D8), so storing M in bf16 yields
+    bit-identical scores while halving M's HBM footprint and matmul
+    read traffic — and lets the scatter write half the bytes. On the
+    CPU backend (tests, oracles) matmuls are exact f32, so M stays f32
+    to preserve exact single-vs-batch parity; ``f32_strict`` keeps f32
+    everywhere."""
+    import jax
+    import jax.numpy as jnp
+
+    if precision == "bf16":
+        return jnp.bfloat16
+    if precision == "f32_strict" or strict():
+        return jnp.float32
+    if jax.default_backend() == "cpu":
+        return jnp.float32
+    return jnp.bfloat16

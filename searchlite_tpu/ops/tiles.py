@@ -156,7 +156,8 @@ class TileIndex:
         cnts = self.eb_cnt[slot_tids] if len(slot_tids) else \
             np.zeros(0, dtype=np.int64)
         return build_block_tables(starts, cnts,
-                                  sentinel_row=self.sentinel_row)
+                                  sentinel_row=self.sentinel_row,
+                                  coarse=True)
 
     # -- wave-2/3 helpers ----------------------------------------------------
 

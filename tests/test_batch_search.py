@@ -148,13 +148,13 @@ def test_dense_split_path_matches_plain(index, monkeypatch):
 
 
 def test_dense_rows_selection(index):
-    """dense_rows picks only terms with df >= n1/128 within budget."""
+    """dense_rows picks only terms with df >= n1/256 within budget."""
     dseg = index.reader().device_segments[0]
     dense = dseg.dense_rows(64 * 1024 * 1024)
     assert dense is not None
     postings = dseg.reader.postings
     for tid in dense["row_of_tid"]:
-        assert int(postings.term_df[tid]) * 128 >= dseg.n1
+        assert int(postings.term_df[tid]) * 256 >= dseg.n1
     # the pad row is zeros
     import numpy as np
     m = np.asarray(dense["m_dense"])
@@ -266,3 +266,46 @@ def test_batch_filter_validation(filtered_index):
         reader.search_batch(["w1", "w2"], limit=5, filters=[None])
     with pytest.raises(QueryError):
         reader.search_batch(["w1"], limit=5, limits=[0])
+
+
+def test_bf16_m_storage_machinery(index, monkeypatch):
+    """With SEARCHLITE_PRECISION=bf16 the M matrices are BUILT in bf16
+    (scatter stores bf16, dense rows stored bf16) — results must stay
+    within bf16 tolerance of the exact path on every route (plain,
+    split, sharded)."""
+    import numpy as np
+
+    rng = random.Random(31)
+    queries = [" ".join(rng.sample([f"w{i}" for i in range(60)],
+                                   k=rng.randint(1, 4)))
+               for _ in range(12)]
+    exact = index.reader().search_batch(queries, limit=10)
+    monkeypatch.setenv("SEARCHLITE_PRECISION", "bf16")
+    reader = index.reader()
+    # dense rows come out bf16 under the policy
+    dseg = reader.device_segments[0]
+    dense = dseg.dense_rows(64 * 1024 * 1024)
+    assert np.asarray(dense["m_dense"]).dtype == np.dtype("bfloat16") \
+        or str(np.asarray(dense["m_dense"]).dtype) == "bfloat16"
+    fast = reader.search_batch(queries, limit=10)
+    for e, f in zip(exact, fast):
+        exact_ids = {d for d, _ in e}
+        fast_ids = {d for d, _ in f}
+        assert len(exact_ids & fast_ids) >= len(exact_ids) - 1
+        for (de, se), (df_, sf) in zip(e, f):
+            assert sf == pytest.approx(se, rel=2e-2, abs=1e-2)
+
+
+def test_pow2_bucketing_block_tables():
+    """build_block_tables pads to pow-2 (not pow-4) by default; coarse
+    keeps the pow-4 ladder."""
+    from searchlite_tpu.ops.impact import build_block_tables
+
+    # 40 blocks → pow2 bucket 64 (min 32); pow4 coarse → 128
+    blk, row, nb = build_block_tables([0], [40], sentinel_row=99)
+    assert nb == 64
+    blk, row, nb = build_block_tables([0], [40], sentinel_row=99,
+                                      coarse=True)
+    assert nb == 128
+    # pads carry the sentinel row
+    assert (blk[40:] == 99).all()
