@@ -26,7 +26,7 @@ import os
 import re
 import threading
 import time
-from dataclasses import dataclass
+from dataclasses import dataclass, replace
 from typing import Any, Optional
 
 import numpy as np
@@ -654,6 +654,79 @@ class IndexReader:
         return vals, has
 
     # -- main entry --------------------------------------------------------------
+
+    def search_scroll(self, req, max_pages: Optional[int] = None,
+                      block_docs: int = 2000, mesh=None
+                      ) -> list[SearchResult]:
+        """Drain a paginated result stream in BLOCKS: one device pass
+        fetches up to ``block_docs`` hits, sliced host-side into pages
+        of ``req.limit``. The page/hit sequence is identical to looping
+        ``search`` with ``next_cursor`` (tested), but a full drain
+        costs ~(total/block_docs) device round trips instead of one per
+        page — on a remote-attached TPU each round trip is ~40 ms of
+        sync latency, so draining 125 pages serially pays ~5 s where
+        two block passes pay ~0.1 s. The reference drains pages
+        in-process (`searchlite-core/benches/end_to_end.rs:236-313`);
+        this is the TPU-native equivalent of that access pattern.
+
+        Each returned page carries ``next_cursor`` — block-interior
+        pages get an exact per-page cursor (same encoding the page
+        loop produces), so a client can stop mid-drain and resume with
+        plain ``search``. The drain ends when hits are exhausted or
+        ``max_pages`` is reached."""
+        if isinstance(req, dict):
+            req = SearchRequest.from_json(req)
+        if req.limit <= 0:
+            raise QueryError("search request must set limit > 0")
+        page_limit = req.limit
+        block = max(page_limit, min(block_docs, MAX_CANDIDATE_SIZE))
+        block -= block % page_limit or 0
+        sort_plan = SortPlan.from_request(self.schema, req.sort)
+        score_fast_path = (sort_plan.is_score_only()
+                           and sort_plan.primary_order() == "desc")
+        pages: list[SearchResult] = []
+        cursor = req.cursor
+        returned = 0
+        if cursor is not None:
+            returned = decode_cursor(cursor, self.generation, sort_plan,
+                                     score_fast_path)["returned"]
+        while max_pages is None or len(pages) < max_pages:
+            block_req = replace(req, limit=block, cursor=cursor,
+                                candidate_size=max(
+                                    req.candidate_size or 0, block))
+            res = self.search(block_req, mesh=mesh)
+            n_pages = -(-len(res.hits) // page_limit) if res.hits else 0
+            for p in range(n_pages):
+                lo = p * page_limit
+                page_hits = res.hits[lo:lo + page_limit]
+                last_in_block = lo + page_limit >= len(res.hits)
+                if last_in_block:
+                    next_cur = res.next_cursor
+                else:
+                    # exact per-page cursor: same key material the page
+                    # loop would encode (the page's last hit)
+                    last = page_hits[-1]
+                    next_cur = encode_cursor(
+                        self.generation,
+                        returned + lo + len(page_hits),
+                        last.sort_key, sort_plan, score_fast_path) \
+                        if last.sort_key is not None else None
+                pages.append(SearchResult(
+                    total_hits_estimate=res.total_hits_estimate,
+                    total_groups=res.total_groups,
+                    hits=page_hits,
+                    next_cursor=next_cur,
+                    aggregations=res.aggregations if p == 0 else {},
+                    suggest=res.suggest if p == 0 else {},
+                    profile=res.profile if p == 0 else None,
+                ))
+                if max_pages is not None and len(pages) >= max_pages:
+                    break
+            returned += len(res.hits)
+            cursor = res.next_cursor
+            if cursor is None or not res.hits:
+                break
+        return pages
 
     def search(self, req, mesh=None) -> SearchResult:
         """Execute one search request. With ``mesh`` (a
@@ -3162,6 +3235,7 @@ class IndexReader:
             snippet=snippet,
             explanation=ranked.explanation,
             highlights=highlights,
+            sort_key=ranked.key,
         )
 
     def _normalize_phrases(self, phrases: list[list[str]],

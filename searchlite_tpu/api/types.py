@@ -424,6 +424,9 @@ class Hit:
     explanation: Optional[dict] = None
     highlights: Optional[dict[str, list[str]]] = None
     inner_hits: Optional[list] = None
+    # engine-internal: the hit's full sort key (reader.SortKey), used by
+    # search_scroll to mint exact per-page cursors; never serialized
+    sort_key: Optional[Any] = None
 
     def to_json(self) -> dict:
         out: dict[str, Any] = {

@@ -9,6 +9,11 @@ vocabulary. Queries mix head and tail terms like the real query log
 
 Usage:
     python tools/bench_scale.py [n_docs] [--exec bm25|bmw] [--cpu]
+        [--cpu-engine]
+
+--cpu-engine additionally measures the single-core C++ baseline engine
+(native/slt_cpu_engine.cpp, the Rust-reference stand-in — BASELINE.md)
+on the same corpus and query stream, in all three strategies.
 
 Prints one JSON line per phase and a final summary line. Positions are
 disabled (the workload has no phrase queries) to keep host memory
@@ -73,6 +78,8 @@ def main():
     executions = ["bm25", "bmw"]
     if "--exec" in args:
         executions = [args[args.index("--exec") + 1]]
+        if executions == ["none"]:  # cpu-engine-only runs
+            executions = []
 
     import jax
     if force_cpu:
@@ -131,6 +138,30 @@ def main():
 
     summary = {"metric": f"scale_batched_qps_{n_docs // 1_000_000}m",
                "unit": "qps", "n_docs": n_docs}
+
+    if "--cpu-engine" in args:
+        from searchlite_tpu.native import CpuEngine
+
+        seg = reader.segments[0]
+        t0 = time.perf_counter()
+        eng = CpuEngine(seg)
+        log(phase="cpu_engine_build",
+            build_s=round(time.perf_counter() - t0, 1))
+        tpq = max(len(q.split()) for q in queries)
+        qtids = np.full((len(queries), tpq), -1, dtype=np.int32)
+        for qi, q in enumerate(queries):
+            for ti, tok in enumerate(q.split()):
+                qtids[qi, ti] = eng.tid(f"body:{tok}")
+        for mode in ("bm25", "wand", "bmw"):
+            eng.search_batch(qtids[:64], k=K, mode=mode)  # warm
+            t0 = time.perf_counter()
+            eng.search_batch(qtids, k=K, mode=mode)
+            dt = time.perf_counter() - t0
+            log(phase="cpu_engine", mode=mode,
+                qps=round(len(queries) / dt, 1),
+                ms_per_q=round(dt / len(queries) * 1e3, 2))
+            summary[f"cpu_engine_qps_{mode}"] = round(
+                len(queries) / dt, 1)
     for execution in executions:
         # pruning can't engage when a huge batch's seed tiles cover the
         # whole corpus; bmw runs 64-query sub-batches through the
