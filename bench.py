@@ -150,6 +150,30 @@ def _oracle_scores(reader, raw_query):
     return scores[:n_docs]
 
 
+def cpp_engine_qps(reader, queries):
+    """Best-mode single-core QPS of the C++ baseline engine on this
+    workload, or None when no toolchain. Returns (mode, qps)."""
+    try:
+        from searchlite_tpu.native import CpuEngine
+
+        eng = CpuEngine(reader.segments[0])
+    except Exception:  # noqa: BLE001 — no toolchain / ABI issues
+        return None
+    qtids = np.full((len(queries), TERMS_PER_QUERY), -1, dtype=np.int32)
+    for qi, q in enumerate(queries):
+        for ti, tok in enumerate(q.split()):
+            qtids[qi, ti] = eng.tid(f"body:{tok}")
+    best = None
+    for mode in ("bm25", "wand", "bmw"):
+        eng.search_batch(qtids[:64], k=K, mode=mode)  # warm
+        t0 = time.perf_counter()
+        eng.search_batch(qtids, k=K, mode=mode)
+        mode_qps = len(queries) / (time.perf_counter() - t0)
+        if best is None or mode_qps > best[1]:
+            best = (mode, mode_qps)
+    return best
+
+
 def cpu_reference_qps(reader, queries, n_queries=8):
     """Single-thread numpy exact scoring over the same postings arrays."""
     t0 = time.perf_counter()
@@ -271,13 +295,22 @@ def main():
         else os.environ.get("SEARCHLITE_PRECISION", "fast-f32"))
 
     cpu_qps = cpu_reference_qps(reader, batches[0])
-    RESULT["vs_baseline"] = round(qps / cpu_qps, 2)
     RESULT["detail"]["cpu_oracle_qps"] = round(cpu_qps, 2)
-    # honesty: BASELINE.md's target is the Rust CPU engine, which has
-    # never run in this sandbox (no cargo toolchain); until it does,
-    # vs_baseline compares against a single-thread numpy oracle of the
-    # same exact scoring — a proxy, not a reference-engine measurement
-    RESULT["detail"]["baseline_kind"] = "numpy-oracle-proxy"
+    # the baseline denominator: the single-core C++ engine implementing
+    # the reference's three strategies over the same postings
+    # (native/slt_cpu_engine.cpp; exactness-tested) — the strongest
+    # measurable stand-in for the Rust CPU engine in this cargo-less
+    # sandbox. Best mode wins (brute TAAT at this corpus size).
+    cpp_qps = cpp_engine_qps(reader, batches[1])
+    if cpp_qps is not None:
+        mode, qps_cpp = cpp_qps
+        RESULT["vs_baseline"] = round(qps / qps_cpp, 2)
+        RESULT["detail"]["cpp_engine_qps"] = round(qps_cpp, 1)
+        RESULT["detail"]["cpp_engine_mode"] = mode
+        RESULT["detail"]["baseline_kind"] = "cpp-engine-1core"
+    else:
+        RESULT["vs_baseline"] = round(qps / cpu_qps, 2)
+        RESULT["detail"]["baseline_kind"] = "numpy-oracle-proxy"
 
     # p50 single-query latency (warm shapes; the BASELINE metric)
     singles = batches[0][:9]

@@ -201,8 +201,9 @@ def main():
         summary[f"p50_single_ms_{execution}"] = round(
             sorted(lat)[len(lat) // 2], 1)
 
-    summary["value"] = summary.get("qps_bm25") or \
-        summary.get(f"qps_{executions[0]}")
+    summary["value"] = summary.get("qps_bm25") or next(
+        (summary[f"qps_{e}"] for e in executions
+         if f"qps_{e}" in summary), 0)
     log(**summary)
 
 
