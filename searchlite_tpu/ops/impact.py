@@ -321,6 +321,9 @@ def build_impact_batch(seg, dseg, queries: list[list[tuple[str, str]]],
         "slot_bstart": slot_bstart,
         "slot_bcnt": slot_bcnt,
         "sentinel_row": dseg.n_block_rows,
+        # per-query {slot: weight} rows — the per-query pruned batch
+        # path builds its [Q, tpq] term/weight tables from these
+        "q_rows": rows,
     }
     out["slot_start"][:len(slot_start)] = slot_start
     out["slot_len"][:len(slot_len)] = slot_len

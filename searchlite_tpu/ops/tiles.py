@@ -58,6 +58,7 @@ from searchlite_tpu.ops.impact import (
     build_block_tables,
     build_m_from_blocks,
     next_pow2,
+    pow2_bucket,
     pow4_bucket,
 )
 
@@ -237,6 +238,77 @@ class TileIndex:
         hit = tiles[pos_c] == etiles
         return e_idx[hit], pos_c[hit], slot_of[hit]
 
+    def run_tables_per_query(self, q_tids: np.ndarray,
+                             q_tiles: np.ndarray, tpq_pad: int):
+        """Per-QUERY posting runs: query q's OWN terms restricted to
+        q's OWN selected tiles — the batched pruning formulation that
+        keeps each query's candidate set private (the union-of-tiles
+        wave degrades to a full corpus scan on Zipf batches; per-query
+        candidate sets stay tiny, which is where WAND's wins live —
+        confirmed by the C++ baseline's bmw numbers at 1M docs).
+
+        q_tids [Q, tpq_pad] int64: term ids per query (−1 pads).
+        q_tiles [Q, C] int64: each query's selected tiles, ASCENDING
+        per row (sentinel = n_tiles pads, matched against nothing).
+
+        Returns runs for build_m_from_runs over the compacted output
+        space M_b [Q·tpq_pad, C·T]: destination col of doc d for
+        query q, term slot ti, tile rank r is r·T + (d − tile·T), and
+        run_slot = q·tpq_pad + ti — flat indices sorted + unique by
+        construction ((q, ti, tile) emission order, docs ascending in
+        a run)."""
+        Q, C = q_tiles.shape
+        tids_flat = q_tids.reshape(-1)
+        valid_t = tids_flat >= 0
+        safe_tids = np.where(valid_t, tids_flat, 0)
+        lo = self.entry_base[safe_tids]
+        counts = np.where(valid_t,
+                          self.entry_base[safe_tids + 1] - lo, 0)
+        total = int(counts.sum())
+        if total == 0 or C == 0:
+            z = np.zeros(0, dtype=np.int64)
+            return {"run_start": _pad_i32(z, 64),
+                    "run_len": _pad_i32(z, 64),
+                    "run_slot": _pad_i32(z, 64),
+                    "run_off": _pad_i32(z, 64),
+                    "p_pad": 1024, "n_cols": C * self.T, "postings": 0}
+        bases = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        e_idx = (np.repeat(lo - bases, counts)
+                 + np.arange(total, dtype=np.int64))
+        row_of = np.repeat(np.arange(Q * tpq_pad, dtype=np.int64),
+                           counts)
+        etiles = self.entry_tile[e_idx].astype(np.int64)
+        # match each entry's tile against ITS query's sorted tile row
+        q_of = row_of // tpq_pad
+        qt = q_tiles  # [Q, C] sorted ascending per row
+        pos = np.zeros(total, dtype=np.int64)
+        # vectorized per-row searchsorted: flatten with per-row offsets
+        # over a globally sorted key (q * (n_tiles+2) + tile)
+        keys = q_of * (self.n_tiles + 2) + etiles
+        flat_tiles = (np.arange(Q, dtype=np.int64)[:, None]
+                      * (self.n_tiles + 2) + qt).reshape(-1)
+        pos = np.searchsorted(flat_tiles, keys)
+        pos_c = np.minimum(pos, Q * C - 1)
+        hit = flat_tiles[pos_c] == keys
+        e_hit = e_idx[hit]
+        rank_hit = (pos_c[hit] % C).astype(np.int64)
+        row_hit = row_of[hit]
+        run_start = self.entry_start[e_hit]
+        run_len = self.entry_len[e_hit]
+        run_off = (rank_hit - etiles[hit]) * self.T
+        total_p = int(run_len.sum())
+        r_pad = next_pow2(max(len(run_start), 64))
+        p_pad = pow2_bucket(max(total_p, 1), minimum=1024)
+        return {
+            "run_start": _pad_i32(run_start, r_pad),
+            "run_len": _pad_i32(run_len, r_pad),
+            "run_slot": _pad_i32(row_hit, r_pad),
+            "run_off": _pad_i32(run_off, r_pad),
+            "p_pad": p_pad,
+            "n_cols": C * self.T,
+            "postings": total_p,
+        }
+
     def tile_postings(self, slot_tids, tiles: np.ndarray) -> np.ndarray:
         """Posting count per selected tile, summed over the given slots
         ([n_sel] int64). Used to bound wave launches by the device-side
@@ -312,7 +384,7 @@ def get_tile_index(dseg, tile_width: int | None = None) -> TileIndex:
 
 def build_m_from_runs(jnp, docs_flat, impacts_flat, run_start, run_len,
                       run_slot, run_off, n_cols: int, s_pad: int,
-                      p_pad: int):
+                      p_pad: int, dtype=None):
     """Densify posting RUNS (contiguous CSR slices with per-run
     destination column offsets) into a compacted M [s_pad, n_cols].
     Generalizes build_m: runs are (slot, tile) intersections instead of
@@ -332,11 +404,13 @@ def build_m_from_runs(jnp, docs_flat, impacts_flat, run_start, run_len,
     p_idx = jnp.where(valid, p_idx, 0)
     dest = docs_flat[p_idx] + run_off[rid_safe]
     impacts = jnp.where(valid, impacts_flat[p_idx], 0.0)
+    if dtype is not None and impacts.dtype != dtype:
+        impacts = impacts.astype(dtype)
     flat_idx = jnp.where(
         valid,
         run_slot[rid_safe] * n_cols + dest,
         s_pad * n_cols + (positions - total))
-    m_flat = jnp.zeros(s_pad * n_cols + p_pad, dtype=jnp.float32)
+    m_flat = jnp.zeros(s_pad * n_cols + p_pad, dtype=impacts.dtype)
     m_flat = m_flat.at[flat_idx].set(
         impacts, indices_are_sorted=True, unique_indices=True,
         mode="promise_in_bounds")
@@ -374,6 +448,117 @@ def make_ub_scorer():
                        preferred_element_type=jnp.float32) * UB_SAFETY
 
     return ub
+
+
+def make_seed_selector():
+    """Device-side per-query tile selection: top-C tiles by UB among
+    those not yet processed and strictly above (theta, 0). Returns
+    (tile ids [Q, C] int32 — n_tiles sentinel where none qualify —
+    and the remaining qualifying count [Q] AFTER this selection).
+    Keeping selection on device avoids fetching the [Q, n_tiles] UB
+    matrix over the host link (16 MB/batch at 5M docs)."""
+    import jax
+    import jax.numpy as jnp
+
+    @partial(jax.jit, static_argnames=("c",))
+    def select(ub, processed, theta, *, c: int):
+        n_tiles = ub.shape[1]
+        eligible = (~processed) & (ub > 0.0) \
+            & (ub >= theta[:, None])
+        masked = jnp.where(eligible, ub, -jnp.inf)
+        vals, ids = jax.lax.top_k(masked, min(c, n_tiles))
+        ids = jnp.where(vals > -jnp.inf, ids, n_tiles).astype(jnp.int32)
+        remaining = jnp.maximum(
+            jnp.sum(eligible, axis=1) - jnp.sum(vals > -jnp.inf, axis=1),
+            0)
+        marks = jax.vmap(
+            lambda p, i: p.at[i].set(True, mode="drop"))(
+                jnp.zeros_like(processed), ids)
+        return ids, remaining, processed | marks
+
+    return select
+
+
+def make_pq_run_scorer():
+    """Per-query wave scorer: M_b [Q·tpq, C·T] from per-query runs,
+    batched matvec against each query's term weights, top-k over the
+    query's OWN compacted columns, ids mapped back to doc ordinals on
+    device. Returns (scores [Q,k], doc ids [Q,k] int32)."""
+    from searchlite_tpu.ops.precision import (
+        apply_matmul_precision,
+        m_store_dtype,
+    )
+
+    apply_matmul_precision()
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    m_dtype = m_store_dtype(os.environ.get("SEARCHLITE_PRECISION",
+                                           "f32"))
+
+    @partial(jax.jit,
+             static_argnames=("k", "n_cols", "p_pad", "tpq_pad", "t"))
+    def scorer(docs_flat, impacts_flat, deleted_tiles, tiles_b, w_b,
+               run_start, run_len, run_slot, run_off,
+               *, k: int, n_cols: int, p_pad: int, tpq_pad: int,
+               t: int):
+        q = tiles_b.shape[0]
+        m = build_m_from_runs(jnp, docs_flat, impacts_flat, run_start,
+                              run_len, run_slot, run_off, n_cols,
+                              q * tpq_pad, p_pad, dtype=m_dtype)
+        m3 = m.reshape(q, tpq_pad, n_cols)
+        w3 = w_b.astype(m.dtype) if m.dtype != w_b.dtype else w_b
+        scores = jnp.einsum("qt,qtc->qc", w3, m3,
+                            preferred_element_type=jnp.float32)
+        # deleted mask in each query's tile space (row gathers from the
+        # resident padded copy; sentinel tile row is all-deleted)
+        del_cols = deleted_tiles[tiles_b].reshape(q, n_cols)
+        ok = (scores > 0.0) & ~del_cols
+        masked = jnp.where(ok, scores, -jnp.inf)
+        top, idx = jax.lax.top_k(masked, min(k, n_cols))
+        # map compacted idx -> doc ordinal: tile = tiles_b[q, idx // T]
+        tile_of = jnp.take_along_axis(tiles_b, idx // t, axis=1)
+        doc_ids = (tile_of * t + idx % t).astype(jnp.int32)
+        doc_ids = jnp.where(top > -jnp.inf, doc_ids, 0)
+        return top, doc_ids
+
+    return scorer
+
+
+def make_topk_merge():
+    """Device-side running top-k merge of two (scores, ids) sets with
+    (score desc, doc asc) tie order, plus the per-query threshold at
+    each query's own limit."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def merge(s_a, d_a, s_b, d_b, lims):
+        s = jnp.concatenate([s_a, s_b], axis=1)
+        d = jnp.concatenate([d_a, d_b], axis=1)
+        k = s_a.shape[1]
+        # (score desc, doc asc): sort by score desc with doc as the
+        # secondary key folded in — scores are f32, fold via lexsort
+        # emulation: primary sort on score, stable tiebreak by doc
+        # using a compound key (score, -doc) is wrong for floats; use
+        # argsort over a structured ordering instead: sort indices by
+        # (-score, doc) via two stable argsorts
+        order_doc = jnp.argsort(d, axis=1, stable=True)
+        s1 = jnp.take_along_axis(s, order_doc, axis=1)
+        d1 = jnp.take_along_axis(d, order_doc, axis=1)
+        order_sc = jnp.argsort(-s1, axis=1, stable=True)
+        s2 = jnp.take_along_axis(s1, order_sc, axis=1)[:, :k]
+        d2 = jnp.take_along_axis(d1, order_sc, axis=1)[:, :k]
+        valid = (s2 > -jnp.inf).sum(axis=1)
+        full = valid >= lims
+        li = jnp.maximum(jnp.minimum(lims, s2.shape[1]) - 1, 0)
+        theta = jnp.take_along_axis(s2, li[:, None], axis=1)[:, 0]
+        theta = jnp.where(full, theta, -jnp.inf)
+        return s2, d2, theta
+
+    return merge
 
 
 def make_run_batch_scorer():

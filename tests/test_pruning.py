@@ -49,10 +49,15 @@ def _build_index(seed: int, segments: int = 3, docs_per_segment: int = 400,
     return idx, vocab, rng
 
 
+@pytest.mark.parametrize("mode", ["per_query", "union"])
 @pytest.mark.parametrize("seed", [7, 21])
-def test_batch_wand_bmw_match_bm25_on_random_corpora(seed, monkeypatch):
-    # tiny tiles force real multi-tile pruning even on a small corpus
+def test_batch_wand_bmw_match_bm25_on_random_corpora(seed, mode,
+                                                     monkeypatch):
+    # tiny tiles force real multi-tile pruning even on a small corpus;
+    # both batched pruned formulations (per-query waves and union
+    # waves) must be exact
     monkeypatch.setenv("SEARCHLITE_TILE_WIDTH", "128")
+    monkeypatch.setenv("SEARCHLITE_BATCH_PRUNE", mode)
     idx, vocab, rng = _build_index(seed)
     reader = idx.reader()
     queries = [" ".join(rng.sample(vocab, k=rng.randint(1, 5)))
@@ -77,6 +82,7 @@ def test_batch_pruned_seed_extremes(monkeypatch):
     the survivor wave to do the real work; a huge seed skips it."""
     idx, vocab, rng = _build_index(33, segments=1, docs_per_segment=600)
     monkeypatch.setenv("SEARCHLITE_TILE_WIDTH", "128")
+    monkeypatch.setenv("SEARCHLITE_BATCH_PRUNE", "union")  # union knob
     reader = idx.reader()
     queries = [" ".join(rng.sample(vocab, k=3)) for _ in range(12)]
     dense = reader.search_batch(queries, limit=10)
@@ -96,6 +102,7 @@ def test_pruned_waves_chunked_by_memory_budget(monkeypatch):
     the wave-3 survivor set is unbounded and a single launch OOMed the
     device at 5M docs (RESOURCE_EXHAUSTED, 2026-08-16)."""
     monkeypatch.setenv("SEARCHLITE_TILE_WIDTH", "128")
+    monkeypatch.setenv("SEARCHLITE_BATCH_PRUNE", "union")  # M budget
     idx, vocab, rng = _build_index(13, segments=2, docs_per_segment=500)
     reader = idx.reader()
     queries = [" ".join(rng.sample(vocab, k=rng.randint(1, 4)))
@@ -331,6 +338,8 @@ def test_wave_launch_oom_evicts_and_retries(monkeypatch):
     import searchlite_tpu.api.reader as reader_mod
 
     monkeypatch.setenv("SEARCHLITE_TILE_WIDTH", "128")
+    # the eviction machinery under test lives in the union wave path
+    monkeypatch.setenv("SEARCHLITE_BATCH_PRUNE", "union")
     idx, vocab, rng = _build_index(29, segments=1, docs_per_segment=600,
                                    delete=0)
     reader = idx.reader()
@@ -361,3 +370,71 @@ def test_wave_launch_oom_evicts_and_retries(monkeypatch):
         assert [d for d, _ in a] == [d for d, _ in b], query
         for (_, sa), (_, sb) in zip(a, b):
             assert sa == pytest.approx(sb, abs=1e-5), query
+
+
+def test_per_query_pruned_rounds_and_limits(monkeypatch):
+    """The per-query path's survivor rounds (tiny seed forces many)
+    and per-query limits must stay exact vs dense."""
+    monkeypatch.setenv("SEARCHLITE_TILE_WIDTH", "128")
+    monkeypatch.setenv("SEARCHLITE_BATCH_PRUNE", "per_query")
+    monkeypatch.setenv("SEARCHLITE_SEED_TILES_PER_QUERY", "1")
+    idx, vocab, rng = _build_index(41, segments=2, docs_per_segment=500)
+    reader = idx.reader()
+    queries = [" ".join(rng.sample(vocab, k=rng.randint(1, 5)))
+               for _ in range(12)] + [vocab[0], "missing-term"]
+    limits = [rng.randint(1, 25) for _ in queries]
+    dense = reader.search_batch(queries, limit=30, limits=limits)
+    pruned = reader.search_batch(queries, limit=30, limits=limits,
+                                 execution="bmw")
+    for query, a, b in zip(queries, dense, pruned):
+        assert [d for d, _ in a] == [d for d, _ in b], query
+        for (_, sa), (_, sb) in zip(a, b):
+            assert sa == pytest.approx(sb, abs=1e-5), query
+
+
+def test_per_query_pruned_memory_capped_rounds(monkeypatch):
+    """A tiny M budget caps the per-round tile width; exactness must
+    survive the extra rounds."""
+    monkeypatch.setenv("SEARCHLITE_TILE_WIDTH", "128")
+    monkeypatch.setenv("SEARCHLITE_BATCH_PRUNE", "per_query")
+    monkeypatch.setenv("SEARCHLITE_M_BUDGET_BYTES", "2000000")
+    idx, vocab, rng = _build_index(43, segments=1, docs_per_segment=700)
+    reader = idx.reader()
+    queries = [" ".join(rng.sample(vocab, k=3)) for _ in range(10)]
+    dense = reader.search_batch(queries, limit=10)
+    pruned = reader.search_batch(queries, limit=10, execution="wand")
+    for query, a, b in zip(queries, dense, pruned):
+        assert [d for d, _ in a] == [d for d, _ in b], query
+
+
+def test_filtered_batches_route_to_union_path(monkeypatch):
+    """Per-query filters aren't implemented in the per-query pruned
+    path; filtered pruned batches must still be exact (union route)."""
+    monkeypatch.setenv("SEARCHLITE_TILE_WIDTH", "128")
+    rng = random.Random(47)
+    vocab = [f"w{i}" for i in range(60)]
+    idx = Index.create(
+        IndexOptions(path="", create_if_missing=True,
+                     storage=StorageType.IN_MEMORY),
+        Schema.from_json({
+            "text_fields": [{"name": "body", "analyzer": "default",
+                             "stored": False, "indexed": True}],
+            "keyword_fields": [{"name": "cat", "stored": False,
+                                "indexed": True, "fast": True}]}))
+    writer = idx.writer()
+    for i in range(400):
+        writer.add_document({
+            "_id": str(i),
+            "body": " ".join(rng.choices(vocab, k=rng.randint(3, 20))),
+            "cat": rng.choice(["a", "b"])})
+    writer.commit()
+    reader = idx.reader()
+    queries = [" ".join(rng.sample(vocab, k=3)) for _ in range(6)]
+    flt = {"KeywordEq": {"field": "cat", "value": "a"}}
+    filters = [flt if i % 2 == 0 else None
+               for i in range(len(queries))]
+    dense = reader.search_batch(queries, limit=10, filters=filters)
+    pruned = reader.search_batch(queries, limit=10, filters=filters,
+                                 execution="bmw")
+    for query, a, b in zip(queries, dense, pruned):
+        assert [d for d, _ in a] == [d for d, _ in b], query
