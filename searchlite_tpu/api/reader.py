@@ -819,9 +819,20 @@ class IndexReader:
         # phase 1 — launch: per-segment host prep + async dispatch. All
         # segments' device work runs while later segments' host prep
         # proceeds; nothing blocks until the single bulk fetch below.
-        needs_mask_host = (agg_pipeline is not None
-                           or not score_fast_path
+        # Aggregations that can reduce ON DEVICE (ops/device_aggs.py)
+        # skip the full doc-axis mask fetch — per segment: a segment
+        # whose columns can't run device-side falls back to the host
+        # collectors over a fetched mask.
+        needs_mask_base = (not score_fast_path
                            or req.collapse is not None)
+        agg_dev_candidate = (agg_pipeline is not None
+                             and not needs_mask_base
+                             and vector_plan is None
+                             and mesh is None
+                             and os.environ.get(
+                                 "SEARCHLITE_DEVICE_AGGS", "1") != "0")
+        from searchlite_tpu.ops.precision import strict as _strict
+        needs_mask_host = needs_mask_base or agg_pipeline is not None
         use_cursor = (cursor_key is not None and score_fast_path
                       and vector_plan is None)
         # real doc-tile pruning (ops/tiles.py) is sound only when the
@@ -859,12 +870,28 @@ class IndexReader:
                 k=k, s_pad=qargs["s_pad"], has_scored_terms=has_scored,
                 need_scores=need_scores, use_cursor=use_cursor)
             fetch = [top_scores, top_idx, match_count, cursor_seen]
-            if needs_mask_host:
+            needs_mask = needs_mask_host
+            agg_refs = []
+            if agg_dev_candidate:
+                from searchlite_tpu.ops.device_aggs import (
+                    launch_device_aggs,
+                    plan_device_aggs,
+                )
+
+                plan_da = plan_device_aggs(dseg, req.aggs, _strict())
+                if plan_da is not None:
+                    meta, agg_refs = launch_device_aggs(
+                        dseg, plan_da, final_mask)
+                    qargs["_dev_aggs"] = (meta, len(agg_refs))
+                    needs_mask = needs_mask_base
+            if needs_mask:
                 fetch.append(final_mask)
+            qargs["_fetched_mask"] = needs_mask
             if vector_plan is not None:
                 fetch.append(text_mask)
             if need_scores and not score_fast_path:
                 fetch.append(adjusted)
+            fetch.extend(agg_refs)  # device agg partials fetch LAST
             return (dseg, qargs, fetch)
         for dseg in self.device_segments:
             seg = dseg.reader
@@ -1005,7 +1032,7 @@ class IndexReader:
                     fetched[:4]
                 cursor = 4
                 mask_np = None
-                if needs_mask_host:
+                if qargs.get("_fetched_mask"):
                     mask_np = np.array(fetched[cursor])[:seg.doc_count]
                     cursor += 1
                 if vector_plan is not None:
@@ -1101,8 +1128,17 @@ class IndexReader:
                         for key, s in zip(keys, top_scores2.tolist()))
 
             if agg_pipeline is not None:
-                agg_results.append(agg_pipeline.collect_segment(
-                    seg, dseg.ord, np.flatnonzero(mask_np)))
+                if "_dev_aggs" in qargs:
+                    from searchlite_tpu.ops.device_aggs import (
+                        build_intermediates,
+                    )
+
+                    meta, n_refs = qargs["_dev_aggs"]
+                    agg_results.append(build_intermediates(
+                        meta, fetched[len(fetched) - n_refs:]))
+                else:
+                    agg_results.append(agg_pipeline.collect_segment(
+                        seg, dseg.ord, np.flatnonzero(mask_np)))
 
         if vector_plan is not None:
             vector_scores = self._collect_vector_maps(

@@ -24,10 +24,11 @@ contiguous doc range and holds exactly the postings that land in it, so
   doc-sharded outputs the host reassembles, feeding the general result
   path (field-sort key merges, cursors, collapse, aggregations) with
   EXACTLY the single-chip semantics;
-- ``make_sharded_terms_counts`` merges aggregation intermediates on
-  device (per-chip bincount over dictionary ids → ``psum``), mirroring
-  the reference's cross-segment intermediate merge
-  (`query/aggs/mod.rs:2049-2068`).
+- ``make_sharded_terms_counts`` / ``make_sharded_stats_partial`` /
+  ``make_sharded_range_counts`` merge aggregation intermediates on
+  device (per-chip one-hot-contraction counts / masked reductions →
+  ``psum``/``pmin``/``pmax``), mirroring the reference's cross-segment
+  intermediate merge (`query/aggs/mod.rs:2049-2068`).
 """
 
 from __future__ import annotations
@@ -212,20 +213,25 @@ def make_sharded_vector_topk(mesh):
 
 
 def make_sharded_terms_counts(mesh):
-    """Device-side terms-aggregation partial merge over ICI: each chip
-    bincounts dictionary ids over its doc slice of the matched mask,
-    then a ``psum`` merges the per-chip intermediates — the semantics
-    of the reference's cross-segment aggregation-intermediate merge
-    (`query/aggs/mod.rs:2049-2068`) on the mesh."""
+    """Device-side bucket-count partial merge over ICI: each chip
+    counts bucket codes over its doc slice of the matched mask, then a
+    ``psum`` merges the per-chip intermediates — the semantics of the
+    reference's cross-segment aggregation-intermediate merge
+    (`query/aggs/mod.rs:2049-2068`) on the mesh. Serves terms
+    (dictionary ids) and histogram (host-computed exact bucket codes,
+    ops/device_aggs.py) alike.
+
+    The local count is the one-hot MXU contraction from
+    ops/device_aggs.py — NOT a bincount scatter-add: colliding
+    scatter-adds serialize on TPU (CLAUDE.md scatter model)."""
     import jax
     import jax.numpy as jnp
     from jax.sharding import PartitionSpec as P
 
+    from searchlite_tpu.ops.device_aggs import bucket_counts_local
+
     def local_step(dict_ids, mask, *, n_buckets):
-        ok = mask & (dict_ids >= 0)
-        safe = jnp.where(ok, dict_ids, 0)
-        counts = jnp.zeros(n_buckets, dtype=jnp.int32).at[safe].add(
-            ok.astype(jnp.int32), mode="drop")
+        counts = bucket_counts_local(jnp, dict_ids, mask, n_buckets)
         return jax.lax.psum(counts, "shard")
 
     def run(dict_ids, mask, *, n_buckets: int):
@@ -241,3 +247,71 @@ def make_sharded_terms_counts(mesh):
     import jax
 
     return jax.jit(run, static_argnames=("n_buckets",))
+
+
+def make_sharded_stats_partial(mesh):
+    """Device-side stats partial over ICI: per-chip (count, sum,
+    sum_sq, min, max) over its doc slice, merged with psum/pmin/pmax.
+    Same precision contract as the single-chip kernel
+    (ops/device_aggs.py): count/min/max exact, sums f32-accumulated."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    def local_step(vals, has, mask):
+        ok = has & mask
+        okf = ok.astype(jnp.float32)
+        masked = jnp.where(ok, vals, 0.0)
+        count = jax.lax.psum(jnp.sum(okf, dtype=jnp.float32), "shard")
+        total = jax.lax.psum(jnp.sum(masked, dtype=jnp.float32),
+                             "shard")
+        total_sq = jax.lax.psum(
+            jnp.sum(masked * masked, dtype=jnp.float32), "shard")
+        vmin = jax.lax.pmin(jnp.min(jnp.where(ok, vals, jnp.inf)),
+                            "shard")
+        vmax = jax.lax.pmax(jnp.max(jnp.where(ok, vals, -jnp.inf)),
+                            "shard")
+        return count, total, total_sq, vmin, vmax
+
+    def run(vals, has, mask):
+        fn = _shard_map()(
+            local_step,
+            mesh=mesh,
+            in_specs=(P("shard"), P("shard"), P("shard")),
+            out_specs=(P(), P(), P(), P(), P()),
+            check_vma=False,
+        )
+        return fn(vals, has, mask)
+
+    import jax
+
+    return jax.jit(run)
+
+
+def make_sharded_range_counts(mesh):
+    """Device-side range-agg partial over ICI: rows are host-f64
+    membership bools ([R, n1p], ranges may overlap) sharded on the doc
+    axis; per-chip counts psum across chips. Exact integers."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    def local_step(rows, mask):
+        local = jnp.dot(rows.astype(jnp.float32),
+                        mask.astype(jnp.float32),
+                        preferred_element_type=jnp.float32)
+        return jax.lax.psum(local.astype(jnp.int32), "shard")
+
+    def run(rows, mask):
+        fn = _shard_map()(
+            local_step,
+            mesh=mesh,
+            in_specs=(P(None, "shard"), P("shard")),
+            out_specs=P(),
+            check_vma=False,
+        )
+        return fn(rows, mask)
+
+    import jax
+
+    return jax.jit(run)

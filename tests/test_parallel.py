@@ -312,3 +312,80 @@ class TestShardedVectors:
             [h.doc_id for h in base.hits]
         for ha, hb in zip(base.hits, got.hits):
             assert hb.score == pytest.approx(ha.score, abs=1e-5)
+
+
+class TestShardedAggPartials:
+    """Generalized device-side agg partials over the mesh: stats and
+    range merge with psum/pmin/pmax; counts with the one-hot
+    contraction (no colliding scatter — it serializes on TPU)."""
+
+    @pytest.fixture(scope="class")
+    def setup(self):
+        import random
+
+        from searchlite_tpu.api.types import IndexOptions, StorageType
+        from searchlite_tpu.index import Index
+        from searchlite_tpu.index.manifest import Schema
+        from searchlite_tpu.parallel.mesh import make_mesh
+
+        rng = random.Random(61)
+        idx = Index.create(
+            IndexOptions(path="", create_if_missing=True,
+                         storage=StorageType.IN_MEMORY),
+            Schema.from_json({
+                "text_fields": [{"name": "body", "analyzer": "default",
+                                 "stored": False, "indexed": True}]}))
+        writer = idx.writer()
+        for i in range(300):
+            writer.add_document({
+                "_id": str(i),
+                "body": " ".join(rng.choices(
+                    [f"w{j}" for j in range(30)], k=8))})
+        writer.commit()
+        return idx.reader(), make_mesh(8, query_axis=1)
+
+    def test_sharded_stats_and_range_partials(self, setup):
+        import numpy as np
+
+        from searchlite_tpu.parallel.query import (
+            make_sharded_range_counts,
+            make_sharded_stats_partial,
+            pad_doc_axis,
+        )
+
+        reader, mesh = setup
+        seg = reader.segments[0]
+        dseg = reader.device_segments[0]
+        n1 = dseg.n1
+        rng = np.random.default_rng(3)
+        vals = rng.uniform(0, 100, size=n1).astype(np.float32)
+        has = rng.random(n1) < 0.8
+        mask = rng.random(n1) < 0.5
+        mask[n1 - 1] = False
+        import jax.numpy as jnp
+        n_shards = mesh.shape["shard"]
+        n1p = -(-n1 // n_shards) * n_shards
+        stats = make_sharded_stats_partial(mesh)
+        count, total, total_sq, vmin, vmax = (
+            np.asarray(x) for x in stats(
+                jnp.asarray(pad_doc_axis(vals, n1p, 0.0)),
+                jnp.asarray(pad_doc_axis(has, n1p, False)),
+                jnp.asarray(pad_doc_axis(mask, n1p, False))))
+        ok = has & mask
+        assert int(count) == int(ok.sum())
+        assert float(vmin) == float(vals[ok].min())
+        assert float(vmax) == float(vals[ok].max())
+        assert float(total) == pytest.approx(
+            float(vals[ok].sum()), rel=1e-5)
+        assert float(total_sq) == pytest.approx(
+            float((vals[ok].astype(np.float64) ** 2).sum()), rel=1e-4)
+
+        ranges = make_sharded_range_counts(mesh)
+        rows = np.stack([(vals >= 0) & (vals < 30) & has,
+                         (vals >= 20) & (vals < 80) & has,  # overlaps
+                         (vals >= 80) & has])
+        counts = np.asarray(ranges(
+            jnp.asarray(pad_doc_axis(rows, n1p, False)),
+            jnp.asarray(pad_doc_axis(mask, n1p, False))))
+        for i in range(3):
+            assert counts[i] == int((rows[i] & mask).sum())

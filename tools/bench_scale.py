@@ -43,14 +43,22 @@ def log(**kv):
     print(json.dumps(kv), flush=True)
 
 
-def gen_chunk(rng, probs, vocab, n):
+def gen_chunk(rng, probs, vocab, n, base):
     lengths = rng.integers(AVG_LEN // 2, AVG_LEN * 2, size=n)
     toks = rng.choice(VOCAB, size=int(lengths.sum()), p=probs)
     docs = []
     cursor = 0
     for i in range(n):
         ln = int(lengths[i])
-        docs.append(" ".join(vocab[t] for t in toks[cursor:cursor + ln]))
+        d = base + i
+        docs.append({
+            "_id": str(d),
+            "body": " ".join(vocab[t]
+                             for t in toks[cursor:cursor + ln]),
+            # fast fields for the aggregation benchmark
+            "cat": f"c{d % 7}",
+            "price": float(d % 997),
+        })
         cursor += ln
     return docs
 
@@ -101,16 +109,17 @@ def main():
                      enable_positions=False),
         Schema.from_json({
             "text_fields": [{"name": "body", "analyzer": "default",
-                             "stored": False, "indexed": True}]}))
+                             "stored": False, "indexed": True}],
+            "keyword_fields": [{"name": "cat", "stored": False,
+                                "indexed": False, "fast": True}],
+            "numeric_fields": [{"name": "price", "i64": False,
+                                "stored": False, "fast": True}]}))
     writer = index.writer()
     t0 = time.perf_counter()
     done = 0
     while done < n_docs:
         n = min(CHUNK, n_docs - done)
-        bodies = gen_chunk(rng, probs, vocab, n)
-        writer.add_documents(
-            [{"_id": str(done + i), "body": b}
-             for i, b in enumerate(bodies)])
+        writer.add_documents(gen_chunk(rng, probs, vocab, n, done))
         done += n
         log(phase="gen+buffer", docs=done,
             elapsed_s=round(time.perf_counter() - t0, 1))
@@ -200,6 +209,31 @@ def main():
             lat.append((time.perf_counter() - t1) * 1000)
         summary[f"p50_single_ms_{execution}"] = round(
             sorted(lat)[len(lat) // 2], 1)
+
+    # aggregation p50 at scale: terms + stats + histogram over the
+    # match set of a mid-frequency query (device-side partials vs the
+    # host-collector mask-fetch path — VERDICT r2 item 4)
+    if executions and "--no-aggs" not in args:
+        agg_req = {
+            "query": queries[0], "limit": 5,
+            "aggs": {
+                "cats": {"type": "terms", "field": "cat"},
+                "price_stats": {"type": "stats", "field": "price"},
+                "price_hist": {"type": "histogram", "field": "price",
+                               "interval": 100.0},
+            }}
+        for dev_flag, label in (("1", "device"), ("0", "host")):
+            os.environ["SEARCHLITE_DEVICE_AGGS"] = dev_flag
+            reader.search(agg_req)  # warm
+            lat = []
+            for _ in range(5):
+                t1 = time.perf_counter()
+                reader.search(agg_req)
+                lat.append((time.perf_counter() - t1) * 1000)
+            p50 = sorted(lat)[len(lat) // 2]
+            log(phase="aggs", mode=label, p50_ms=round(p50, 1))
+            summary[f"agg_p50_ms_{label}"] = round(p50, 1)
+        os.environ.pop("SEARCHLITE_DEVICE_AGGS", None)
 
     summary["value"] = summary.get("qps_bm25") or next(
         (summary[f"qps_{e}"] for e in executions
