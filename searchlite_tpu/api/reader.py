@@ -2931,7 +2931,7 @@ class IndexReader:
             if dense is not None:
                 split = split_impact_batch(
                     qb, dense["row_of_tid"],
-                    pad_row=len(dense["row_of_tid"]), n1=dseg.n1)
+                    n_rows=len(dense["row_of_tid"]), n1=dseg.n1)
                 if split is not None:
                     scorer = self._split_batched_scorer()
                     return scorer(
@@ -2939,13 +2939,12 @@ class IndexReader:
                         dense["m_dense"], dseg.deleted,
                         jnp.asarray(split["blk_idx"]),
                         jnp.asarray(split["slot_row"]),
-                        jnp.asarray(split["dense_sel"]),
                         jnp.asarray(split["wd_idx"]),
                         jnp.asarray(split["wd_val"]),
                         jnp.asarray(split["ws_idx"]),
                         jnp.asarray(split["ws_val"]),
                         filter_rows, fidx_dev,
-                        k=k, d_pad=split["d_pad"], s_pad=split["s_pad"],
+                        k=k, s_pad=split["s_pad"],
                         n_queries=qb["n_queries"],
                         use_filters=use_filters)
         scorer = self._batched_scorer()

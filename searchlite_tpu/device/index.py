@@ -209,11 +209,11 @@ class DeviceSegment:
         import os  # noqa: PLC0415
 
         from searchlite_tpu.ops.precision import (  # noqa: PLC0415
-            m_store_dtype,
+            dense_store_dtype,
         )
 
-        dtype = m_store_dtype(os.environ.get("SEARCHLITE_PRECISION",
-                                             "f32"))
+        dtype = dense_store_dtype(os.environ.get("SEARCHLITE_PRECISION",
+                                                 "f32"))
         itemsize = np.dtype(dtype).itemsize
         key = (budget_bytes, np.dtype(dtype).name)
         cached = getattr(self, "_dense_rows", None)

@@ -396,11 +396,14 @@ def make_expand_impact_scorer(precision: str = "f32"):
 
 def make_split_impact_scorer(precision: str = "f32"):
     """Batched scorer with the dense/sparse slot split: high-df slots
-    come as row gathers from a precomputed dense impact matrix (zipf
-    head terms hold most postings; wide row gathers run near memory
-    speed), the sparse tail goes through the block scatter. Scores are
-    the sum of two MXU matmuls — identical results to the plain scorer,
-    fewer update-bound scatter cycles."""
+    score through ONE direct matmul over the whole resident dense
+    impact matrix ``m_dense [R+1, n1]`` — the weight matrix indexes
+    dense ROWS, so there is no per-batch row gather (measured 4.6 ms
+    for a 512-row gather on v5e; the K≈R matmul costs less and scales
+    with R, not with the batch's selection). The sparse tail goes
+    through the f32 block scatter. Scores are the sum of two MXU
+    matmuls — identical results to the plain scorer, far fewer
+    update-bound scatter cycles on Zipf workloads."""
     from searchlite_tpu.ops.precision import (
         apply_matmul_precision,
         m_store_dtype,
@@ -413,25 +416,25 @@ def make_split_impact_scorer(precision: str = "f32"):
     m_dtype = m_store_dtype(precision)
 
     @partial(jax.jit,
-             static_argnames=("k", "d_pad", "s_pad", "n_queries",
-                              "use_filters"))
+             static_argnames=("k", "s_pad", "n_queries", "use_filters"))
     def scorer(block_docs, block_impacts, m_dense, deleted,
-               blk_idx, slot_row, dense_sel,
+               blk_idx, slot_row,
                wd_idx, wd_val, ws_idx, ws_val, filter_rows, fidx,
-               *, k: int, d_pad: int, s_pad: int, n_queries: int,
+               *, k: int, s_pad: int, n_queries: int,
                use_filters: bool = False):
         n1 = deleted.shape[0]
+        r1 = m_dense.shape[0]  # R+1 (last row zeros), static per array
         m_sparse = build_m_from_blocks(jnp, block_docs, block_impacts,
                                        blk_idx, slot_row, n1, s_pad,
                                        dtype=m_dtype)
-        md = m_dense[dense_sel]  # [d_pad, n1]; pad row is all zeros
-        wd = _densify_w(jnp, wd_idx, wd_val, n_queries, d_pad)
+        wd = _densify_w(jnp, wd_idx, wd_val, n_queries, r1)
         ws = _densify_w(jnp, ws_idx, ws_val, n_queries, s_pad)
-        if md.dtype != wd.dtype:
-            wd = wd.astype(md.dtype)
+        if m_dense.dtype != wd.dtype:
+            wd = wd.astype(m_dense.dtype)
         if m_sparse.dtype != ws.dtype:
             ws = ws.astype(m_sparse.dtype)
-        scores = (jnp.dot(wd, md, preferred_element_type=jnp.float32)
+        scores = (jnp.dot(wd, m_dense,
+                          preferred_element_type=jnp.float32)
                   + jnp.dot(ws, m_sparse,
                             preferred_element_type=jnp.float32))
         ok = (scores > 0.0) & ~deleted[None, :]
@@ -452,69 +455,73 @@ def _densify_w(jnp, w_idx, w_val, n_queries: int, s_count: int):
     return w_flat[: n_queries * s_count].reshape(n_queries, s_count)
 
 
-def split_impact_batch(qb, dense_map: dict, pad_row: int, n1: int):
+def split_impact_batch(qb, dense_map: dict, n_rows: int, n1: int):
     """Re-arrange a build_impact_batch() output for the dense/sparse
-    split scorer: slots whose term id is in ``dense_map`` become dense
-    row selections, the rest keep their block-gather tables. Returns
+    split scorer: slots whose term id is in ``dense_map`` become weight
+    entries over the RESIDENT dense matrix's row axis ([Q, n_rows+1]
+    COO — the scorer matmuls the whole m_dense, no row gather); the
+    rest keep their block-gather tables. Vectorized (the headline path
+    runs this per batch; a python per-entry loop cost ~10 ms). Returns
     None when no batch slot is dense (caller uses the plain scorer)."""
     tids = qb["slot_tids"]
     n_slots = qb["n_slots"]
-    dense_pos: dict[int, int] = {}
-    sparse_pos: dict[int, int] = {}
-    dense_row_ids: list[int] = []
+    # per-slot dense row (−1 = sparse); dict lookups once per SLOT,
+    # everything per-ENTRY below is numpy
+    row_of = np.full(max(n_slots, 1), -1, dtype=np.int64)
     for s in range(n_slots):
-        row = dense_map.get(int(tids[s]))
-        if row is not None:
-            dense_pos[s] = len(dense_row_ids)
-            dense_row_ids.append(row)
-        else:
-            sparse_pos[s] = len(sparse_pos)
-    if not dense_row_ids:
+        row_of[s] = dense_map.get(int(tids[s]), -1)
+    if not (row_of >= 0).any():
         return None
-    d_pad = next_pow2(max(len(dense_row_ids), 8))
-    s_pad = next_pow2(max(len(sparse_pos), 8))
-    dense_sel = np.full(d_pad, pad_row, dtype=np.int32)
-    dense_sel[:len(dense_row_ids)] = dense_row_ids
+    is_sparse = row_of < 0
+    sp_of = np.cumsum(is_sparse) - 1  # sparse position per slot
+    n_sparse = int(is_sparse.sum())
+    s_pad = next_pow2(max(n_sparse, 8))
+    r1 = n_rows + 1
     # sparse block tables
-    sp_bstart = [0] * len(sparse_pos)
-    sp_bcnt = [0] * len(sparse_pos)
-    for s, sp in sparse_pos.items():
-        sp_bstart[sp] = qb["slot_bstart"][s]
-        sp_bcnt[sp] = qb["slot_bcnt"][s]
+    sp_slots = np.flatnonzero(is_sparse)
     blk_idx, slot_row, nb_pad = build_block_tables(
-        sp_bstart, sp_bcnt, sentinel_row=qb["sentinel_row"])
-    # split the sorted COO weights; w_idx = qi*S_old + s_old (entries
-    # stay sorted because dense/sparse positions are monotone in s_old)
+        [qb["slot_bstart"][s] for s in sp_slots],
+        [qb["slot_bcnt"][s] for s in sp_slots],
+        sentinel_row=qb["sentinel_row"])
+    # split the sorted COO weights (w_idx = qi*S_old + s_old)
     s_old = len(qb["slot_start"])
     nq = qb["n_queries"]
-    wd_entries, ws_entries = [], []
-    for idx, val in zip(qb["w_idx"].tolist(), qb["w_val"].tolist()):
-        qi, s = divmod(int(idx), s_old)
-        if qi >= nq:
-            continue  # pad entry
-        if s in dense_pos:
-            wd_entries.append((qi * d_pad + dense_pos[s], val))
-        else:
-            ws_entries.append((qi * s_pad + sparse_pos[s], val))
+    w_idx = qb["w_idx"].astype(np.int64)
+    w_val = qb["w_val"]
+    qi = w_idx // s_old
+    s = w_idx - qi * s_old
+    real = qi < nq
+    s_safe = np.minimum(s, max(n_slots - 1, 0))
+    dense_e = real & (row_of[s_safe] >= 0)
+    sparse_e = real & ~dense_e
+    # dense entries: key = qi*(R+1) + row — rows aren't monotone in
+    # slot order, so sort (stable, small array)
+    wd_keys = qi[dense_e] * r1 + row_of[s_safe[dense_e]]
+    order = np.argsort(wd_keys, kind="stable")
+    wd_keys = wd_keys[order]
+    wd_vals = w_val[dense_e][order]
+    # sparse entries: sp_of is monotone in slot order, so entries stay
+    # sorted by (qi, sparse position) — no sort needed
+    ws_keys = qi[sparse_e] * s_pad + sp_of[s_safe[sparse_e]]
+    ws_vals = w_val[sparse_e]
 
-    def pack(entries, width):
-        pad = next_pow2(max(len(entries), 16))
-        idxs = np.zeros(pad, dtype=np.int32)
-        vals = np.zeros(pad, dtype=np.float32)
-        for i, (ix, v) in enumerate(entries):
-            idxs[i] = ix
-            vals[i] = v
-        for i in range(len(entries), pad):
-            idxs[i] = nq * width + (i - len(entries))
-        return idxs, vals
+    def pack(keys, vals, width):
+        pad = next_pow2(max(len(keys), 16))
+        idxs = np.empty(pad, dtype=np.int32)
+        out_vals = np.zeros(pad, dtype=np.float32)
+        idxs[:len(keys)] = keys
+        out_vals[:len(keys)] = vals
+        idxs[len(keys):] = nq * width + np.arange(
+            pad - len(keys), dtype=np.int32)
+        return idxs, out_vals
 
-    wd_idx, wd_val = pack(wd_entries, d_pad)
-    ws_idx, ws_val = pack(ws_entries, s_pad)
-    if max(s_pad * n1 + nb_pad * 128, d_pad * n1) >= 2**31:
+    wd_idx, wd_val = pack(wd_keys, wd_vals, r1)
+    ws_idx, ws_val = pack(ws_keys, ws_vals, s_pad)
+    if s_pad * n1 + nb_pad * 128 >= 2**31:
         raise OverflowError(
             "impact matrix exceeds int32 indexing; shard the doc space")
     return {
-        "dense_sel": dense_sel, "d_pad": d_pad, "s_pad": s_pad,
+        "s_pad": s_pad,
         "blk_idx": blk_idx, "slot_row": slot_row,
         "wd_idx": wd_idx, "wd_val": wd_val,
         "ws_idx": ws_idx, "ws_val": ws_val,

@@ -57,16 +57,26 @@ def strict() -> bool:
 
 
 def m_store_dtype(precision: str):
-    """Storage dtype for the densified impact matrix M (and the
-    precomputed dense rows).
+    """Storage dtype for SCATTER-BUILT impact matrices (the sparse M).
 
-    On accelerator backends the default ("fast-f32") matmul already
-    rounds its INPUTS to bf16 (D8), so storing M in bf16 yields
-    bit-identical scores while halving M's HBM footprint and matmul
-    read traffic — and lets the scatter write half the bytes. On the
-    CPU backend (tests, oracles) matmuls are exact f32, so M stays f32
-    to preserve exact single-vs-batch parity; ``f32_strict`` keeps f32
-    everywhere."""
+    Measured on v5e (tools/profile_split.py, round 3): a bf16 scatter
+    store is SLOWER than f32 (18.1 vs 14.2 ms at the headline shapes —
+    sub-word scatter writes), and the default fast-f32 matmul already
+    runs at bf16 speed on f32 inputs (7.7 ms either way), so the
+    scatter path stores f32 in every mode. bf16 pays off only where
+    there is no scatter — the precomputed dense rows
+    (``dense_store_dtype``)."""
+    import jax.numpy as jnp
+
+    return jnp.float32
+
+
+def dense_store_dtype(precision: str):
+    """Storage dtype for the PRECOMPUTED dense impact rows (m_dense):
+    no scatter ever writes them, so bf16 halves HBM + upload + matmul
+    read traffic with scores bit-identical under the default fast-f32
+    matmul (which rounds inputs to bf16 anyway — D8). CPU backends and
+    f32_strict keep f32 (exact-f32 dots)."""
     import jax
     import jax.numpy as jnp
 

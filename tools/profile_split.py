@@ -69,13 +69,19 @@ def main():
     nq = qb["n_queries"]
     K = bench.K
 
-    dense = dseg.dense_rows(256 * 1024**2)
+    import os
+
+    dense_budget = int(os.environ.get(
+        "SEARCHLITE_DENSE_M_BYTES", 1024**3))
+    dense = dseg.dense_rows(dense_budget)
+    n_rows = len(dense["row_of_tid"])
     split = split_impact_batch(qb, dense["row_of_tid"],
-                               pad_row=len(dense["row_of_tid"]), n1=n1)
+                               n_rows=n_rows, n1=n1)
     print(f"shapes: n1={n1} nq={nq} "
           f"nosplit(nb_pad={qb['nb_pad']}, s_pad={qb['s_pad']}) "
           f"split(nb_pad={split['blk_idx'].shape[0]}, "
-          f"s_pad={split['s_pad']}, d_pad={split['d_pad']})",
+          f"s_pad={split['s_pad']}, R={n_rows}, "
+          f"m_dense_dtype={dense['m_dense'].dtype})",
           flush=True)
 
     bd, bi = dseg.block_docs, dseg.block_impacts
@@ -84,12 +90,11 @@ def main():
     deleted = dseg.deleted
     sp_blk = jnp.asarray(split["blk_idx"])
     sp_row = jnp.asarray(split["slot_row"])
-    dsel = jnp.asarray(split["dense_sel"])
     wd_idx = jnp.asarray(split["wd_idx"])
     wd_val = jnp.asarray(split["wd_val"])
     ws_idx = jnp.asarray(split["ws_idx"])
     ws_val = jnp.asarray(split["ws_val"])
-    s_pad, d_pad = split["s_pad"], split["d_pad"]
+    s_pad, d_pad = split["s_pad"], n_rows + 1
 
     # truncated / padded sparse block tables, to scale nb_pad
     def blk_tables(n_pad):
@@ -137,13 +142,17 @@ def main():
     timeit("sparse scatter M bf16 store",
            lambda r: [stage_m16(bd, bi16) for _ in range(r)], sum_fetch)
 
-    # --- stage: dense row gather -------------------------------------
-    @jax.jit
-    def stage_gather(md, dsel):
-        return md[dsel].sum()
+    # --- stage: direct dense matmul over the resident m_dense --------
+    w_dense = jnp.asarray(np.random.default_rng(1).random(
+        (nq, d_pad), dtype=np.float32)).astype(md.dtype)
 
-    timeit(f"dense row gather [{d_pad},{n1}]",
-           lambda r: [stage_gather(md, dsel) for _ in range(r)],
+    @jax.jit
+    def stage_dense_mm(w, md):
+        return jnp.dot(w, md, preferred_element_type=jnp.float32).sum()
+
+    timeit(f"direct dense matmul [{nq},{d_pad}]x[{d_pad},{n1}] "
+           f"{md.dtype}",
+           lambda r: [stage_dense_mm(w_dense, md) for _ in range(r)],
            sum_fetch)
 
     # --- stage: W densify --------------------------------------------
@@ -199,11 +208,11 @@ def main():
         out = []
         for _ in range(r):
             s, i = scorer(
-                bd, bi, md, deleted, sp_blk, sp_row, dsel,
+                bd, bi, md, deleted, sp_blk, sp_row,
                 wd_idx, wd_val, ws_idx, ws_val,
                 jnp.zeros((1, 1), dtype=bool),
                 jnp.zeros(1, dtype=jnp.int32),
-                k=K, d_pad=d_pad, s_pad=s_pad, n_queries=nq)
+                k=K, s_pad=s_pad, n_queries=nq)
             out.append(s)
             out.append(i)
         return out
