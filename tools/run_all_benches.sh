@@ -31,11 +31,14 @@ grep -q "probe ok" "$OUT/probe.log" || { echo "TUNNEL DOWN — abort" | tee -a "
 # 1. headline bench (BENCH_r02 material)
 step bench_headline 2500 python bench.py
 
-# 2. headline with bf16 scoring (measure the delta)
-step bench_bf16 2500 env SEARCHLITE_PRECISION=bf16 python bench.py
+# 2. stage profile of the default split path (scatter/matmul/topk)
+step profile_split 2000 python tools/profile_split.py
 
 # 3. headline with bit-exact f32 dots (the cost of strict parity, D8)
 step bench_strict 2500 env SEARCHLITE_PRECISION=f32_strict python bench.py
+
+# 3b. headline with the dense split OFF (the split's delta)
+step bench_nosplit 2500 env SEARCHLITE_DENSE_M_BYTES=0 python bench.py
 
 # 4. micro scenarios (criterion parity + pruned scenario)
 step micro 2500 python benches/micro.py
@@ -51,5 +54,8 @@ step probe_matmul 900 python tools/probe_matmul.py
 
 # 8. strategy comparison demo (bm25 vs wand vs bmw, exactness asserted)
 step strategy 2500 python tools/strategy_compare.py 200000 30
+
+# 9. BASELINE config sweep (quickstart CLI / recipes / video-games)
+step configs 2000 python benches/configs.py
 
 echo "ALL DONE ($(date -u +%H:%M:%S))" | tee -a "$OUT/summary.log"
