@@ -2917,13 +2917,13 @@ class IndexReader:
             filter_rows = jnp.zeros((1, 1), dtype=bool)
             fidx_dev = jnp.zeros(1, dtype=jnp.int32)
         # default ON: measured +52% batched QPS on v5e at 100k docs
-        # (BENCH_NOTES round 2); 0 disables. 1 GiB default (bf16 rows
+        # (BENCH_NOTES round 2); 0 disables. 2 GiB default (bf16 rows
         # on accelerators — ops/precision.py): on Zipf workloads this
-        # routes nearly all batch postings through the row-gather path,
-        # shrinking the update-bound scatter toward zero; evictable
-        # under HBM pressure (evict_device_caches).
+        # routes nearly all batch postings through the direct dense
+        # matmul, shrinking the update-bound scatter toward zero;
+        # evictable under HBM pressure (evict_device_caches).
         dense_budget = int(os.environ.get(
-            "SEARCHLITE_DENSE_M_BYTES", 1024**3))
+            "SEARCHLITE_DENSE_M_BYTES", 2 * 1024**3))
         if dense_budget > 0:
             from searchlite_tpu.ops.impact import split_impact_batch
 

@@ -195,7 +195,7 @@ class DeviceSegment:
 
     def dense_rows(self, budget_bytes: int):
         """Precomputed dense impact rows for the highest-df terms
-        (df >= n1/256, highest first) within ``budget_bytes`` of HBM.
+        (df >= n1/512, highest first) within ``budget_bytes`` of HBM.
         Zipf head terms carry most postings, so batch M builds can
         row-gather these instead of scattering their postings —
         the scatter is update-count-bound (~7 cycles/update) while wide
@@ -226,8 +226,12 @@ class DeviceSegment:
         max_rows = budget_bytes // (self.n1 * itemsize)
         order = np.argsort(-term_df, kind="stable")
         out = None
+        # breakeven: a resident dense row pays 2·Q·n1 matmul FLOPs per
+        # batch whether used or not (~1.1us at Q=1024 on v5e); a
+        # scattered term pays ~5.5ns/posting — crossover near
+        # df = n1/500 (profile_split round-3 numbers)
         sel = order[:max_rows]
-        rows = sel[term_df[sel] * 256 >= self.n1]
+        rows = sel[term_df[sel] * 512 >= self.n1]
         if len(rows):
             # one vectorized scatter over all selected rows (a python
             # per-row loop costs seconds at thousands of rows)

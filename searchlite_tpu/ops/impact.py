@@ -65,6 +65,19 @@ def pow2_bucket(n: int, minimum: int = 4096) -> int:
     return out
 
 
+def pow15_bucket(n: int, minimum: int = 512) -> int:
+    """Round up to the {pow2, 0.75·pow2} ladder (512, 768, 1024, 1536,
+    2048, 3072, ...): at most 33% overshoot. Used for the batched
+    scorers' hot extents (sparse slot count, gathered block count),
+    where pow-2's worst-case 2x pad directly doubles matmul K or
+    scatter updates; two buckets per octave keeps compile counts
+    bounded for steady serving."""
+    out = pow2_bucket(n, minimum=minimum)
+    if out * 3 // 4 >= max(n, minimum):
+        return out * 3 // 4
+    return out
+
+
 def build_m_from_blocks(jnp, block_docs, block_impacts, blk_idx,
                         slot_row, n1: int, s_count: int, dtype=None):
     """Densify term slots into M [s_count, n1] from the 128-wide block
@@ -475,7 +488,7 @@ def split_impact_batch(qb, dense_map: dict, n_rows: int, n1: int):
     is_sparse = row_of < 0
     sp_of = np.cumsum(is_sparse) - 1  # sparse position per slot
     n_sparse = int(is_sparse.sum())
-    s_pad = next_pow2(max(n_sparse, 8))
+    s_pad = pow15_bucket(max(n_sparse, 8), minimum=8)
     r1 = n_rows + 1
     # sparse block tables
     sp_slots = np.flatnonzero(is_sparse)
@@ -540,8 +553,10 @@ def build_block_tables(slot_bstart, slot_bcnt, sentinel_row: int,
     starts = np.asarray(slot_bstart, dtype=np.int64)
     cnts = np.asarray(slot_bcnt, dtype=np.int64)
     total = int(cnts.sum())
-    bucket = pow4_bucket if coarse else pow2_bucket
-    nb_pad = bucket(max(total, 1), minimum=min_blocks)
+    if coarse:
+        nb_pad = pow4_bucket(max(total, 1), minimum=min_blocks)
+    else:
+        nb_pad = pow15_bucket(max(total, 1), minimum=min_blocks)
     blk_idx = np.full(nb_pad, sentinel_row, dtype=np.int32)
     slot_row = np.zeros(nb_pad, dtype=np.int32)
     if total:

@@ -148,13 +148,13 @@ def test_dense_split_path_matches_plain(index, monkeypatch):
 
 
 def test_dense_rows_selection(index):
-    """dense_rows picks only terms with df >= n1/256 within budget."""
+    """dense_rows picks only terms with df >= n1/512 within budget."""
     dseg = index.reader().device_segments[0]
     dense = dseg.dense_rows(64 * 1024 * 1024)
     assert dense is not None
     postings = dseg.reader.postings
     for tid in dense["row_of_tid"]:
-        assert int(postings.term_df[tid]) * 256 >= dseg.n1
+        assert int(postings.term_df[tid]) * 512 >= dseg.n1
     # the pad row is zeros
     import numpy as np
     m = np.asarray(dense["m_dense"])
@@ -304,16 +304,24 @@ def test_bf16_m_storage_machinery(index, monkeypatch):
             assert sf == pytest.approx(se, rel=2e-2, abs=1e-2)
 
 
-def test_pow2_bucketing_block_tables():
-    """build_block_tables pads to pow-2 (not pow-4) by default; coarse
-    keeps the pow-4 ladder."""
+def test_fine_bucketing_block_tables():
+    """build_block_tables pads to the {pow2, 0.75·pow2} ladder by
+    default (every pad block = 128 wasted scatter updates); coarse
+    keeps the pow-4 ladder for compile-sensitive callers."""
     from searchlite_tpu.ops.impact import build_block_tables
 
-    # 40 blocks → pow2 bucket 64 (min 32); pow4 coarse → 128
+    # 40 blocks → pow2 64, then 48 (= 0.75*64) still fits
     blk, row, nb = build_block_tables([0], [40], sentinel_row=99)
-    assert nb == 64
+    assert nb == 48
     blk, row, nb = build_block_tables([0], [40], sentinel_row=99,
                                       coarse=True)
     assert nb == 128
     # pads carry the sentinel row
     assert (blk[40:] == 99).all()
+    # ladder shape: 0.75*pow2 chosen only when it fits
+    from searchlite_tpu.ops.impact import pow15_bucket
+
+    assert pow15_bucket(40, minimum=32) == 48
+    assert pow15_bucket(50, minimum=32) == 64
+    assert pow15_bucket(3000) == 3072
+    assert pow15_bucket(3100) == 4096
