@@ -271,24 +271,40 @@ def main():
         reader.search_batch(batch, limit=K)
 
     # sustained throughput: a stream of batches through the pipelined
-    # API (dispatch all, one bulk fetch) — the serving pattern
+    # API (dispatch all, one bulk fetch) — the serving pattern.
+    # Both batched strategies are measured: `bm25` (dense W@M) and
+    # `wand` (per-query doc-tile pruning — the reference's own default
+    # strategy); results are identical (oracle-verified below), so the
+    # headline is the faster one.
     stream = batches[1:] * 8  # ~1.5s of measurement at 16k QPS
-    t0 = time.perf_counter()
-    reader.search_batch_many(stream, limit=K)
-    dt = time.perf_counter() - t0
     n_queries = sum(len(b) for b in stream)
-    qps = n_queries / dt
-    RESULT["value"] = round(qps, 2)
+    qps_by_exec = {}
+    for execution in ("bm25", "wand"):
+        reader.search_batch_many(batches[:1], limit=K,
+                                 execution=execution)  # warm compiles
+        t0 = time.perf_counter()
+        reader.search_batch_many(stream, limit=K, execution=execution)
+        dt = time.perf_counter() - t0
+        qps_by_exec[execution] = round(n_queries / dt, 2)
+        RESULT["detail"][f"qps_{execution}"] = qps_by_exec[execution]
+    best = max(qps_by_exec, key=qps_by_exec.get)
+    qps = qps_by_exec[best]
+    RESULT["value"] = qps
+    RESULT["detail"]["headline_execution"] = best
     RESULT["detail"]["batch"] = BATCH
     RESULT["detail"]["terms_per_query"] = TERMS_PER_QUERY
 
-    # correctness gate: the device stream's results are the oracle's
+    # correctness gate: BOTH strategies' results are the oracle's
     # exact top-k (catches silent backend corruption — the QPS number
     # is meaningless otherwise)
     verify_queries = batches[1][:16]
-    verify_results = reader.search_batch(verify_queries, limit=K)
-    RESULT["detail"]["verified_vs_oracle"] = verify_vs_oracle(
-        reader, verify_queries, verify_results)
+    ok = True
+    for execution in ("bm25", "wand"):
+        verify_results = reader.search_batch(verify_queries, limit=K,
+                                             execution=execution)
+        ok = ok and verify_vs_oracle(reader, verify_queries,
+                                     verify_results)
+    RESULT["detail"]["verified_vs_oracle"] = ok
     RESULT["detail"]["score_mode"] = (
         "f32_strict" if os.environ.get(
             "SEARCHLITE_PRECISION") == "f32_strict"
