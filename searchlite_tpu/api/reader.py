@@ -2122,8 +2122,9 @@ class IndexReader:
                 seg = dseg.reader
                 if seg.doc_count == 0:
                     continue
-                qb = build_impact_batch(seg, dseg, analyzed)
-                s_pad = len(qb["slot_start"])
+                qb = build_impact_batch(seg, dseg, analyzed,
+                                        lazy_tables=True)
+                s_pad = qb["s_pad"]
                 est_bytes = (s_pad + len(analyzed)) * dseg.n1 * 4
                 if (est_bytes <= m_budget_bytes
                         and qb["flat_extent"] < FLAT_INDEX_LIMIT):
@@ -2131,9 +2132,21 @@ class IndexReader:
                     scores, ids = self._launch_batch_segment(
                         dseg, qb, k, fidx, distinct)
                 else:
-                    scores, ids = self._search_batch_sharded(
-                        dseg, analyzed, qb, k_batch, est_bytes,
-                        m_budget_bytes, fidx, distinct)
+                    # oversized corpus: the sparse candidate scorer
+                    # needs no doc-axis matrix at ALL, so it routes
+                    # around the shard loop entirely; only the heavy
+                    # remainder pays the sharded dense scan
+                    scores = ids = None
+                    if fidx is None:
+                        out = self._try_sparse_candidates(
+                            dseg, qb, min(k_batch, dseg.n1),
+                            shard_budget=m_budget_bytes)
+                        if out is not None:
+                            scores, ids = out
+                    if scores is None:
+                        scores, ids = self._search_batch_sharded(
+                            dseg, analyzed, qb, k_batch, est_bytes,
+                            m_budget_bytes, fidx, distinct)
                 launched.append((dseg.ord, scores, ids))
             launches.append(launched)
 
@@ -2795,8 +2808,12 @@ class IndexReader:
         import jax
         import jax.numpy as jnp
 
-        from searchlite_tpu.ops.impact import pow2_bucket
+        from searchlite_tpu.ops.impact import (
+            ensure_dense_tables,
+            pow2_bucket,
+        )
 
+        ensure_dense_tables(qb)
         n_shards = 1
         while est_bytes // n_shards > budget:
             n_shards *= 2
@@ -2896,20 +2913,31 @@ class IndexReader:
                 np.take_along_axis(cat_ids, order, axis=1))
 
     def _launch_batch_segment(self, dseg, qb, k: int, fidx=None,
-                              distinct=None):
-        """Dispatch one segment's batched scoring. With
-        SEARCHLITE_DENSE_M_BYTES set, high-df slots route through
-        precomputed dense impact rows (row gather + second matmul)
-        instead of the update-bound scatter — identical results.
-        (fidx, distinct): per-query filter rows (see
+                              distinct=None, allow_sparse: bool = True):
+        """Dispatch one segment's batched scoring. Unfiltered batches
+        route through the sparse candidate scorer first (ops/sparse.py:
+        top-k over each query's own gathered postings — no doc-axis
+        score matrix; measured 7.7x the split scorer at the headline
+        shapes), with head-term queries falling back to the dense
+        scorers below. With SEARCHLITE_DENSE_M_BYTES set, high-df slots
+        of the dense path route through precomputed dense impact rows
+        (direct matmul) instead of the update-bound scatter — identical
+        results. (fidx, distinct): per-query filter rows (see
         _batch_filter_tables), or None for unfiltered."""
         import jax.numpy as jnp
 
+        use_filters = fidx is not None
+        if allow_sparse and not use_filters:
+            out = self._try_sparse_candidates(dseg, qb, k)
+            if out is not None:
+                return out
         if qb["flat_extent"] >= FLAT_INDEX_LIMIT:
             raise QueryError(
                 "impact matrix exceeds int32 indexing; route through "
                 "the doc-sharded batch path")
-        use_filters = fidx is not None
+        from searchlite_tpu.ops.impact import ensure_dense_tables
+
+        ensure_dense_tables(qb)
         if use_filters:
             filter_rows = self._segment_filter_rows(dseg, distinct)
             fidx_dev = jnp.asarray(fidx)
@@ -2955,6 +2983,94 @@ class IndexReader:
             filter_rows, fidx_dev,
             k=k, s_pad=qb["s_pad"], n_queries=qb["n_queries"],
             use_filters=use_filters)
+
+    def _try_sparse_candidates(self, dseg, qb, k: int,
+                               shard_budget: int = 0):
+        """Route a batch through the sparse candidate scorer
+        (ops/sparse.py). Queries whose gathered posting strips fit in
+        SEARCHLITE_SPARSE_MAX_BLOCKS blocks are scored over their own
+        candidates only; the heavy remainder (head-term queries) is
+        re-packed (subset_impact_batch) and recursed through the dense
+        scorers, and both row groups are scattered back into batch
+        order on device. With ``shard_budget`` set (the oversized-
+        corpus branch) a wider default block cap applies and the heavy
+        remainder runs the doc-sharded scan. Returns None when the
+        path doesn't apply (disabled, no light queries, oversized k) —
+        the caller falls through to the dense scorers."""
+        import jax.numpy as jnp
+
+        from searchlite_tpu.ops.impact import subset_impact_batch
+        from searchlite_tpu.ops.sparse import partition_sparse_batch
+
+        max_blocks = int(os.environ.get(
+            "SEARCHLITE_SPARSE_MAX_BLOCKS",
+            "512" if shard_budget else "32"))
+        if max_blocks <= 0 or k > 1024:
+            return None
+        nq = qb["n_queries"]
+        if nq == 0 or qb["n_slots"] == 0:
+            return None
+        part = partition_sparse_batch(qb, max_blocks)
+        if part is None or k > part["nblk"] * 128:
+            return None
+        scorer = self._sparse_candidate_scorer()
+        ts, td = scorer(
+            dseg.block_docs, dseg.block_impacts_live,
+            jnp.asarray(part["bstart"]), jnp.asarray(part["bcnt"]),
+            jnp.asarray(part["w"]),
+            jnp.int32(dseg.n_block_rows), jnp.int32(dseg.n1 - 1),
+            k=k, t_pad=part["t_pad"], nblk=part["nblk"],
+            log2_run=part["log2_run"])
+        light_idx = part["light_idx"]
+        heavy_idx = part["heavy_idx"]
+        if len(heavy_idx) == 0 and len(light_idx) == nq \
+                and ts.shape[0] == nq:
+            return ts, td
+        bl = ts.shape[0]
+        light_map = np.full(bl, nq, dtype=np.int32)
+        light_map[:len(light_idx)] = light_idx
+        if len(heavy_idx):
+            hqb = subset_impact_batch(qb, heavy_idx)
+            est_h = (hqb["s_pad"] + hqb["n_queries"]) * dseg.n1 * 4
+            if shard_budget and (est_h > shard_budget
+                                 or hqb["flat_extent"]
+                                 >= FLAT_INDEX_LIMIT):
+                hs, hi = self._search_batch_sharded(
+                    dseg, None, hqb, k, est_h, shard_budget)
+                hs, hi = jnp.asarray(hs), jnp.asarray(hi)
+            else:
+                hs, hi = self._launch_batch_segment(
+                    dseg, hqb, k, allow_sparse=False)
+            heavy_map = np.full(hs.shape[0], nq, dtype=np.int32)
+            heavy_map[:len(heavy_idx)] = heavy_idx
+        else:
+            import jax.numpy as _j
+            hs = _j.full((1, k), -_j.inf, dtype=ts.dtype)
+            hi = _j.zeros((1, k), dtype=td.dtype)
+            heavy_map = np.full(1, nq, dtype=np.int32)
+        combine = self._row_combiner()
+        return combine(ts, td, jnp.asarray(light_map), hs, hi,
+                       jnp.asarray(heavy_map), n_rows=nq)
+
+    def _sparse_candidate_scorer(self):
+        from searchlite_tpu.ops.sparse import make_sparse_candidate_scorer
+
+        with _GLOBAL_LOCK:
+            scorer = _GLOBAL_SCORERS.get(("sparse_cand",))
+            if scorer is None:
+                scorer = make_sparse_candidate_scorer()
+                _GLOBAL_SCORERS[("sparse_cand",)] = scorer
+            return scorer
+
+    def _row_combiner(self):
+        from searchlite_tpu.ops.sparse import make_row_combiner
+
+        with _GLOBAL_LOCK:
+            fn = _GLOBAL_SCORERS.get(("row_combine",))
+            if fn is None:
+                fn = make_row_combiner()
+                _GLOBAL_SCORERS[("row_combine",)] = fn
+            return fn
 
     def _split_batched_scorer(self):
         from searchlite_tpu.ops.impact import make_split_impact_scorer

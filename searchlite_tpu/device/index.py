@@ -138,6 +138,7 @@ class DeviceSegment:
         self.block_impacts_np = np.concatenate(
             [bi, np.zeros((1, 128), dtype=np.float32)])
         self._block_impacts = None
+        self._block_impacts_live = None
         if len(docs_flat) == 0:
             docs_flat = np.zeros(1, dtype=np.int32)
             impacts = np.zeros(1, dtype=np.float32)
@@ -167,6 +168,22 @@ class DeviceSegment:
             self._block_impacts = self._jnp.asarray(self.block_impacts_np)
         return self._block_impacts
 
+    @property
+    def block_impacts_live(self):
+        """Block impacts with tombstoned docs zeroed — the sparse
+        candidate scorer (ops/sparse.py) never materializes a doc-axis
+        score array to mask, so deletions fold into the impacts
+        instead (score 0 → non-match, same contract as the dense
+        scorers' ``~deleted`` mask). Alias of ``block_impacts`` when
+        the segment has no tombstones; otherwise computed once on
+        device (segments are immutable, so this never invalidates)."""
+        if self.live_docs == self.n_docs:
+            return self.block_impacts
+        if self._block_impacts_live is None:
+            live = (~self.deleted)[self.block_docs]
+            self._block_impacts_live = self.block_impacts * live
+        return self._block_impacts_live
+
     def evict_device_caches(self) -> None:
         """Drop rebuildable HBM residents (the host copies stay). Called
         when a pruned wave launch hits RESOURCE_EXHAUSTED: the doc-shard
@@ -177,6 +194,7 @@ class DeviceSegment:
         self._block_tfs = None
         self._block_docs = None
         self._block_impacts = None
+        self._block_impacts_live = None
 
     @property
     def docs_flat(self):

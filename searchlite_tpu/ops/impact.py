@@ -244,12 +244,18 @@ def make_flat_impact_scorer(precision: str = "f32"):
 
 
 def build_impact_batch(seg, dseg, queries: list[list[tuple[str, str]]],
-                       slot_bucket: int = 64):
+                       slot_bucket: int = 64,
+                       lazy_tables: bool = False):
     """Host-side prep: dedupe the batch's terms into slots, build the
     per-slot posting ranges and the [Q, S] weight matrix. Per-term
     metadata (tid, ranges, idf) is memoized on the DeviceSegment across
     batches — term lookups are a bisect each and workloads repeat terms
-    heavily (measured ~20% of stream host time before memoization)."""
+    heavily (measured ~20% of stream host time before memoization).
+
+    ``lazy_tables`` skips the dense scorers' per-batch tables (w COO,
+    block gather tables) — the sparse candidate path (ops/sparse.py)
+    never reads them; a dense/heavy fallback calls
+    :func:`ensure_dense_tables` before use."""
     from searchlite_tpu.models.bm25 import idf as bm25_idf
 
     postings = seg.postings
@@ -265,8 +271,11 @@ def build_impact_batch(seg, dseg, queries: list[list[tuple[str, str]]],
     slot_bstart: list[int] = []
     slot_bcnt: list[int] = []
     rows: list[dict[int, float]] = []
-    for query in queries:
+    q = len(queries)
+    q_nblk = np.zeros(q, dtype=np.int64)
+    for qi, query in enumerate(queries):
         row: dict[int, float] = {}
+        nblk = 0
         for field, token in query:
             key = f"{field}:{token}"
             slot = slots.get(key)
@@ -293,10 +302,53 @@ def build_impact_batch(seg, dseg, queries: list[list[tuple[str, str]]],
                 slot_tids.append(meta[3])
                 slot_bstart.append(meta[4])
                 slot_bcnt.append(meta[5])
+            if slot not in row:
+                nblk += slot_bcnt[slot]
             row[slot] = row.get(slot, 0.0) + slot_idf[slot]
+        q_nblk[qi] = nblk
         rows.append(row)
     s_pad = next_pow2(max(len(slot_start), slot_bucket))
-    q = len(queries)
+    out = {
+        "s_pad": s_pad,
+        "n_queries": q,
+        "slot_tids": np.asarray(slot_tids, dtype=np.int64),
+        "n_slots": len(slot_start),
+        "slot_bstart": slot_bstart,
+        "slot_bcnt": slot_bcnt,
+        "slot_len_list": slot_len,
+        "slot_start_list": slot_start,
+        "sentinel_row": dseg.n_block_rows,
+        "n1": dseg.n1,
+        # per-query {slot: weight} rows — the per-query pruned batch
+        # path and the sparse candidate path build their [Q, tpq]
+        # term/weight tables from these
+        "q_rows": rows,
+        "q_nblk": q_nblk,
+    }
+    # flat scatter extent of the dense [s_pad, n1] M build (same value
+    # ensure_dense_tables' block tables produce); callers that densify
+    # over the full doc axis must route to a doc-sharded or tile path
+    # when this exceeds int32 indexing
+    nb_pad = pow15_bucket(max(int(sum(slot_bcnt)), 1), minimum=32)
+    out["flat_extent"] = s_pad * dseg.n1 + nb_pad * 128
+    if not lazy_tables:
+        ensure_dense_tables(out)
+    return out
+
+
+def ensure_dense_tables(qb):
+    """Build the dense scorers' per-batch tables in place if missing:
+    the sorted [Q, S] weight COO, the padded slot_start/slot_len
+    arrays, and the block gather tables. Split from build_impact_batch
+    so sparse-candidate batches never pay for them (the w COO alone is
+    a python loop over every (query, slot) entry)."""
+    if "w_idx" in qb:
+        return qb
+    rows = qb["q_rows"]
+    q = qb["n_queries"]
+    s_pad = qb["s_pad"]
+    slot_start = qb["slot_start_list"]
+    slot_len = qb["slot_len_list"]
     # weight matrix as sorted COO (w_idx = q*S + s ascending): densified
     # on device with the sorted-unique scatter fast path — transfers
     # O(nnz) instead of O(Q*S)
@@ -317,35 +369,92 @@ def build_impact_batch(seg, dseg, queries: list[list[tuple[str, str]]],
     w_idx[n_entries:] = q * s_pad + np.arange(
         w_pad - n_entries, dtype=np.int32)
     blk_idx, slot_row, nb_pad = build_block_tables(
-        slot_bstart, slot_bcnt, sentinel_row=dseg.n_block_rows)
-    out = {
-        "slot_start": np.zeros(s_pad, dtype=np.int32),
-        "slot_len": np.zeros(s_pad, dtype=np.int32),
+        qb["slot_bstart"], qb["slot_bcnt"],
+        sentinel_row=qb["sentinel_row"])
+    qb["w_idx"] = w_idx
+    qb["w_val"] = w_val
+    qb["p_pad"] = pow2_bucket(int(sum(slot_len)))
+    qb["blk_idx"] = blk_idx
+    qb["slot_row"] = slot_row
+    qb["nb_pad"] = nb_pad
+    qb["slot_start"] = np.zeros(s_pad, dtype=np.int32)
+    qb["slot_len"] = np.zeros(s_pad, dtype=np.int32)
+    qb["slot_start"][:len(slot_start)] = slot_start
+    qb["slot_len"][:len(slot_len)] = slot_len
+    return qb
+
+
+def subset_impact_batch(qb, q_idx, min_queries: int = 32):
+    """Re-pack a build_impact_batch() output for a SUBSET of its
+    queries (the heavy remainder of the sparse-candidate split —
+    api/reader.py routes head-term queries back through the dense
+    scorers). Slots unused by the subset are dropped and the rest
+    reindexed; the query axis is padded to a pow15 bucket with empty
+    rows so the dense scorer's n_queries stays in a small compile-shape
+    family. Pad rows produce no weight entries → all scores mask to
+    -inf, same as a no-match query."""
+    rows = [qb["q_rows"][int(i)] for i in q_idx]
+    slots_used = sorted({s for row in rows for s in row})
+    remap = {s: i for i, s in enumerate(slots_used)}
+    new_rows = [{remap[s]: w for s, w in row.items()} for row in rows]
+    bstart = [qb["slot_bstart"][s] for s in slots_used]
+    bcnt = [qb["slot_bcnt"][s] for s in slots_used]
+    start_list = [qb["slot_start_list"][s] for s in slots_used]
+    len_list = [qb["slot_len_list"][s] for s in slots_used]
+    tids = qb["slot_tids"]
+    n_slots = len(slots_used)
+    s_pad = next_pow2(max(n_slots, 8))
+    nq = len(rows)
+    nq_pad = pow15_bucket(max(nq, 1), minimum=min_queries)
+    w_entries: list[tuple[int, float]] = []
+    for qi, row in enumerate(new_rows):
+        for slot in sorted(row):
+            w_entries.append((qi * s_pad + slot, row[slot]))
+    w_pad = next_pow2(max(len(w_entries), 16))
+    n_entries = len(w_entries)
+    w_idx = np.empty(w_pad, dtype=np.int32)
+    w_val = np.zeros(w_pad, dtype=np.float32)
+    if n_entries:
+        w_idx[:n_entries] = np.fromiter(
+            (e[0] for e in w_entries), dtype=np.int32, count=n_entries)
+        w_val[:n_entries] = np.fromiter(
+            (e[1] for e in w_entries), dtype=np.float32, count=n_entries)
+    w_idx[n_entries:] = nq_pad * s_pad + np.arange(
+        w_pad - n_entries, dtype=np.int32)
+    blk_idx, slot_row, nb_pad = build_block_tables(
+        bstart, bcnt, sentinel_row=qb["sentinel_row"])
+    n1 = qb["n1"]
+    slot_start = np.zeros(s_pad, dtype=np.int32)
+    slot_len = np.zeros(s_pad, dtype=np.int32)
+    if n_slots:
+        slot_start[:n_slots] = start_list
+        slot_len[:n_slots] = len_list
+    return {
+        "slot_start": slot_start,
+        "slot_len": slot_len,
+        "slot_start_list": start_list,
+        "slot_len_list": len_list,
         "w_idx": w_idx,
         "w_val": w_val,
-        "p_pad": pow2_bucket(int(sum(slot_len))),
+        "p_pad": pow2_bucket(int(sum(len_list))),
         "blk_idx": blk_idx,
         "slot_row": slot_row,
         "nb_pad": nb_pad,
         "s_pad": s_pad,
-        "n_queries": q,
-        "slot_tids": np.asarray(slot_tids, dtype=np.int64),
-        "n_slots": len(slot_start),
-        "slot_bstart": slot_bstart,
-        "slot_bcnt": slot_bcnt,
-        "sentinel_row": dseg.n_block_rows,
-        # per-query {slot: weight} rows — the per-query pruned batch
-        # path builds its [Q, tpq] term/weight tables from these
-        "q_rows": rows,
+        "n_queries": nq_pad,
+        "slot_tids": tids[slots_used] if n_slots else
+        np.zeros(0, dtype=np.int64),
+        "n_slots": n_slots,
+        "slot_bstart": bstart,
+        "slot_bcnt": bcnt,
+        "sentinel_row": qb["sentinel_row"],
+        "n1": n1,
+        "q_rows": new_rows + [{} for _ in range(nq_pad - nq)],
+        "q_nblk": np.concatenate(
+            [qb["q_nblk"][q_idx],
+             np.zeros(nq_pad - nq, dtype=np.int64)]),
+        "flat_extent": s_pad * n1 + nb_pad * 128,
     }
-    out["slot_start"][:len(slot_start)] = slot_start
-    out["slot_len"][:len(slot_len)] = slot_len
-    # flat scatter extent of the dense [s_pad, n1] M build; callers that
-    # densify over the full doc axis must route to a doc-sharded or tile
-    # path when this exceeds int32 indexing (tile/run paths never build
-    # the full-width M and ignore it)
-    out["flat_extent"] = s_pad * dseg.n1 + nb_pad * 128
-    return out
 
 
 def expand_block_tables_dev(jnp, bstart, bcnt, sentinel_row, nb_pad: int):
