@@ -2942,8 +2942,7 @@ class IndexReader:
             filter_rows = self._segment_filter_rows(dseg, distinct)
             fidx_dev = jnp.asarray(fidx)
         else:
-            filter_rows = jnp.zeros((1, 1), dtype=bool)
-            fidx_dev = jnp.zeros(1, dtype=jnp.int32)
+            filter_rows, fidx_dev = self._no_filter_placeholders()
         # default ON: measured +52% batched QPS on v5e at 100k docs
         # (BENCH_NOTES round 2); 0 disables. 2 GiB default (bf16 rows
         # on accelerators — ops/precision.py): on Zipf workloads this
@@ -2965,15 +2964,13 @@ class IndexReader:
                     return scorer(
                         dseg.block_docs, dseg.block_impacts,
                         dense["m_dense"], dseg.deleted,
-                        jnp.asarray(split["blk_idx"]),
-                        jnp.asarray(split["slot_row"]),
-                        jnp.asarray(split["wd_idx"]),
-                        jnp.asarray(split["wd_val"]),
-                        jnp.asarray(split["ws_idx"]),
-                        jnp.asarray(split["ws_val"]),
+                        jnp.asarray(split["packed"]),
                         filter_rows, fidx_dev,
                         k=k, s_pad=split["s_pad"],
                         n_queries=qb["n_queries"],
+                        nb_pad=split["nb_pad"],
+                        wd_pad=split["wd_pad"],
+                        ws_pad=split["ws_pad"],
                         use_filters=use_filters)
         scorer = self._batched_scorer()
         return scorer(
@@ -3016,9 +3013,7 @@ class IndexReader:
         scorer = self._sparse_candidate_scorer()
         ts, td = scorer(
             dseg.block_docs, dseg.block_impacts_live,
-            jnp.asarray(part["bstart"]), jnp.asarray(part["bcnt"]),
-            jnp.asarray(part["w"]),
-            jnp.int32(dseg.n_block_rows), jnp.int32(dseg.n1 - 1),
+            jnp.asarray(part["tbl"]), dseg.sparse_sentinels,
             k=k, t_pad=part["t_pad"], nblk=part["nblk"],
             log2_run=part["log2_run"])
         light_idx = part["light_idx"]
@@ -3044,13 +3039,39 @@ class IndexReader:
             heavy_map = np.full(hs.shape[0], nq, dtype=np.int32)
             heavy_map[:len(heavy_idx)] = heavy_idx
         else:
-            import jax.numpy as _j
-            hs = _j.full((1, k), -_j.inf, dtype=ts.dtype)
-            hi = _j.zeros((1, k), dtype=td.dtype)
+            hs, hi = self._empty_heavy_rows(k)
             heavy_map = np.full(1, nq, dtype=np.int32)
         combine = self._row_combiner()
-        return combine(ts, td, jnp.asarray(light_map), hs, hi,
-                       jnp.asarray(heavy_map), n_rows=nq)
+        return combine(ts, td, hs, hi,
+                       jnp.asarray(np.concatenate(
+                           [light_map, heavy_map])), n_rows=nq)
+
+    def _empty_heavy_rows(self, k: int):
+        """Cached all-pad heavy rows for sparse batches with no heavy
+        remainder — avoids two eager device allocations per batch."""
+        import jax.numpy as jnp
+
+        with _GLOBAL_LOCK:
+            pair = _GLOBAL_SCORERS.get(("empty_heavy", k))
+            if pair is None:
+                pair = (jnp.full((1, k), -jnp.inf, dtype=jnp.float32),
+                        jnp.zeros((1, k), dtype=jnp.int32))
+                _GLOBAL_SCORERS[("empty_heavy", k)] = pair
+            return pair
+
+    def _no_filter_placeholders(self):
+        """Cached dummy (filter_rows, fidx) device arrays for
+        unfiltered dense launches — avoids two eager device
+        allocations per batch."""
+        import jax.numpy as jnp
+
+        with _GLOBAL_LOCK:
+            pair = _GLOBAL_SCORERS.get(("no_filter",))
+            if pair is None:
+                pair = (jnp.zeros((1, 1), dtype=bool),
+                        jnp.zeros(1, dtype=jnp.int32))
+                _GLOBAL_SCORERS[("no_filter",)] = pair
+            return pair
 
     def _sparse_candidate_scorer(self):
         from searchlite_tpu.ops.sparse import make_sparse_candidate_scorer

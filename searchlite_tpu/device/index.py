@@ -139,6 +139,7 @@ class DeviceSegment:
             [bi, np.zeros((1, 128), dtype=np.float32)])
         self._block_impacts = None
         self._block_impacts_live = None
+        self._sparse_sentinels = None
         if len(docs_flat) == 0:
             docs_flat = np.zeros(1, dtype=np.int32)
             impacts = np.zeros(1, dtype=np.float32)
@@ -184,6 +185,17 @@ class DeviceSegment:
             self._block_impacts_live = self.block_impacts * live
         return self._block_impacts_live
 
+    @property
+    def sparse_sentinels(self):
+        """[2] int32 device array (sentinel block row, dead doc slot)
+        for the sparse candidate scorer — cached so the per-batch
+        dispatch path transfers nothing segment-invariant."""
+        if self._sparse_sentinels is None:
+            self._sparse_sentinels = self._jnp.asarray(
+                np.array([self.n_block_rows, self.n1 - 1],
+                         dtype=np.int32))
+        return self._sparse_sentinels
+
     def evict_device_caches(self) -> None:
         """Drop rebuildable HBM residents (the host copies stay). Called
         when a pruned wave launch hits RESOURCE_EXHAUSTED: the doc-shard
@@ -195,6 +207,7 @@ class DeviceSegment:
         self._block_docs = None
         self._block_impacts = None
         self._block_impacts_live = None
+        self._sparse_sentinels = None
 
     @property
     def docs_flat(self):

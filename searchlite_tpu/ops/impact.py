@@ -538,12 +538,23 @@ def make_split_impact_scorer(precision: str = "f32"):
     m_dtype = m_store_dtype(precision)
 
     @partial(jax.jit,
-             static_argnames=("k", "s_pad", "n_queries", "use_filters"))
+             static_argnames=("k", "s_pad", "n_queries", "nb_pad",
+                              "wd_pad", "ws_pad", "use_filters"))
     def scorer(block_docs, block_impacts, m_dense, deleted,
-               blk_idx, slot_row,
-               wd_idx, wd_val, ws_idx, ws_val, filter_rows, fidx,
-               *, k: int, s_pad: int, n_queries: int,
-               use_filters: bool = False):
+               packed, filter_rows, fidx,
+               *, k: int, s_pad: int, n_queries: int, nb_pad: int,
+               wd_pad: int, ws_pad: int, use_filters: bool = False):
+        # packed int32 [2·nb_pad + 2·wd_pad + 2·ws_pad] — ONE per-batch
+        # upload; sections sliced by the static bucketed lengths, f32
+        # weight values bit-cast back (see split_impact_batch)
+        bits = jax.lax.bitcast_convert_type
+        o = 0
+        blk_idx = packed[o:o + nb_pad]; o += nb_pad
+        slot_row = packed[o:o + nb_pad]; o += nb_pad
+        wd_idx = packed[o:o + wd_pad]; o += wd_pad
+        wd_val = bits(packed[o:o + wd_pad], jnp.float32); o += wd_pad
+        ws_idx = packed[o:o + ws_pad]; o += ws_pad
+        ws_val = bits(packed[o:o + ws_pad], jnp.float32)
         n1 = deleted.shape[0]
         r1 = m_dense.shape[0]  # R+1 (last row zeros), static per array
         m_sparse = build_m_from_blocks(jnp, block_docs, block_impacts,
@@ -642,8 +653,19 @@ def split_impact_batch(qb, dense_map: dict, n_rows: int, n1: int):
     if s_pad * n1 + nb_pad * 128 >= 2**31:
         raise OverflowError(
             "impact matrix exceeds int32 indexing; shard the doc space")
+    # one upload per batch (each eager transfer is a tunnel dispatch):
+    # f32 weight values ride bit-cast in the same int32 vector, and the
+    # scorer re-slices by the (bucketed, so static) section lengths
+    packed = np.concatenate([
+        blk_idx, slot_row,
+        wd_idx, wd_val.view(np.int32),
+        ws_idx, ws_val.view(np.int32)])
     return {
         "s_pad": s_pad,
+        "packed": packed,
+        "nb_pad": nb_pad,
+        "wd_pad": len(wd_idx),
+        "ws_pad": len(ws_idx),
         "blk_idx": blk_idx, "slot_row": slot_row,
         "wd_idx": wd_idx, "wd_val": wd_val,
         "ws_idx": ws_idx, "ws_val": ws_val,

@@ -59,13 +59,18 @@ def make_sparse_candidate_scorer():
 
     @partial(jax.jit,
              static_argnames=("k", "t_pad", "nblk", "log2_run"))
-    def scorer(block_docs, block_impacts, bstart, bcnt, w,
-               sentinel_row, sentinel_doc,
+    def scorer(block_docs, block_impacts, tbl, sent,
                *, k: int, t_pad: int, nblk: int, log2_run: int):
-        """bstart/bcnt [B, t_pad] int32: per-(query, term-slot) posting
-        block ranges (bcnt 0 for unused slots). w [B, t_pad] f32:
-        idf·boost per slot. Returns (scores [B,k], doc ids [B,k]);
+        """tbl [3, B, t_pad] int32 — ONE host upload per batch (each
+        eager transfer costs a tunnel dispatch): rows are per-(query,
+        term-slot) posting block starts, counts (0 for unused slots),
+        and the f32 idf·boost weights bit-cast to int32. sent [2]
+        int32: (sentinel block row, dead doc slot = n1-1), cached on
+        device per segment. Returns (scores [B,k], doc ids [B,k]);
         non-matches are -inf (same contract as the dense scorers)."""
+        bstart, bcnt = tbl[0], tbl[1]
+        w = jax.lax.bitcast_convert_type(tbl[2], jnp.float32)
+        sentinel_row, sentinel_doc = sent[0], sent[1]
         B = bstart.shape[0]
         cum = jnp.cumsum(bcnt, axis=1)                       # [B, T]
         total = cum[:, -1]
@@ -115,8 +120,12 @@ def make_row_combiner():
     import jax.numpy as jnp
 
     @partial(jax.jit, static_argnames=("n_rows",))
-    def combine(light_s, light_i, light_map, heavy_s, heavy_i,
-                heavy_map, *, n_rows: int):
+    def combine(light_s, light_i, heavy_s, heavy_i, maps,
+                *, n_rows: int):
+        """maps [Bl + Bh] int32 — the two row maps in one upload,
+        split at the (static) light row count."""
+        light_map = maps[: light_s.shape[0]]
+        heavy_map = maps[light_s.shape[0]:]
         k = light_s.shape[1]
         s = jnp.full((n_rows + 1, k), -jnp.inf, dtype=light_s.dtype)
         i = jnp.zeros((n_rows + 1, k), dtype=light_i.dtype)
@@ -162,9 +171,7 @@ def partition_sparse_batch(qb, max_blocks: int):
             bcnt[out_i, ti] = bcnt_of_slot[slot]
             w[out_i, ti] = wgt
     return {
-        "bstart": bstart,
-        "bcnt": bcnt,
-        "w": w,
+        "tbl": np.stack([bstart, bcnt, w.view(np.int32)]),
         "light_idx": light_idx,
         "heavy_idx": heavy_idx,
         "t_pad": t_pad,

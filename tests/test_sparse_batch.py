@@ -188,7 +188,8 @@ def test_partition_and_subset_shapes():
     assert part is not None
     assert set(part["light_idx"]) | set(part["heavy_idx"]) == {0, 1, 2}
     assert part["nblk"] >= 1 and part["t_pad"] >= 2
-    assert (part["bcnt"].sum(axis=1)[:len(part["light_idx"])] > 0).all()
+    bcnt = part["tbl"][1]
+    assert (bcnt.sum(axis=1)[:len(part["light_idx"])] > 0).all()
     if len(part["heavy_idx"]):
         hqb = subset_impact_batch(qb, part["heavy_idx"])
         assert hqb["n_queries"] >= len(part["heavy_idx"])
