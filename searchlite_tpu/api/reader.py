@@ -2297,18 +2297,24 @@ class IndexReader:
                     it.done = True
                     items.append(it)
                     continue
-                # per-query term/weight tables
-                rows = it.qb["q_rows"]
+                # per-query term/weight tables (vectorized from the
+                # qb's slot CSR; rows are slot-ascending)
+                from searchlite_tpu.ops.impact import (
+                    csr_row_lengths,
+                    csr_take_rows,
+                )
                 tids = it.qb["slot_tids"]
-                tpq = max((len(r) for r in rows), default=1)
+                counts = csr_row_lengths(it.qb)
+                all_q = np.arange(q, dtype=np.int64)
+                idx, sc, pos = csr_take_rows(
+                    it.qb["qs_start"], counts, all_q)
+                tpq = int(sc.max()) if len(sc) else 1
                 it.tpq_pad = next_pow2(max(tpq, 2))
                 q_tids = np.full((q, it.tpq_pad), -1, dtype=np.int64)
                 w_b = np.zeros((q, it.tpq_pad), dtype=np.float32)
-                for qi, row in enumerate(rows):
-                    for ti, (slot, wgt) in enumerate(
-                            sorted(row.items())):
-                        q_tids[qi, ti] = tids[slot]
-                        w_b[qi, ti] = wgt
+                rows_rep = np.repeat(all_q, sc)
+                q_tids[rows_rep, pos] = tids[it.qb["qs_slot"][idx]]
+                w_b[rows_rep, pos] = it.qb["qs_w"][idx]
                 it.q_tids = q_tids
                 it.w_b = jnp.asarray(w_b)
                 blk_idx, slot_row, _ = it.tl.ub_block_tables(

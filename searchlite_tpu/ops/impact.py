@@ -270,9 +270,11 @@ def build_impact_batch(seg, dseg, queries: list[list[tuple[str, str]]],
     slot_tids: list[int] = []
     slot_bstart: list[int] = []
     slot_bcnt: list[int] = []
-    rows: list[dict[int, float]] = []
     q = len(queries)
     q_nblk = np.zeros(q, dtype=np.int64)
+    qs_start = np.zeros(q + 1, dtype=np.int64)
+    qs_slot_l: list[int] = []
+    qs_w_l: list[float] = []
     for qi, query in enumerate(queries):
         row: dict[int, float] = {}
         nblk = 0
@@ -306,23 +308,30 @@ def build_impact_batch(seg, dseg, queries: list[list[tuple[str, str]]],
                 nblk += slot_bcnt[slot]
             row[slot] = row.get(slot, 0.0) + slot_idf[slot]
         q_nblk[qi] = nblk
-        rows.append(row)
+        for slot in sorted(row):
+            qs_slot_l.append(slot)
+            qs_w_l.append(row[slot])
+        qs_start[qi + 1] = len(qs_slot_l)
     s_pad = next_pow2(max(len(slot_start), slot_bucket))
     out = {
         "s_pad": s_pad,
         "n_queries": q,
         "slot_tids": np.asarray(slot_tids, dtype=np.int64),
         "n_slots": len(slot_start),
-        "slot_bstart": slot_bstart,
-        "slot_bcnt": slot_bcnt,
-        "slot_len_list": slot_len,
-        "slot_start_list": slot_start,
+        "slot_bstart": np.asarray(slot_bstart, dtype=np.int64),
+        "slot_bcnt": np.asarray(slot_bcnt, dtype=np.int64),
+        "slot_len_list": np.asarray(slot_len, dtype=np.int64),
+        "slot_start_list": np.asarray(slot_start, dtype=np.int64),
         "sentinel_row": dseg.n_block_rows,
         "n1": dseg.n1,
-        # per-query {slot: weight} rows — the per-query pruned batch
-        # path and the sparse candidate path build their [Q, tpq]
-        # term/weight tables from these
-        "q_rows": rows,
+        # per-query (slot, weight) rows in CSR form, slots sorted
+        # ascending within each row — the per-query pruned batch path
+        # and the sparse candidate path build their [Q, tpq] tables
+        # from these with vectorized scatters (and the native prep
+        # fast path emits this format directly)
+        "qs_start": qs_start,
+        "qs_slot": np.asarray(qs_slot_l, dtype=np.int32),
+        "qs_w": np.asarray(qs_w_l, dtype=np.float32),
         "q_nblk": q_nblk,
     }
     # flat scatter extent of the dense [s_pad, n1] M build (same value
@@ -336,35 +345,47 @@ def build_impact_batch(seg, dseg, queries: list[list[tuple[str, str]]],
     return out
 
 
+def csr_row_lengths(qb) -> np.ndarray:
+    """Per-query entry counts of a qb's (slot, weight) CSR."""
+    return np.diff(qb["qs_start"])
+
+
+def csr_take_rows(qs_start, counts, row_idx):
+    """Gather CSR rows ``row_idx``: returns (flat entry indices,
+    per-row counts, within-row positions) — all vectorized."""
+    sc = counts[row_idx]
+    total = int(sc.sum())
+    ends = np.cumsum(sc)
+    pos = np.arange(total, dtype=np.int64) - np.repeat(ends - sc, sc)
+    idx = np.repeat(qs_start[row_idx], sc) + pos
+    return idx, sc, pos
+
+
 def ensure_dense_tables(qb):
     """Build the dense scorers' per-batch tables in place if missing:
     the sorted [Q, S] weight COO, the padded slot_start/slot_len
     arrays, and the block gather tables. Split from build_impact_batch
-    so sparse-candidate batches never pay for them (the w COO alone is
-    a python loop over every (query, slot) entry)."""
+    so sparse-candidate batches never pay for them."""
     if "w_idx" in qb:
         return qb
-    rows = qb["q_rows"]
     q = qb["n_queries"]
     s_pad = qb["s_pad"]
     slot_start = qb["slot_start_list"]
     slot_len = qb["slot_len_list"]
     # weight matrix as sorted COO (w_idx = q*S + s ascending): densified
     # on device with the sorted-unique scatter fast path — transfers
-    # O(nnz) instead of O(Q*S)
-    w_entries: list[tuple[int, float]] = []
-    for qi, row in enumerate(rows):
-        for slot in sorted(row):
-            w_entries.append((qi * s_pad + slot, row[slot]))
-    w_pad = next_pow2(max(len(w_entries), 16))
-    n_entries = len(w_entries)
+    # O(nnz) instead of O(Q*S). The CSR is sorted by (query, slot), so
+    # the COO indices come out ascending with no sort.
+    qs_slot = qb["qs_slot"]
+    qs_w = qb["qs_w"]
+    n_entries = len(qs_slot)
+    rep_q = np.repeat(
+        np.arange(q, dtype=np.int64), csr_row_lengths(qb))
+    w_pad = next_pow2(max(n_entries, 16))
     w_idx = np.empty(w_pad, dtype=np.int32)
     w_val = np.zeros(w_pad, dtype=np.float32)
-    if n_entries:
-        w_idx[:n_entries] = np.fromiter(
-            (e[0] for e in w_entries), dtype=np.int32, count=n_entries)
-        w_val[:n_entries] = np.fromiter(
-            (e[1] for e in w_entries), dtype=np.float32, count=n_entries)
+    w_idx[:n_entries] = rep_q * s_pad + qs_slot
+    w_val[:n_entries] = qs_w
     # pads point past Q*S into the dump zone, keeping indices sorted+unique
     w_idx[n_entries:] = q * s_pad + np.arange(
         w_pad - n_entries, dtype=np.int32)
@@ -393,34 +414,35 @@ def subset_impact_batch(qb, q_idx, min_queries: int = 32):
     rows so the dense scorer's n_queries stays in a small compile-shape
     family. Pad rows produce no weight entries → all scores mask to
     -inf, same as a no-match query."""
-    rows = [qb["q_rows"][int(i)] for i in q_idx]
-    slots_used = sorted({s for row in rows for s in row})
-    remap = {s: i for i, s in enumerate(slots_used)}
-    new_rows = [{remap[s]: w for s, w in row.items()} for row in rows]
-    bstart = [qb["slot_bstart"][s] for s in slots_used]
-    bcnt = [qb["slot_bcnt"][s] for s in slots_used]
-    start_list = [qb["slot_start_list"][s] for s in slots_used]
-    len_list = [qb["slot_len_list"][s] for s in slots_used]
+    q_idx = np.asarray(q_idx, dtype=np.int64)
+    counts = csr_row_lengths(qb)
+    idx, sc, _pos = csr_take_rows(qb["qs_start"], counts, q_idx)
+    sub_slot = qb["qs_slot"][idx]
+    sub_w = qb["qs_w"][idx]
+    # remap to the subset's compacted slot ids (np.unique is sorted,
+    # so the remap is monotonic and rows stay slot-ascending)
+    slots_used, new_slot = np.unique(sub_slot, return_inverse=True)
+    bstart = qb["slot_bstart"][slots_used]
+    bcnt = qb["slot_bcnt"][slots_used]
+    start_list = qb["slot_start_list"][slots_used]
+    len_list = qb["slot_len_list"][slots_used]
     tids = qb["slot_tids"]
     n_slots = len(slots_used)
     s_pad = next_pow2(max(n_slots, 8))
-    nq = len(rows)
+    nq = len(q_idx)
     nq_pad = pow15_bucket(max(nq, 1), minimum=min_queries)
-    w_entries: list[tuple[int, float]] = []
-    for qi, row in enumerate(new_rows):
-        for slot in sorted(row):
-            w_entries.append((qi * s_pad + slot, row[slot]))
-    w_pad = next_pow2(max(len(w_entries), 16))
-    n_entries = len(w_entries)
+    n_entries = len(sub_slot)
+    rep_q = np.repeat(np.arange(nq, dtype=np.int64), sc)
+    w_pad = next_pow2(max(n_entries, 16))
     w_idx = np.empty(w_pad, dtype=np.int32)
     w_val = np.zeros(w_pad, dtype=np.float32)
-    if n_entries:
-        w_idx[:n_entries] = np.fromiter(
-            (e[0] for e in w_entries), dtype=np.int32, count=n_entries)
-        w_val[:n_entries] = np.fromiter(
-            (e[1] for e in w_entries), dtype=np.float32, count=n_entries)
+    w_idx[:n_entries] = rep_q * s_pad + new_slot
+    w_val[:n_entries] = sub_w
     w_idx[n_entries:] = nq_pad * s_pad + np.arange(
         w_pad - n_entries, dtype=np.int32)
+    qs_start2 = np.zeros(nq_pad + 1, dtype=np.int64)
+    qs_start2[1:nq + 1] = np.cumsum(sc)
+    qs_start2[nq + 1:] = n_entries
     blk_idx, slot_row, nb_pad = build_block_tables(
         bstart, bcnt, sentinel_row=qb["sentinel_row"])
     n1 = qb["n1"]
@@ -449,7 +471,9 @@ def subset_impact_batch(qb, q_idx, min_queries: int = 32):
         "slot_bcnt": bcnt,
         "sentinel_row": qb["sentinel_row"],
         "n1": n1,
-        "q_rows": new_rows + [{} for _ in range(nq_pad - nq)],
+        "qs_start": qs_start2,
+        "qs_slot": new_slot.astype(np.int32),
+        "qs_w": sub_w,
         "q_nblk": np.concatenate(
             [qb["q_nblk"][q_idx],
              np.zeros(nq_pad - nq, dtype=np.int64)]),
@@ -613,8 +637,8 @@ def split_impact_batch(qb, dense_map: dict, n_rows: int, n1: int):
     # sparse block tables
     sp_slots = np.flatnonzero(is_sparse)
     blk_idx, slot_row, nb_pad = build_block_tables(
-        [qb["slot_bstart"][s] for s in sp_slots],
-        [qb["slot_bcnt"][s] for s in sp_slots],
+        qb["slot_bstart"][sp_slots],
+        qb["slot_bcnt"][sp_slots],
         sentinel_row=qb["sentinel_row"])
     # split the sorted COO weights (w_idx = qi*S_old + s_old)
     s_old = len(qb["slot_start"])

@@ -149,27 +149,30 @@ def partition_sparse_batch(qb, max_blocks: int):
     Returns None when no query qualifies, else a dict with the light
     rows' [Bl, t_pad] (bstart, bcnt, weight) tables, the light/heavy
     row maps, and the bucketed static shape params."""
-    rows = qb["q_rows"]
-    bcnt_of_slot = np.asarray(qb["slot_bcnt"], dtype=np.int64)
-    bstart_of_slot = np.asarray(qb["slot_bstart"], dtype=np.int64)
+    from searchlite_tpu.ops.impact import csr_row_lengths, csr_take_rows
+
+    bcnt_of_slot = qb["slot_bcnt"]
+    bstart_of_slot = qb["slot_bstart"]
     nblk_q = qb["q_nblk"]
     light = nblk_q <= max_blocks
     if not light.any():
         return None
     light_idx = np.flatnonzero(light)
     heavy_idx = np.flatnonzero(~light)
-    t_max = max((len(rows[qi]) for qi in light_idx), default=1)
+    counts = csr_row_lengths(qb)
+    idx, sc, pos = csr_take_rows(qb["qs_start"], counts, light_idx)
+    t_max = int(sc.max()) if len(sc) else 1
     t_pad = next_pow2(max(t_max, 2))
     nblk = pow15_bucket(int(nblk_q[light_idx].max()), minimum=16)
     bl = pow15_bucket(len(light_idx), minimum=64)
     bstart = np.zeros((bl, t_pad), dtype=np.int32)
     bcnt = np.zeros((bl, t_pad), dtype=np.int32)
     w = np.zeros((bl, t_pad), dtype=np.float32)
-    for out_i, qi in enumerate(light_idx):
-        for ti, (slot, wgt) in enumerate(sorted(rows[qi].items())):
-            bstart[out_i, ti] = bstart_of_slot[slot]
-            bcnt[out_i, ti] = bcnt_of_slot[slot]
-            w[out_i, ti] = wgt
+    rows_rep = np.repeat(np.arange(len(light_idx), dtype=np.int64), sc)
+    slots = qb["qs_slot"][idx]
+    bstart[rows_rep, pos] = bstart_of_slot[slots]
+    bcnt[rows_rep, pos] = bcnt_of_slot[slots]
+    w[rows_rep, pos] = qb["qs_w"][idx]
     return {
         "tbl": np.stack([bstart, bcnt, w.view(np.int32)]),
         "light_idx": light_idx,
