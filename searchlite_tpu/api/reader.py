@@ -1966,7 +1966,13 @@ class IndexReader:
         batches — workloads repeat terms heavily."""
         from searchlite_tpu.query.parser import parse_query
 
-        token_cache: dict[tuple[str, str], list[tuple[str, str]]] = {}
+        # analyzer output is deterministic per (field, raw term) for a
+        # fixed schema, so the memo lives on the reader and persists
+        # across calls — repeated terms (the common serving case) skip
+        # the tokenizer/stemmer chain entirely
+        token_cache = getattr(self, "_token_cache", None)
+        if token_cache is None:
+            token_cache = self._token_cache = {}
 
         def term_pairs(field: str, raw_term: str):
             key = (field, raw_term)
@@ -1988,6 +1994,15 @@ class IndexReader:
             analyzed: list[list[tuple[str, str]]] = []
             for raw in queries:
                 pairs: list[tuple[str, str]] = []
+                if '"' not in raw and ":" not in raw and "-" not in raw:
+                    # plain term query: token split IS the parse (no
+                    # phrases/negations/field prefixes possible), skip
+                    # the dataclass-building parser on the hot path
+                    for tok in raw.split():
+                        for field in fields:
+                            pairs.extend(term_pairs(field, tok))
+                    analyzed.append(pairs)
+                    continue
                 parsed = parse_query(raw)
                 for term in parsed.terms:
                     term_fields = ([term.field] if term.field is not None
@@ -2198,15 +2213,22 @@ class IndexReader:
             # single-segment fast path: top_k output is already in the
             # merge order (score desc, doc asc — lowest-index-first ties)
             seg_ord, scores, ids = per_segment[0]
-            dids = self.segments[seg_ord].doc_ids
-            ninf = -np.inf
-            scores_l = np.asarray(scores).tolist()
-            ids_l = np.asarray(ids).tolist()
-            lims = limits.tolist()
-            for srow, irow, lim in zip(scores_l, ids_l, lims):
-                results.append([
-                    (dids[d], s) for s, d in zip(srow, irow)
-                    if s != ninf][: int(lim)])
+            seg = self.segments[seg_ord]
+            dids_arr = getattr(seg, "_doc_ids_obj_arr", None)
+            if dids_arr is None or len(dids_arr) != len(seg.doc_ids):
+                dids_arr = np.asarray(seg.doc_ids, dtype=object)
+                seg._doc_ids_obj_arr = dids_arr
+            scores = np.asarray(scores)
+            ids = np.asarray(ids)
+            # top_k output is score-descending with -inf (non-matches)
+            # last, so the valid entries of each row are a prefix
+            take = np.minimum((scores != -np.inf).sum(axis=1),
+                              limits).tolist()
+            docstrs = dids_arr[ids]
+            scores_l = scores.tolist()
+            for n, drow, srow in zip(take, docstrs, scores_l):
+                n = int(n)
+                results.append(list(zip(drow[:n].tolist(), srow[:n])))
             return results
 
         merged: list[dict] = [dict() for _ in queries]
