@@ -523,3 +523,169 @@ void slt_export(void* handle, char* terms_buf, int32_t* block_docs,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Batched query prep: tokenize a batch of plain term queries through the
+// SAME analyzer chain as ingest (analyze_item above — identical tokens by
+// construction), look each key up in the segment's sorted terms dictionary,
+// and emit the per-query (slot, count) CSR that ops/impact.py's
+// build_impact_batch produces — the host side of the headline batched
+// search path (~30ms of Python per 1024-query batch collapses to ~1ms).
+// Python computes weights (count x idf), q_nblk and slot metadata from the
+// returned slot term-ids with numpy gathers. Replaces the reference's
+// per-query planner front end (searchlite-core/src/query/wand.rs:459-566)
+// for the batch API; the analyzer/dictionary behavior contract is
+// api/reader.py::_analyze_batches + ops/impact.py::build_impact_batch,
+// equivalence-fuzzed in tests/test_native_qprep.py.
+
+namespace {
+
+struct QueryPrep {
+  std::string blob;                 // concatenated sorted term keys
+  std::vector<int64_t> offs;        // [n_terms + 1]
+  std::unordered_set<std::string> stopwords;
+  std::unordered_map<std::string, int64_t> tid_cache;  // -1 = missing
+};
+
+// lower_bound over the key blob; exact match or -1. memcmp order over
+// UTF-8 bytes == Python str order over code points.
+int64_t qprep_lookup(QueryPrep& qp, const std::string& key) {
+  auto hit = qp.tid_cache.find(key);
+  if (hit != qp.tid_cache.end()) return hit->second;
+  int64_t lo = 0, hi = static_cast<int64_t>(qp.offs.size()) - 1;
+  while (lo < hi) {
+    int64_t mid = (lo + hi) / 2;
+    const char* t = qp.blob.data() + qp.offs[mid];
+    size_t tlen = static_cast<size_t>(qp.offs[mid + 1] - qp.offs[mid]);
+    int cmp = std::memcmp(t, key.data(), std::min(tlen, key.size()));
+    if (cmp == 0) cmp = (tlen < key.size()) ? -1 : (tlen > key.size());
+    if (cmp < 0)
+      lo = mid + 1;
+    else
+      hi = mid;
+  }
+  int64_t tid = -1;
+  if (lo < static_cast<int64_t>(qp.offs.size()) - 1) {
+    size_t tlen = static_cast<size_t>(qp.offs[lo + 1] - qp.offs[lo]);
+    if (tlen == key.size() &&
+        std::memcmp(qp.blob.data() + qp.offs[lo], key.data(), tlen) == 0)
+      tid = lo;
+  }
+  qp.tid_cache.emplace(key, tid);
+  return tid;
+}
+
+}  // namespace
+
+extern "C" {
+
+void* slt_qprep_new(const char* terms_blob, int64_t blob_len,
+                    const int64_t* offs, int64_t n_terms) {
+  auto* qp = new QueryPrep();
+  qp->blob.assign(terms_blob, static_cast<size_t>(blob_len));
+  qp->offs.assign(offs, offs + n_terms + 1);
+  return qp;
+}
+
+void slt_qprep_stopword(void* h, const char* w, int len) {
+  static_cast<QueryPrep*>(h)->stopwords.emplace(
+      w, static_cast<size_t>(len));
+}
+
+void slt_qprep_free(void* h) { delete static_cast<QueryPrep*>(h); }
+
+// Returns 0 on success, -1 when a query needs the Python path (phrase /
+// field-prefix / negation syntax, or non-ASCII under the default
+// tokenizer), -2 when an output capacity would overflow. field_flags per
+// field: bit0 = stopwords, bit1 = stem, bit2 = unicode tokenizer.
+int64_t slt_qprep_batch(void* h, const char* qblob, const int64_t* q_off,
+                        int64_t n_queries, const char* fields_blob,
+                        const int64_t* f_off, int32_t n_fields,
+                        const uint8_t* field_flags, int64_t* qs_start,
+                        int32_t* qs_slot, int32_t* qs_cnt, int64_t cap,
+                        int64_t* slot_tids, int64_t* out_counts) {
+  auto* qp = static_cast<QueryPrep*>(h);
+  bool all_unicode = true;
+  for (int32_t f = 0; f < n_fields; ++f)
+    if (!(field_flags[f] & 4u)) all_unicode = false;
+  std::unordered_map<int64_t, int32_t> slot_of;
+  int64_t n_entries = 0, n_slots = 0;
+  std::vector<std::pair<int32_t, int32_t>> row;  // (slot, count)
+  std::string key;
+  qs_start[0] = 0;
+  for (int64_t qi = 0; qi < n_queries; ++qi) {
+    const char* text = qblob + q_off[qi];
+    const int64_t tlen = q_off[qi + 1] - q_off[qi];
+    for (int64_t i = 0; i < tlen; ++i) {
+      const unsigned char c = static_cast<unsigned char>(text[i]);
+      if (c == '"' || c == ':' || c == '-') return -1;
+      if (c >= 0x80 && !all_unicode) return -1;
+    }
+    row.clear();
+    bool overflow = false;
+    // whitespace pieces OUTER, fields INNER — matching the Python
+    // fast path's `for tok in raw.split(): for field in fields`, so
+    // slot first-appearance order (and with it the f32 summation
+    // order of the scoring matmul) is identical across both paths
+    int64_t piece_start = 0;
+    for (int64_t i = 0; i <= tlen; ++i) {
+      const bool ws =
+          i == tlen || text[i] == ' ' || text[i] == '\t' ||
+          text[i] == '\n' || text[i] == '\r' || text[i] == '\f' ||
+          text[i] == '\v';
+      if (!ws) continue;
+      const char* piece = text + piece_start;
+      const int64_t plen_piece = i - piece_start;
+      piece_start = i + 1;
+      if (plen_piece == 0) continue;
+      for (int32_t f = 0; f < n_fields; ++f) {
+      const char* pfx = fields_blob + f_off[f];
+      const size_t plen = static_cast<size_t>(f_off[f + 1] - f_off[f]);
+      const bool use_stop = field_flags[f] & 1u;
+      const bool use_stem = field_flags[f] & 2u;
+      const bool use_unicode = field_flags[f] & 4u;
+      uint32_t max_pos = 0;
+      analyze_item(qp->stopwords, piece, plen_piece, pfx, plen,
+                   use_stop, use_stem, use_unicode, &max_pos,
+                   [&](const std::string& k, uint32_t) {
+                     const int64_t tid = qprep_lookup(*qp, k);
+                     if (tid < 0) return;
+                     auto it = slot_of.find(tid);
+                     int32_t slot;
+                     if (it == slot_of.end()) {
+                       if (n_slots >= cap) {
+                         overflow = true;
+                         return;
+                       }
+                       slot = static_cast<int32_t>(n_slots);
+                       slot_of.emplace(tid, slot);
+                       slot_tids[n_slots++] = tid;
+                     } else {
+                       slot = it->second;
+                     }
+                     for (auto& e : row)
+                       if (e.first == slot) {
+                         ++e.second;
+                         return;
+                       }
+                     row.emplace_back(slot, 1);
+                   });
+      }
+    }
+    if (overflow ||
+        n_entries + static_cast<int64_t>(row.size()) > cap)
+      return -2;
+    std::sort(row.begin(), row.end());
+    for (const auto& e : row) {
+      qs_slot[n_entries] = e.first;
+      qs_cnt[n_entries] = e.second;
+      ++n_entries;
+    }
+    qs_start[qi + 1] = n_entries;
+  }
+  out_counts[0] = n_entries;
+  out_counts[1] = n_slots;
+  return 0;
+}
+
+}  // extern "C"

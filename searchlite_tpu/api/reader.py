@@ -2126,21 +2126,34 @@ class IndexReader:
         m_budget_bytes = int(os.environ.get(
             "SEARCHLITE_M_BUDGET_BYTES", 2 * 1024**3))
 
-        # phase 1 — per batch: analyze, build args, dispatch all segments
+        # phase 1 — per batch: analyze, build args, dispatch all
+        # segments. The native prep (C++ tokenize + dictionary lookup,
+        # ops/impact.py::build_impact_batch_native) handles plain term
+        # batches in one call; anything it rejects falls back to the
+        # Python analyze + build path, computed lazily on first need.
+        from searchlite_tpu.ops.impact import build_impact_batch_native
+
+        analyzed_all = None
         launches = []  # per batch: list of (seg_ord, scores, ids)
-        for queries, analyzed, (fidx, distinct), blimits in zip(
-                batches, self._analyze_batches(batches, fields),
-                filter_tables, limits):
+        for bi, (queries, (fidx, distinct), blimits) in enumerate(
+                zip(batches, filter_tables, limits)):
             k_batch = int(max(blimits)) if len(blimits) else limit
             launched: list[tuple[int, Any, Any]] = []
             for dseg in self.device_segments:
                 seg = dseg.reader
                 if seg.doc_count == 0:
                     continue
-                qb = build_impact_batch(seg, dseg, analyzed,
-                                        lazy_tables=True)
+                qb = build_impact_batch_native(
+                    seg, dseg, queries, fields, self.analysis,
+                    self.schema, lazy_tables=True)
+                if qb is None:
+                    if analyzed_all is None:
+                        analyzed_all = self._analyze_batches(
+                            batches, fields)
+                    qb = build_impact_batch(seg, dseg, analyzed_all[bi],
+                                            lazy_tables=True)
                 s_pad = qb["s_pad"]
-                est_bytes = (s_pad + len(analyzed)) * dseg.n1 * 4
+                est_bytes = (s_pad + len(queries)) * dseg.n1 * 4
                 if (est_bytes <= m_budget_bytes
                         and qb["flat_extent"] < FLAT_INDEX_LIMIT):
                     k = min(k_batch, dseg.n1)
@@ -2160,7 +2173,7 @@ class IndexReader:
                             scores, ids = out
                     if scores is None:
                         scores, ids = self._search_batch_sharded(
-                            dseg, analyzed, qb, k_batch, est_bytes,
+                            dseg, None, qb, k_batch, est_bytes,
                             m_budget_bytes, fidx, distinct)
                 launched.append((dseg.ord, scores, ids))
             launches.append(launched)
@@ -2224,7 +2237,10 @@ class IndexReader:
             # last, so the valid entries of each row are a prefix
             take = np.minimum((scores != -np.inf).sum(axis=1),
                               limits).tolist()
-            docstrs = dids_arr[ids]
+            # pad entries (past each row's valid prefix) may carry the
+            # sentinel doc ord — clip before the gather, they're never
+            # read
+            docstrs = dids_arr[np.minimum(ids, len(dids_arr) - 1)]
             scores_l = scores.tolist()
             for n, drow, srow in zip(take, docstrs, scores_l):
                 n = int(n)

@@ -186,6 +186,24 @@ class DeviceSegment:
         return self._block_impacts_live
 
     @property
+    def idf_table(self) -> np.ndarray:
+        """f64 [n_terms] BM25 idf per term id (models/bm25.py::idf,
+        vectorized). The batch builders (Python and native) read term
+        idf from here so their weights are bit-identical."""
+        tbl = getattr(self, "_idf_table", None)
+        if tbl is None:
+            df = self.reader.postings.term_df.astype(np.float64)
+            live = float(max(self.live_docs, 0))
+            ratio = (live - df + 0.5) / (df + 0.5)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                tbl = np.where(
+                    ratio <= 0.0, 1.0,
+                    np.maximum(np.log(np.maximum(ratio, 1e-300)), 0.0)
+                    + 1.0)
+            self._idf_table = tbl
+        return tbl
+
+    @property
     def sparse_sentinels(self):
         """[2] int32 device array (sentinel block row, dead doc slot)
         for the sparse candidate scorer — cached so the per-batch

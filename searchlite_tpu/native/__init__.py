@@ -134,8 +134,88 @@ def get_lib():
             np.ctypeslib.ndpointer(np.int64),
             np.ctypeslib.ndpointer(np.int32),
         ]
+        lib.slt_qprep_new.restype = ctypes.c_void_p
+        lib.slt_qprep_new.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64,
+            np.ctypeslib.ndpointer(np.int64), ctypes.c_int64]
+        lib.slt_qprep_stopword.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int]
+        lib.slt_qprep_free.argtypes = [ctypes.c_void_p]
+        lib.slt_qprep_batch.restype = ctypes.c_int64
+        lib.slt_qprep_batch.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p,
+            np.ctypeslib.ndpointer(np.int64), ctypes.c_int64,
+            ctypes.c_char_p, np.ctypeslib.ndpointer(np.int64),
+            ctypes.c_int32, np.ctypeslib.ndpointer(np.uint8),
+            np.ctypeslib.ndpointer(np.int64),
+            np.ctypeslib.ndpointer(np.int32),
+            np.ctypeslib.ndpointer(np.int32), ctypes.c_int64,
+            np.ctypeslib.ndpointer(np.int64),
+            np.ctypeslib.ndpointer(np.int64)]
         _LIB = lib
         return _LIB
+
+
+class NativeQueryPrep:
+    """Native batched query prep over one segment's terms dictionary:
+    tokenizes plain term queries through the C++ analyzer chain (same
+    tokens as ingest by construction), resolves term ids, and returns
+    the per-query (slot-tid, count) CSR that build_impact_batch
+    assembles its tables from. One handle per (segment, stopword-set);
+    term-id lookups are memoized inside the handle across batches."""
+
+    def __init__(self, terms: list[str],
+                 stopwords: frozenset[str] | None):
+        lib = get_lib()
+        if lib is None:
+            raise RuntimeError("native library unavailable")
+        self._lib = lib
+        encoded = [t.encode() for t in terms]
+        offs = np.zeros(len(encoded) + 1, dtype=np.int64)
+        np.cumsum([len(e) for e in encoded], out=offs[1:])
+        blob = b"".join(encoded)
+        self._handle = lib.slt_qprep_new(
+            blob, len(blob), offs, len(encoded))
+        if stopwords:
+            for w in stopwords:
+                wb = w.encode()
+                lib.slt_qprep_stopword(self._handle, wb, len(wb))
+
+    def __del__(self):
+        handle = getattr(self, "_handle", None)
+        if handle:
+            self._lib.slt_qprep_free(handle)
+            self._handle = None
+
+    def prep_batch(self, queries: list[str], field_prefixes: list[str],
+                   field_flags: np.ndarray):
+        """Returns (qs_start i64[Q+1], qs_slot i32[E], qs_cnt i32[E],
+        slot_tids i64[S]) or None when a query needs the Python path."""
+        try:
+            qenc = [q.encode() for q in queries]
+        except UnicodeEncodeError:
+            return None
+        q_off = np.zeros(len(qenc) + 1, dtype=np.int64)
+        np.cumsum([len(e) for e in qenc], out=q_off[1:])
+        qblob = b"".join(qenc)
+        fenc = [f.encode() for f in field_prefixes]
+        f_off = np.zeros(len(fenc) + 1, dtype=np.int64)
+        np.cumsum([len(e) for e in fenc], out=f_off[1:])
+        fblob = b"".join(fenc)
+        cap = (len(qblob) // 2 + len(qenc) + 16) * max(len(fenc), 1)
+        qs_start = np.zeros(len(qenc) + 1, dtype=np.int64)
+        qs_slot = np.empty(cap, dtype=np.int32)
+        qs_cnt = np.empty(cap, dtype=np.int32)
+        slot_tids = np.empty(cap, dtype=np.int64)
+        counts = np.zeros(2, dtype=np.int64)
+        rc = self._lib.slt_qprep_batch(
+            self._handle, qblob, q_off, len(qenc), fblob, f_off,
+            len(fenc), field_flags, qs_start, qs_slot, qs_cnt, cap,
+            slot_tids, counts)
+        if rc != 0:
+            return None
+        n_e, n_s = int(counts[0]), int(counts[1])
+        return (qs_start, qs_slot[:n_e], qs_cnt[:n_e], slot_tids[:n_s])
 
 
 def build_ffi_lib() -> str | None:

@@ -35,6 +35,7 @@ turns the engine's hottest loop into the operation TPUs are built for.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import numpy as np
@@ -256,10 +257,8 @@ def build_impact_batch(seg, dseg, queries: list[list[tuple[str, str]]],
     block gather tables) — the sparse candidate path (ops/sparse.py)
     never reads them; a dense/heavy fallback calls
     :func:`ensure_dense_tables` before use."""
-    from searchlite_tpu.models.bm25 import idf as bm25_idf
-
     postings = seg.postings
-    live = float(max(dseg.live_docs, 0))
+    idf_table = dseg.idf_table
     term_meta = getattr(dseg, "_term_meta", None)
     if term_meta is None:
         term_meta = dseg._term_meta = {}
@@ -290,7 +289,7 @@ def build_impact_batch(seg, dseg, queries: list[list[tuple[str, str]]],
                         continue
                     length = int(postings.term_df[tid])
                     meta = (int(dseg.posting_base[tid]), length,
-                            bm25_idf(float(length), live), int(tid),
+                            float(idf_table[tid]), int(tid),
                             int(postings.term_block_start[tid]),
                             int(postings.term_block_count[tid]))
                     term_meta[key] = meta
@@ -306,11 +305,13 @@ def build_impact_batch(seg, dseg, queries: list[list[tuple[str, str]]],
                 slot_bcnt.append(meta[5])
             if slot not in row:
                 nblk += slot_bcnt[slot]
-            row[slot] = row.get(slot, 0.0) + slot_idf[slot]
+            row[slot] = row.get(slot, 0) + 1
         q_nblk[qi] = nblk
+        # weight = occurrence count x idf (multiplication, not serial
+        # addition, so the native prep path is bit-identical)
         for slot in sorted(row):
             qs_slot_l.append(slot)
-            qs_w_l.append(row[slot])
+            qs_w_l.append(row[slot] * slot_idf[slot])
         qs_start[qi + 1] = len(qs_slot_l)
     s_pad = next_pow2(max(len(slot_start), slot_bucket))
     out = {
@@ -343,6 +344,123 @@ def build_impact_batch(seg, dseg, queries: list[list[tuple[str, str]]],
     if not lazy_tables:
         ensure_dense_tables(out)
     return out
+
+
+def _native_prep_for(seg, dseg, fields, analysis, schema):
+    """Cached (NativeQueryPrep, field prefixes, field flags) for a
+    (segment, fields) pair, or None when any field's search analyzer
+    has no native profile / needs a second stopword set / isn't a text
+    field. The handle is shared across field sets with the same
+    stopword set (term-id lookups memoize inside it)."""
+    cache = getattr(dseg, "_qprep_cache", None)
+    if cache is None:
+        cache = dseg._qprep_cache = {}
+    key = tuple(fields)
+    hit = cache.get(key)
+    if hit is not None:
+        return hit if hit is not False else None
+    result = None
+    prefixes: list[str] = []
+    flags = np.zeros(len(fields), dtype=np.uint8)
+    stop_set: frozenset | None = None
+    ok = True
+    for i, field in enumerate(fields):
+        if schema.field_kind(field) != "text":
+            ok = False
+            break
+        analyzer = analysis.search_analyzer(field)
+        if analyzer is None or analyzer.native_profile is None:
+            ok = False
+            break
+        tok, stop, stem = analyzer.native_profile
+        if stop is not None:
+            stop = frozenset(stop)
+            if stop_set is None:
+                stop_set = stop
+            elif stop_set != stop:
+                ok = False  # one stopword set per native handle
+                break
+            flags[i] |= 1
+        if stem:
+            flags[i] |= 2
+        if tok == "unicode":
+            flags[i] |= 4
+        prefixes.append(f"{field}:")
+    if ok:
+        handles = getattr(dseg, "_qprep_handles", None)
+        if handles is None:
+            handles = dseg._qprep_handles = {}
+        handle = handles.get(stop_set)
+        if handle is None:
+            try:
+                from searchlite_tpu.native import NativeQueryPrep, get_lib
+                if get_lib() is not None:
+                    handle = NativeQueryPrep(
+                        seg.terms._terms, stop_set)
+                    handles[stop_set] = handle
+            except (RuntimeError, OSError):
+                handle = None
+        if handle is not None:
+            result = (handle, prefixes, flags)
+    cache[key] = result if result is not None else False
+    return result
+
+
+def build_impact_batch_native(seg, dseg, queries: list[str], fields,
+                              analysis, schema, slot_bucket: int = 64,
+                              lazy_tables: bool = False):
+    """Native-prep fast path of :func:`build_impact_batch`: raw query
+    strings go through the C++ analyzer + dictionary (one call per
+    batch) and the qb tables are assembled with numpy gathers — no
+    per-query Python. Returns None when the batch needs the Python
+    path (unsupported analyzer/field config, or query syntax beyond
+    plain terms — the native side rejects ':', '-', '\"' and non-ASCII
+    under the default tokenizer). Output is bit-identical to the
+    Python builder (same idf table, same count x idf weights),
+    equivalence-fuzzed in tests/test_native_qprep.py."""
+    if os.environ.get("SEARCHLITE_DISABLE_NATIVE_QPREP"):
+        return None
+    info = _native_prep_for(seg, dseg, fields, analysis, schema)
+    if info is None:
+        return None
+    prep, prefixes, flags = info
+    out = prep.prep_batch(queries, prefixes, flags)
+    if out is None:
+        return None
+    qs_start, qs_slot, qs_cnt, slot_tids = out
+    postings = seg.postings
+    idf_slots = dseg.idf_table[slot_tids]
+    slot_bstart = postings.term_block_start[slot_tids].astype(np.int64)
+    slot_bcnt = postings.term_block_count[slot_tids].astype(np.int64)
+    slot_len = postings.term_df[slot_tids].astype(np.int64)
+    slot_start = dseg.posting_base[slot_tids]
+    qs_w = (idf_slots[qs_slot] * qs_cnt).astype(np.float32)
+    nb_of_entry = slot_bcnt[qs_slot]
+    c = np.zeros(len(nb_of_entry) + 1, dtype=np.int64)
+    np.cumsum(nb_of_entry, out=c[1:])
+    q_nblk = c[qs_start[1:]] - c[qs_start[:-1]]
+    s_pad = next_pow2(max(len(slot_tids), slot_bucket))
+    qb = {
+        "s_pad": s_pad,
+        "n_queries": len(queries),
+        "slot_tids": slot_tids,
+        "n_slots": len(slot_tids),
+        "slot_bstart": slot_bstart,
+        "slot_bcnt": slot_bcnt,
+        "slot_len_list": slot_len,
+        "slot_start_list": slot_start,
+        "sentinel_row": dseg.n_block_rows,
+        "n1": dseg.n1,
+        "qs_start": qs_start,
+        "qs_slot": qs_slot,
+        "qs_w": qs_w,
+        "q_nblk": q_nblk,
+    }
+    nb_pad = pow15_bucket(max(int(slot_bcnt.sum()), 1), minimum=32)
+    qb["flat_extent"] = s_pad * dseg.n1 + nb_pad * 128
+    if not lazy_tables:
+        ensure_dense_tables(qb)
+    return qb
 
 
 def csr_row_lengths(qb) -> np.ndarray:
