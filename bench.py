@@ -287,6 +287,17 @@ def main():
         dt = time.perf_counter() - t0
         qps_by_exec[execution] = round(n_queries / dt, 2)
         RESULT["detail"][f"qps_{execution}"] = qps_by_exec[execution]
+    # arrays output: raw (scores, doc ords) per batch — the SAME result
+    # surface the C++ baseline engine (and the reference's own benches)
+    # measure at; the pairs rows above additionally pay per-hit Python
+    # tuple + doc-id string materialization
+    t0 = time.perf_counter()
+    arr_out = reader.search_batch_many(stream, limit=K,
+                                       output="arrays")
+    dt = time.perf_counter() - t0
+    assert len(arr_out) == len(stream)
+    qps_by_exec["bm25_arrays"] = round(n_queries / dt, 2)
+    RESULT["detail"]["qps_bm25_arrays"] = qps_by_exec["bm25_arrays"]
     best = max(qps_by_exec, key=qps_by_exec.get)
     qps = qps_by_exec[best]
     RESULT["value"] = qps
@@ -304,6 +315,18 @@ def main():
                                              execution=execution)
         ok = ok and verify_vs_oracle(reader, verify_queries,
                                      verify_results)
+    # the arrays surface must carry the same ranking (ords mapped to
+    # doc ids outside the measured loop, exactly like the C++ engine)
+    a_scores, a_ids, a_segs = reader.search_batch_many(
+        [verify_queries], limit=K, output="arrays")[0]
+    arr_results = []
+    for qi in range(len(verify_queries)):
+        n = int((a_scores[qi] != -np.inf).sum())
+        arr_results.append([
+            (reader.segments[int(a_segs[qi, j])].doc_id(
+                int(a_ids[qi, j])), float(a_scores[qi, j]))
+            for j in range(n)])
+    ok = ok and verify_vs_oracle(reader, verify_queries, arr_results)
     RESULT["detail"]["verified_vs_oracle"] = ok
     RESULT["detail"]["score_mode"] = (
         "f32_strict" if os.environ.get(

@@ -2084,15 +2084,26 @@ class IndexReader:
                           fields: Optional[list[str]] = None,
                           execution: str = "bm25",
                           filters: Optional[list] = None,
-                          limits: Optional[list] = None
-                          ) -> list[list[list[tuple[str, float]]]]:
+                          limits: Optional[list] = None,
+                          output: str = "pairs"
+                          ) -> list:
         """Pipelined form of :meth:`search_batch` for a stream of
         batches: every batch's device work is dispatched asynchronously
         before ANY result is fetched, so host prep, device compute, and
         the host<->device round trip all overlap across batches (the
         sustained-throughput serving pattern). Results are identical to
         calling ``search_batch`` per batch. ``filters``/``limits`` are
-        per-batch lists aligned with ``batches``."""
+        per-batch lists aligned with ``batches``.
+
+        ``output="pairs"`` (default) returns per batch a list of
+        ``(doc_id, score)`` lists. ``output="arrays"`` returns per
+        batch ``(scores [Q,k] f32, doc_ords [Q,k] i32, seg_ords [Q,k]
+        i32)`` numpy arrays — rows are (score desc, (seg, doc) asc),
+        entries past a row's match count hold -inf scores; map ords to
+        doc-id strings via ``reader.segments[seg].doc_ids[ord]``. The
+        arrays form skips per-hit Python object materialization (the
+        reference engine's benches likewise return raw doc addresses,
+        `searchlite-core/benches/end_to_end.rs`)."""
         import jax
         import jax.numpy as jnp
 
@@ -2102,6 +2113,10 @@ class IndexReader:
             raise QueryError("limit must be > 0")
         if execution not in ("bm25", "wand", "bmw"):
             raise QueryError(f"unknown execution strategy `{execution}`")
+        if output not in ("pairs", "arrays"):
+            raise QueryError(f"unknown output form `{output}`")
+        if output == "arrays" and execution != "bm25":
+            raise QueryError("output='arrays' requires execution=bm25")
         if fields is None:
             fields = [f.name for f in self.schema.text_fields]
         limits = self._check_batch_limits(batches, limit, limits)
@@ -2185,7 +2200,7 @@ class IndexReader:
         flat_vals = list(jax.device_get(tuple(flat_refs)))
 
         # phase 3 — host merge per batch
-        out: list[list[list[tuple[str, float]]]] = []
+        out: list = []
         cursor = 0
         for queries, launched, blimits in zip(batches, launches, limits):
             per_segment = []
@@ -2194,9 +2209,45 @@ class IndexReader:
                                     np.asarray(flat_vals[cursor]),
                                     np.asarray(flat_vals[cursor + 1])))
                 cursor += 2
-            out.append(self._merge_batch_results(
-                queries, per_segment, blimits))
+            if output == "arrays":
+                out.append(self._merge_batch_arrays(
+                    per_segment, blimits))
+            else:
+                out.append(self._merge_batch_results(
+                    queries, per_segment, blimits))
         return out
+
+    def _merge_batch_arrays(self, per_segment, limits):
+        """Merge per-segment top-k (scores, ids) into batch-order
+        (scores, doc_ords, seg_ords) arrays — (score desc, (seg, doc)
+        asc), -inf past each row's match count / per-query limit. One
+        lexsort, no per-hit Python objects."""
+        if len(per_segment) == 1:
+            seg_ord, scores, ids = per_segment[0]
+            scores = scores.astype(np.float32, copy=True)
+            ids = ids.astype(np.int32, copy=False)
+            seg_arr = np.full(ids.shape, seg_ord, dtype=np.int32)
+        else:
+            scores = np.concatenate(
+                [s for _o, s, _i in per_segment], axis=1).astype(
+                    np.float32)
+            ids = np.concatenate(
+                [i for _o, _s, i in per_segment], axis=1).astype(
+                    np.int32)
+            seg_arr = np.concatenate(
+                [np.full(i.shape, o, dtype=np.int32)
+                 for o, _s, i in per_segment], axis=1)
+            order = np.lexsort((ids, seg_arr, -scores), axis=-1)
+            k = min(scores.shape[1],
+                    int(limits.max()) if len(limits) else
+                    scores.shape[1])
+            order = order[:, :k]
+            scores = np.take_along_axis(scores, order, axis=1)
+            ids = np.take_along_axis(ids, order, axis=1)
+            seg_arr = np.take_along_axis(seg_arr, order, axis=1)
+        col = np.arange(scores.shape[1])
+        scores[col[None, :] >= np.asarray(limits)[:, None]] = -np.inf
+        return scores, ids, seg_arr
 
     def _check_batch_limits(self, batches, limit: int, limits):
         """Normalize per-query limits: one int array per batch."""
@@ -2247,22 +2298,24 @@ class IndexReader:
                 results.append(list(zip(drow[:n].tolist(), srow[:n])))
             return results
 
-        merged: list[dict] = [dict() for _ in queries]
-        for seg_ord, scores, ids in per_segment:
-            for qi in range(len(queries)):
-                for score, doc in zip(scores[qi].tolist(),
-                                      ids[qi].tolist()):
-                    if score == -np.inf:
-                        continue
-                    merged[qi][(seg_ord, int(doc))] = float(score)
-        for qi in range(len(queries)):
-            ranked = sorted(merged[qi].items(),
-                            key=lambda kv: (-kv[1], kv[0]))
-            ranked = ranked[:int(limits[qi])]
-            results.append([
-                (self.segments[seg_ord].doc_id(doc), score)
-                for (seg_ord, doc), score in ranked
-            ])
+        scores, ids, seg_arr = self._merge_batch_arrays(
+            per_segment, limits)
+        # doc-id strings per merged cell, gathered one segment at a time
+        docstrs = np.empty(ids.shape, dtype=object)
+        for seg_ord, _s, _i in per_segment:
+            seg = self.segments[seg_ord]
+            dids_arr = getattr(seg, "_doc_ids_obj_arr", None)
+            if dids_arr is None or len(dids_arr) != len(seg.doc_ids):
+                dids_arr = np.asarray(seg.doc_ids, dtype=object)
+                seg._doc_ids_obj_arr = dids_arr
+            mask = seg_arr == seg_ord
+            docstrs[mask] = dids_arr[
+                np.minimum(ids[mask], len(dids_arr) - 1)]
+        take = (scores != -np.inf).sum(axis=1).tolist()
+        scores_l = scores.tolist()
+        for n, drow, srow in zip(take, docstrs, scores_l):
+            n = int(n)
+            results.append(list(zip(drow[:n].tolist(), srow[:n])))
         return results
 
     # -- doc-tile pruned batch execution (real WAND/BMW) ------------------

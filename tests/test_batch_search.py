@@ -325,3 +325,39 @@ def test_fine_bucketing_block_tables():
     assert pow15_bucket(50, minimum=32) == 64
     assert pow15_bucket(3000) == 3072
     assert pow15_bucket(3100) == 4096
+
+
+def test_output_arrays_matches_pairs(index):
+    """output='arrays' carries the same merged ranking as the default
+    pairs output (multi-segment merge, per-query limits)."""
+    import numpy as np
+
+    rng = random.Random(21)
+    reader = index.reader()
+    queries = [" ".join(rng.sample([f"w{i}" for i in range(60)],
+                                   k=rng.randint(1, 4)))
+               for _ in range(24)]
+    limits = [rng.randint(1, 10) for _ in queries]
+    pairs = reader.search_batch_many(
+        [queries], limit=10, limits=[limits])[0]
+    scores, ids, segs = reader.search_batch_many(
+        [queries], limit=10, limits=[limits], output="arrays")[0]
+    assert scores.shape == ids.shape == segs.shape
+    for qi, expected in enumerate(pairs):
+        n = int((scores[qi] != -np.inf).sum())
+        got = [(reader.segments[int(segs[qi, j])].doc_id(
+                    int(ids[qi, j])), scores[qi, j])
+               for j in range(n)]
+        exp = [(d, float(np.float32(s))) for d, s in expected]
+        assert [(d, float(s)) for d, s in got] == exp, queries[qi]
+
+
+def test_output_arrays_rejections(index):
+    from searchlite_tpu.errors import QueryError
+
+    reader = index.reader()
+    with pytest.raises(QueryError):
+        reader.search_batch_many([["w1"]], output="bogus")
+    with pytest.raises(QueryError):
+        reader.search_batch_many([["w1"]], execution="wand",
+                                 output="arrays")
