@@ -848,6 +848,21 @@ class IndexReader:
                       and not compiled.needs_hook and has_scored)
         pruning_real = False
         pruning_simulated = False
+        # plain OR-of-terms requests with no masks/aggs/cursor ride the
+        # sparse candidate scorer: only the query's own posting blocks
+        # are gathered — no [S, n1] matrix, no doc-axis work at ANY
+        # corpus size (the forced-bm25 single-query fix at multi-M docs;
+        # VERDICT r2 item 5)
+        sparse_single_ok = (
+            score_fast_path and req.return_hits
+            and cursor_state is None and agg_pipeline is None
+            and vector_plan is None and req.collapse is None
+            and not compiled.needs_hook and has_scored
+            and req.filter is None and not use_cursor
+            and not req.explain
+            and not plan.phrase_specs and not compiled.filter_slots
+            and plan.is_plain_or_sum()
+            and os.environ.get("SEARCHLITE_SINGLE_SPARSE", "1") != "0")
         pending = []  # (dseg, qargs, fetch_refs)
         pruned_jobs = []  # deferred doc-tile pruned segments
 
@@ -955,6 +970,12 @@ class IndexReader:
                                     filter_masks, col_vals, col_has,
                                     root_mask, k, oversize))
                 continue
+            if sparse_single_ok:
+                sp = self._try_sparse_single(dseg, qargs, k)
+                if sp is not None:
+                    qargs["_pruned_pre"] = sp
+                    pending.append((dseg, qargs, []))
+                    continue
             if oversize:
                 # dense M won't fit — exact chunked tile execution,
                 # results flow through the general (host) branch
@@ -3142,6 +3163,64 @@ class IndexReader:
         return combine(ts, td, hs, hi,
                        jnp.asarray(np.concatenate(
                            [light_map, heavy_map])), n_rows=nq)
+
+    def _try_sparse_single(self, dseg, qargs, k: int):
+        """One plain OR query through the sparse candidate scorer
+        (ops/sparse.py): a [1, t_pad] table of the query's posting
+        block ranges and summed leaf weights, scored over its own
+        candidate strip only. Exact under QueryPlan.is_plain_or_sum
+        (match ≡ positive score; count from the scorer's ok mask).
+        Fetches (scores, ids, count) in ONE round trip per segment.
+        Returns None when the query's block span exceeds the cap (the
+        dense/pruned paths win there) — caller falls through."""
+        import jax
+        import jax.numpy as jnp
+
+        from searchlite_tpu.ops.impact import next_pow2, pow15_bucket
+
+        max_blocks = int(os.environ.get(
+            "SEARCHLITE_SINGLE_SPARSE_BLOCKS", "512"))
+        if max_blocks <= 0 or k > 1024:
+            return None
+        # corpus-size gate: at small n1 the dense executor is already
+        # RTT-floored and bit-reproduces the historical scoring path;
+        # the candidate gather's f32 summation order differs at ulp
+        # level (documented with D8 in docs/precision.md), so the route
+        # only turns on where it buys real latency
+        min_docs = int(os.environ.get(
+            "SEARCHLITE_SINGLE_SPARSE_MIN_DOCS", "1000000"))
+        if dseg.n1 < min_docs:
+            return None
+        n_slots = qargs["n_slots"]
+        if n_slots == 0:
+            return None
+        postings = dseg.reader.postings
+        tids = qargs["slot_tids"]
+        bstart = postings.term_block_start[tids].astype(np.int64)
+        bcnt = postings.term_block_count[tids].astype(np.int64)
+        total = int(bcnt.sum())
+        if total == 0 or total > max_blocks or k > total * 128:
+            return None
+        w = np.zeros(n_slots, dtype=np.float32)
+        for s, v in qargs["slot_weight"].items():
+            w[s] = v
+        if (w <= 0).any():
+            return None
+        t_pad = next_pow2(max(n_slots, 2))
+        tbl = np.zeros((3, 1, t_pad), dtype=np.int32)
+        tbl[0, 0, :n_slots] = bstart
+        tbl[1, 0, :n_slots] = bcnt
+        tbl[2, 0, :n_slots] = w.view(np.int32)
+        scorer = self._sparse_candidate_scorer()
+        ts, td, cnt = scorer(
+            dseg.block_docs, dseg.block_impacts_live,
+            jnp.asarray(tbl), dseg.sparse_sentinels,
+            k=k, t_pad=t_pad, nblk=pow15_bucket(total, minimum=16),
+            log2_run=max((t_pad - 1).bit_length(), 1),
+            with_counts=True)
+        ts, td, cnt = jax.device_get((ts, td, cnt))
+        return (np.asarray(ts)[0], np.asarray(td)[0],
+                int(cnt[0]), qargs["postings_touched"])
 
     def _empty_heavy_rows(self, k: int):
         """Cached all-pad heavy rows for sparse batches with no heavy

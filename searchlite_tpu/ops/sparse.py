@@ -58,9 +58,11 @@ def make_sparse_candidate_scorer():
     import jax.numpy as jnp
 
     @partial(jax.jit,
-             static_argnames=("k", "t_pad", "nblk", "log2_run"))
+             static_argnames=("k", "t_pad", "nblk", "log2_run",
+                              "with_counts"))
     def scorer(block_docs, block_impacts, tbl, sent,
-               *, k: int, t_pad: int, nblk: int, log2_run: int):
+               *, k: int, t_pad: int, nblk: int, log2_run: int,
+               with_counts: bool = False):
         """tbl [3, B, t_pad] int32 — ONE host upload per batch (each
         eager transfer costs a tunnel dispatch): rows are per-(query,
         term-slot) posting block starts, counts (0 for unused slots),
@@ -107,6 +109,11 @@ def make_sparse_candidate_scorer():
         score = jnp.where(ok, v, -jnp.inf)
         ts, tp = jax.lax.top_k(score, k)
         td = jnp.take_along_axis(d, tp, axis=1)
+        if with_counts:
+            # exact per-row match count (the single-query route's
+            # total_hits_estimate — same count the dense executor's
+            # match mask produces)
+            return ts, td, ok.sum(axis=1).astype(jnp.int32)
         return ts, td
 
     return scorer

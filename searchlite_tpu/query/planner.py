@@ -108,6 +108,36 @@ class QueryPlan:
     def needs_score_hook(self) -> bool:
         return _score_node_nontrivial(self.score_tree)
 
+    def is_plain_or_sum(self) -> bool:
+        """True when this plan is a bare OR of exact scored terms whose
+        score is the plain sum of leaf BM25 — i.e. matching ≡ positive
+        score and total score ≡ Σ slot_impact × Σ leaf weight. The
+        single-query sparse candidate route (api/reader.py::
+        _try_sparse_single) relies on exactly this equivalence."""
+        m = self.matcher
+        if m.kind != "query_string":
+            return False
+        p = m.payload
+        if p.get("phrase_groups") or p.get("not_term_groups"):
+            return False
+        if p.get("minimum_should_match") not in (None, 1):
+            return False
+        if not self.term_groups:
+            return False
+        for g in self.term_groups:
+            if (g.expansion != "exact" or not g.score
+                    or g.mode != "per_field" or g.boost <= 0.0):
+                return False
+            if any(f.boost <= 0.0 for f in g.fields):
+                return False
+        sc = self.scorer
+        if sc is None:
+            return False
+        if sc.kind == "leaf":
+            return True
+        return (sc.kind == "sum"
+                and all(c.kind == "leaf" for c in sc.children))
+
 
 def _score_node_nontrivial(node: ScoreNode) -> bool:
     if node.kind in ("constant", "function_score", "rank_feature",
