@@ -3185,8 +3185,8 @@ class IndexReader:
         # corpus-size gate: at small n1 the dense executor is already
         # RTT-floored and bit-reproduces the historical scoring path;
         # the candidate gather's f32 summation order differs at ulp
-        # level (documented with D8 in docs/precision.md), so the route
-        # only turns on where it buys real latency
+        # level (divergence D10, COMPONENTS.md), so the route only
+        # turns on where it buys real latency
         min_docs = int(os.environ.get(
             "SEARCHLITE_SINGLE_SPARSE_MIN_DOCS", "1000000"))
         if dseg.n1 < min_docs:
