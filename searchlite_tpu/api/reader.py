@@ -2384,7 +2384,12 @@ class IndexReader:
         class _Item:
             __slots__ = ("bi", "dseg", "tl", "qb", "ub", "q_tids",
                          "w_b", "tpq_pad", "k", "lims", "processed",
-                         "theta", "run_s", "run_d", "rounds", "done")
+                         "theta", "run_s", "run_d", "rounds", "done",
+                         "sparse", "hmap")
+
+        sparse_cap = int(os.environ.get(
+            "SEARCHLITE_WAND_SPARSE_BLOCKS",
+            os.environ.get("SEARCHLITE_SPARSE_MAX_BLOCKS", "512")))
 
         # wave 0 — UB launches for every (batch, segment)
         items: list = []
@@ -2399,6 +2404,10 @@ class IndexReader:
                 it.tl = get_tile_index(dseg)
                 it.qb = build_impact_batch(seg, dseg, analyzed)
                 it.done = False
+                it.sparse = None
+                it.hmap = None
+                it.run_s = None
+                it.run_d = None
                 q = it.qb["n_queries"]
                 it.k = min(int(limits[bi].max()) if len(limits[bi])
                            else limit, dseg.n1)
@@ -2409,6 +2418,46 @@ class IndexReader:
                     it.done = True
                     items.append(it)
                     continue
+                # light queries (block span under the cap) skip the
+                # tile machinery entirely: the sparse candidate scorer
+                # gathers ONLY their own postings — strictly fewer
+                # touched postings than any block-skip traversal, and
+                # no per-wave run-table uploads. Only the heavy
+                # (head-term) remainder runs tile waves.
+                part = None
+                if sparse_cap > 0 and it.k <= 1024:
+                    from searchlite_tpu.ops.sparse import (
+                        partition_sparse_batch,
+                    )
+
+                    part = partition_sparse_batch(it.qb, sparse_cap)
+                if part is not None and it.k <= part["nblk"] * 128:
+                    sscorer = self._sparse_candidate_scorer()
+                    ts, td = sscorer(
+                        dseg.block_docs, dseg.block_impacts_live,
+                        jnp.asarray(part["tbl"]),
+                        dseg.sparse_sentinels,
+                        k=it.k, t_pad=part["t_pad"],
+                        nblk=part["nblk"],
+                        log2_run=part["log2_run"])
+                    it.sparse = (ts, td, part["light_idx"])
+                    heavy_idx = part["heavy_idx"]
+                    if len(heavy_idx) == 0:
+                        it.ub = None
+                        it.done = True
+                        items.append(it)
+                        continue
+                    from searchlite_tpu.ops.impact import (
+                        subset_impact_batch,
+                    )
+
+                    it.hmap = heavy_idx
+                    it.qb = subset_impact_batch(it.qb, heavy_idx)
+                    q = it.qb["n_queries"]
+                    lims_h = np.full(q, it.k, dtype=np.int64)
+                    lims_h[:len(heavy_idx)] = np.minimum(
+                        limits[bi][heavy_idx], it.k)
+                    it.lims = jnp.asarray(lims_h.astype(np.int32))
                 # per-query term/weight tables (vectorized from the
                 # qb's slot CSR; rows are slot-ascending)
                 from searchlite_tpu.ops.impact import (
@@ -2516,16 +2565,39 @@ class IndexReader:
             live = [it for it in items if not it.done]
 
         # fetch final per-item results (bulk)
-        final_refs = [x for it in items if it.run_s is not None
-                      for x in (it.run_s, it.run_d)]
+        final_refs = []
+        for it in items:
+            if it.run_s is not None:
+                final_refs.extend((it.run_s, it.run_d))
+            if it.sparse is not None:
+                final_refs.extend(it.sparse[:2])
         final_vals = iter(jax.device_get(tuple(final_refs)))
         per_batch_segments: list[list] = [[] for _ in batches]
         for it in items:
-            if it.run_s is None:
+            if it.run_s is None and it.sparse is None:
                 continue
-            s_np = np.asarray(next(final_vals))
-            d_np = np.asarray(next(final_vals)).astype(np.int64)
-            d_np = np.where(s_np > -np.inf, d_np, 0)
+            nq = len(batches[it.bi])
+            if it.run_s is not None:
+                s_np = np.asarray(next(final_vals))
+                d_np = np.asarray(next(final_vals)).astype(np.int64)
+                d_np = np.where(s_np > -np.inf, d_np, 0)
+            else:
+                s_np = d_np = None
+            if it.sparse is not None:
+                ts = np.asarray(next(final_vals))
+                td = np.asarray(next(final_vals)).astype(np.int64)
+                light_idx = it.sparse[2]
+                k = ts.shape[1]
+                s_full = np.full((nq, k), -np.inf, dtype=np.float32)
+                d_full = np.zeros((nq, k), dtype=np.int64)
+                s_full[light_idx] = ts[:len(light_idx)]
+                d_full[light_idx] = np.where(
+                    ts[:len(light_idx)] > -np.inf,
+                    td[:len(light_idx)], 0)
+                if s_np is not None and it.hmap is not None:
+                    s_full[it.hmap] = s_np[:len(it.hmap), :k]
+                    d_full[it.hmap] = d_np[:len(it.hmap), :k]
+                s_np, d_np = s_full, d_full
             per_batch_segments[it.bi].append(
                 (it.dseg.ord, s_np, d_np))
         out = []

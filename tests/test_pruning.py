@@ -377,6 +377,9 @@ def test_per_query_pruned_rounds_and_limits(monkeypatch):
     and per-query limits must stay exact vs dense."""
     monkeypatch.setenv("SEARCHLITE_TILE_WIDTH", "128")
     monkeypatch.setenv("SEARCHLITE_BATCH_PRUNE", "per_query")
+    # pin the tile-wave machinery: without this every small-corpus
+    # query is "light" and routes to the sparse candidate scorer
+    monkeypatch.setenv("SEARCHLITE_WAND_SPARSE_BLOCKS", "0")
     monkeypatch.setenv("SEARCHLITE_SEED_TILES_PER_QUERY", "1")
     idx, vocab, rng = _build_index(41, segments=2, docs_per_segment=500)
     reader = idx.reader()
@@ -397,6 +400,9 @@ def test_per_query_pruned_memory_capped_rounds(monkeypatch):
     survive the extra rounds."""
     monkeypatch.setenv("SEARCHLITE_TILE_WIDTH", "128")
     monkeypatch.setenv("SEARCHLITE_BATCH_PRUNE", "per_query")
+    # pin the tile-wave machinery: without this every small-corpus
+    # query is "light" and routes to the sparse candidate scorer
+    monkeypatch.setenv("SEARCHLITE_WAND_SPARSE_BLOCKS", "0")
     monkeypatch.setenv("SEARCHLITE_M_BUDGET_BYTES", "2000000")
     idx, vocab, rng = _build_index(43, segments=1, docs_per_segment=700)
     reader = idx.reader()
@@ -438,3 +444,26 @@ def test_filtered_batches_route_to_union_path(monkeypatch):
                                  execution="bmw")
     for query, a, b in zip(queries, dense, pruned):
         assert [d for d, _ in a] == [d for d, _ in b], query
+
+
+def test_per_query_light_heavy_split(monkeypatch):
+    """Light queries ride the sparse candidate scorer, heavy ones the
+    tile waves; results stay exact vs dense with both routes live in
+    one batch (the row-recombination contract)."""
+    monkeypatch.setenv("SEARCHLITE_TILE_WIDTH", "128")
+    monkeypatch.setenv("SEARCHLITE_BATCH_PRUNE", "per_query")
+    for cap in ("1", "2", "512"):
+        monkeypatch.setenv("SEARCHLITE_WAND_SPARSE_BLOCKS", cap)
+        idx, vocab, rng = _build_index(53, segments=2,
+                                       docs_per_segment=500)
+        reader = idx.reader()
+        queries = [" ".join(rng.sample(vocab, k=rng.randint(1, 5)))
+                   for _ in range(12)] + [vocab[0], "missing-term", ""]
+        limits = [rng.randint(1, 20) for _ in queries]
+        dense = reader.search_batch(queries, limit=20, limits=limits)
+        pruned = reader.search_batch(queries, limit=20, limits=limits,
+                                     execution="wand")
+        for query, a, b in zip(queries, dense, pruned):
+            assert [d for d, _ in a] == [d for d, _ in b], (cap, query)
+            for (_, sa), (_, sb) in zip(a, b):
+                assert sa == pytest.approx(sb, abs=1e-5), (cap, query)
