@@ -2303,21 +2303,18 @@ class IndexReader:
             if dids_arr is None or len(dids_arr) != len(seg.doc_ids):
                 dids_arr = np.asarray(seg.doc_ids, dtype=object)
                 seg._doc_ids_obj_arr = dids_arr
-            scores = np.asarray(scores)
+            scores = np.ascontiguousarray(np.asarray(scores),
+                                          dtype=np.float32)
             ids = np.asarray(ids)
             # top_k output is score-descending with -inf (non-matches)
             # last, so the valid entries of each row are a prefix
             take = np.minimum((scores != -np.inf).sum(axis=1),
-                              limits).tolist()
+                              limits).astype(np.int64)
             # pad entries (past each row's valid prefix) may carry the
             # sentinel doc ord — clip before the gather, they're never
             # read
             docstrs = dids_arr[np.minimum(ids, len(dids_arr) - 1)]
-            scores_l = scores.tolist()
-            for n, drow, srow in zip(take, docstrs, scores_l):
-                n = int(n)
-                results.append(list(zip(drow[:n].tolist(), srow[:n])))
-            return results
+            return self._materialize_pairs(docstrs, scores, take)
 
         scores, ids, seg_arr = self._merge_batch_arrays(
             per_segment, limits)
@@ -2332,9 +2329,25 @@ class IndexReader:
             mask = seg_arr == seg_ord
             docstrs[mask] = dids_arr[
                 np.minimum(ids[mask], len(dids_arr) - 1)]
-        take = (scores != -np.inf).sum(axis=1).tolist()
+        take = (scores != -np.inf).sum(axis=1).astype(np.int64)
+        return self._materialize_pairs(
+            np.ascontiguousarray(docstrs),
+            np.ascontiguousarray(scores, dtype=np.float32), take)
+
+    @staticmethod
+    def _materialize_pairs(docstrs, scores, take):
+        """[Q, k] (doc-id object array, f32 scores) + per-row take
+        counts -> list of [(doc_id, score), ...]. The C extension
+        (native/slt_results.c) builds the tuples ~10x faster than
+        bytecode; the Python loop below is the behavioral spec."""
+        from searchlite_tpu.native import get_results_mod
+
+        mod = get_results_mod()
+        if mod is not None:
+            return mod.build(docstrs, scores, take)
+        results = []
         scores_l = scores.tolist()
-        for n, drow, srow in zip(take, docstrs, scores_l):
+        for n, drow, srow in zip(take.tolist(), docstrs, scores_l):
             n = int(n)
             results.append(list(zip(drow[:n].tolist(), srow[:n])))
         return results

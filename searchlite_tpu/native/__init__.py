@@ -156,6 +156,63 @@ def get_lib():
         return _LIB
 
 
+_RESULTS_MOD = None
+_RESULTS_FAILED = False
+
+
+def get_results_mod():
+    """Build + import the slt_results CPython extension (pairs-result
+    materialization in C; native/slt_results.c). Returns the module or
+    None — callers keep the pure-Python merge as fallback."""
+    global _RESULTS_MOD, _RESULTS_FAILED
+    if _RESULTS_MOD is not None or _RESULTS_FAILED:
+        return _RESULTS_MOD
+    with _LIB_LOCK:
+        if _RESULTS_MOD is not None or _RESULTS_FAILED:
+            return _RESULTS_MOD
+        if os.environ.get("SEARCHLITE_DISABLE_NATIVE"):
+            _RESULTS_FAILED = True
+            return None
+        src = os.path.join(os.path.dirname(_source_path()),
+                           "slt_results.c")
+        if not os.path.exists(src):
+            _RESULTS_FAILED = True
+            return None
+        cache_dir = os.path.join(
+            os.environ.get("XDG_CACHE_HOME",
+                           os.path.expanduser("~/.cache")),
+            "searchlite_tpu")
+        os.makedirs(cache_dir, exist_ok=True)
+        out = os.path.join(cache_dir, "slt_results.so")
+        try:
+            if (not os.path.exists(out)
+                    or os.path.getmtime(out) < os.path.getmtime(src)):
+                import sysconfig
+                tmp = out + f".tmp{os.getpid()}"
+                cmd = ["gcc", "-O2", "-shared", "-fPIC",
+                       f"-I{sysconfig.get_paths()['include']}",
+                       src, "-o", tmp]
+                try:
+                    subprocess.run(cmd, check=True, capture_output=True,
+                                   timeout=120)
+                except (subprocess.SubprocessError, FileNotFoundError):
+                    cmd[0] = "g++"
+                    subprocess.run(cmd, check=True, capture_output=True,
+                                   timeout=120)
+                os.replace(tmp, out)
+            import importlib.util
+            spec = importlib.util.spec_from_file_location(
+                "slt_results", out)
+            mod = importlib.util.module_from_spec(spec)
+            spec.loader.exec_module(mod)
+            _RESULTS_MOD = mod
+        except (subprocess.SubprocessError, FileNotFoundError, OSError,
+                ImportError):
+            _RESULTS_FAILED = True
+            return None
+        return _RESULTS_MOD
+
+
 class NativeQueryPrep:
     """Native batched query prep over one segment's terms dictionary:
     tokenizes plain term queries through the C++ analyzer chain (same
