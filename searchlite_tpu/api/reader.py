@@ -2330,9 +2330,7 @@ class IndexReader:
             docstrs[mask] = dids_arr[
                 np.minimum(ids[mask], len(dids_arr) - 1)]
         take = (scores != -np.inf).sum(axis=1).astype(np.int64)
-        return self._materialize_pairs(
-            np.ascontiguousarray(docstrs),
-            np.ascontiguousarray(scores, dtype=np.float32), take)
+        return self._materialize_pairs(docstrs, scores, take)
 
     @staticmethod
     def _materialize_pairs(docstrs, scores, take):
@@ -2344,7 +2342,13 @@ class IndexReader:
 
         mod = get_results_mod()
         if mod is not None:
-            return mod.build(docstrs, scores, take)
+            # the extension requires C-contiguous buffers; device
+            # fetches can hand us strided views (no-op when already
+            # contiguous)
+            return mod.build(
+                np.ascontiguousarray(docstrs),
+                np.ascontiguousarray(scores, dtype=np.float32),
+                np.ascontiguousarray(take, dtype=np.int64))
         results = []
         scores_l = scores.tolist()
         for n, drow, srow in zip(take.tolist(), docstrs, scores_l):

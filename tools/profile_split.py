@@ -203,16 +203,18 @@ def main():
 
     # --- composed: the real split scorer -----------------------------
     scorer = reader._split_batched_scorer()
+    packed = jnp.asarray(split["packed"])
 
     def full(r):
         out = []
         for _ in range(r):
             s, i = scorer(
-                bd, bi, md, deleted, sp_blk, sp_row,
-                wd_idx, wd_val, ws_idx, ws_val,
+                bd, bi, md, deleted, packed,
                 jnp.zeros((1, 1), dtype=bool),
                 jnp.zeros(1, dtype=jnp.int32),
-                k=K, s_pad=s_pad, n_queries=nq)
+                k=K, s_pad=s_pad, n_queries=nq,
+                nb_pad=split["nb_pad"], wd_pad=split["wd_pad"],
+                ws_pad=split["ws_pad"])
             out.append(s)
             out.append(i)
         return out
