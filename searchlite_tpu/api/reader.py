@@ -2441,22 +2441,12 @@ class IndexReader:
                 # touched postings than any block-skip traversal, and
                 # no per-wave run-table uploads. Only the heavy
                 # (head-term) remainder runs tile waves.
-                part = None
+                launched = None
                 if sparse_cap > 0 and it.k <= 1024:
-                    from searchlite_tpu.ops.sparse import (
-                        partition_sparse_batch,
-                    )
-
-                    part = partition_sparse_batch(it.qb, sparse_cap)
-                if part is not None and it.k <= part["nblk"] * 128:
-                    sscorer = self._sparse_candidate_scorer()
-                    ts, td = sscorer(
-                        dseg.block_docs, dseg.block_impacts_live,
-                        jnp.asarray(part["tbl"]),
-                        dseg.sparse_sentinels,
-                        k=it.k, t_pad=part["t_pad"],
-                        nblk=part["nblk"],
-                        log2_run=part["log2_run"])
+                    launched = self._sparse_light_launch(
+                        dseg, it.qb, it.k, sparse_cap)
+                if launched is not None:
+                    ts, td, part = launched
                     it.sparse = (ts, td, part["light_idx"])
                     heavy_idx = part["heavy_idx"]
                     if len(heavy_idx) == 0:
@@ -3188,6 +3178,45 @@ class IndexReader:
             k=k, s_pad=qb["s_pad"], n_queries=qb["n_queries"],
             use_filters=use_filters)
 
+    def _sparse_light_launch(self, dseg, qb, k: int, max_blocks: int):
+        """Partition a qb's light rows and dispatch them through the
+        sparse candidate scorer — packed upload when the batch/segment
+        qualify (one [Bl, t_pad] int32; block ranges + idf gathered
+        from the segment-resident tid table), explicit [3, Bl, t_pad]
+        tables otherwise. Returns (scores, ids, partition) or None when
+        no query is light enough. Results are bit-identical between
+        the two uploads (tests/test_sparse_packed.py)."""
+        import jax.numpy as jnp
+
+        from searchlite_tpu.ops.sparse import (
+            partition_sparse_batch,
+            partition_sparse_batch_packed,
+        )
+
+        part = None
+        if os.environ.get("SEARCHLITE_SPARSE_PACKED", "1") != "0":
+            part = partition_sparse_batch_packed(
+                qb, max_blocks, dseg.idf32)
+        if part is not None and k <= part["nblk"] * 128:
+            scorer = self._sparse_candidate_scorer_packed()
+            ts, td = scorer(
+                dseg.block_docs, dseg.block_impacts_live,
+                dseg.sparse_tid_tbl, jnp.asarray(part["packed"]),
+                jnp.asarray(part["ovr"]), dseg.sparse_sentinels,
+                k=k, t_pad=part["t_pad"], nblk=part["nblk"],
+                log2_run=part["log2_run"], n_ovr=part["n_ovr"])
+            return ts, td, part
+        part = partition_sparse_batch(qb, max_blocks)
+        if part is None or k > part["nblk"] * 128:
+            return None
+        scorer = self._sparse_candidate_scorer()
+        ts, td = scorer(
+            dseg.block_docs, dseg.block_impacts_live,
+            jnp.asarray(part["tbl"]), dseg.sparse_sentinels,
+            k=k, t_pad=part["t_pad"], nblk=part["nblk"],
+            log2_run=part["log2_run"])
+        return ts, td, part
+
     def _try_sparse_candidates(self, dseg, qb, k: int,
                                shard_budget: int = 0):
         """Route a batch through the sparse candidate scorer
@@ -3204,7 +3233,6 @@ class IndexReader:
         import jax.numpy as jnp
 
         from searchlite_tpu.ops.impact import subset_impact_batch
-        from searchlite_tpu.ops.sparse import partition_sparse_batch
 
         max_blocks = int(os.environ.get(
             "SEARCHLITE_SPARSE_MAX_BLOCKS",
@@ -3214,15 +3242,10 @@ class IndexReader:
         nq = qb["n_queries"]
         if nq == 0 or qb["n_slots"] == 0:
             return None
-        part = partition_sparse_batch(qb, max_blocks)
-        if part is None or k > part["nblk"] * 128:
+        launched = self._sparse_light_launch(dseg, qb, k, max_blocks)
+        if launched is None:
             return None
-        scorer = self._sparse_candidate_scorer()
-        ts, td = scorer(
-            dseg.block_docs, dseg.block_impacts_live,
-            jnp.asarray(part["tbl"]), dseg.sparse_sentinels,
-            k=k, t_pad=part["t_pad"], nblk=part["nblk"],
-            log2_run=part["log2_run"])
+        ts, td, part = launched
         light_idx = part["light_idx"]
         heavy_idx = part["heavy_idx"]
         if len(heavy_idx) == 0 and len(light_idx) == nq \
@@ -3346,6 +3369,18 @@ class IndexReader:
             if scorer is None:
                 scorer = make_sparse_candidate_scorer()
                 _GLOBAL_SCORERS[("sparse_cand",)] = scorer
+            return scorer
+
+    def _sparse_candidate_scorer_packed(self):
+        from searchlite_tpu.ops.sparse import (
+            make_sparse_candidate_scorer_packed,
+        )
+
+        with _GLOBAL_LOCK:
+            scorer = _GLOBAL_SCORERS.get(("sparse_cand_packed",))
+            if scorer is None:
+                scorer = make_sparse_candidate_scorer_packed()
+                _GLOBAL_SCORERS[("sparse_cand_packed",)] = scorer
             return scorer
 
     def _row_combiner(self):

@@ -140,6 +140,7 @@ class DeviceSegment:
         self._block_impacts = None
         self._block_impacts_live = None
         self._sparse_sentinels = None
+        self._sparse_tid_tbl = None
         if len(docs_flat) == 0:
             docs_flat = np.zeros(1, dtype=np.int32)
             impacts = np.zeros(1, dtype=np.float32)
@@ -204,6 +205,40 @@ class DeviceSegment:
         return tbl
 
     @property
+    def idf32(self) -> np.ndarray:
+        """idf_table pre-rounded to f32 — the values the packed sparse
+        scorer's device weight recomputation (f32(occ) * f32(idf))
+        reads from sparse_tid_tbl; the host partition uses this same
+        array to detect double-rounding overrides
+        (ops/sparse.py::partition_sparse_batch_packed)."""
+        tbl = getattr(self, "_idf32", None)
+        if tbl is None:
+            tbl = self._idf32 = self.idf_table.astype(np.float32)
+        return tbl
+
+    @property
+    def sparse_tid_tbl(self):
+        """[3, n_terms_pad] int32 device table for the packed sparse
+        candidate scorer: per term id the posting block start, block
+        count, and f32 idf bitcast — segment-static, uploaded once and
+        cached, so per-batch query uploads carry only packed term ids
+        (ops/sparse.py::make_sparse_candidate_scorer_packed). The term
+        axis pads to a pow1.5 bucket to keep compile shapes in a small
+        family across segments."""
+        if self._sparse_tid_tbl is None:
+            from searchlite_tpu.ops.impact import pow15_bucket
+
+            p = self.reader.postings
+            n = len(p.term_df)
+            n_pad = pow15_bucket(max(n, 1), minimum=1024)
+            tbl = np.zeros((3, n_pad), dtype=np.int32)
+            tbl[0, :n] = p.term_block_start.astype(np.int32)
+            tbl[1, :n] = p.term_block_count.astype(np.int32)
+            tbl[2, :n] = self.idf32.view(np.int32)
+            self._sparse_tid_tbl = self._jnp.asarray(tbl)
+        return self._sparse_tid_tbl
+
+    @property
     def sparse_sentinels(self):
         """[2] int32 device array (sentinel block row, dead doc slot)
         for the sparse candidate scorer — cached so the per-batch
@@ -226,6 +261,7 @@ class DeviceSegment:
         self._block_impacts = None
         self._block_impacts_live = None
         self._sparse_sentinels = None
+        self._sparse_tid_tbl = None
 
     @property
     def docs_flat(self):

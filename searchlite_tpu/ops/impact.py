@@ -274,6 +274,7 @@ def build_impact_batch(seg, dseg, queries: list[list[tuple[str, str]]],
     qs_start = np.zeros(q + 1, dtype=np.int64)
     qs_slot_l: list[int] = []
     qs_w_l: list[float] = []
+    qs_cnt_l: list[int] = []
     for qi, query in enumerate(queries):
         row: dict[int, float] = {}
         nblk = 0
@@ -312,6 +313,7 @@ def build_impact_batch(seg, dseg, queries: list[list[tuple[str, str]]],
         for slot in sorted(row):
             qs_slot_l.append(slot)
             qs_w_l.append(row[slot] * slot_idf[slot])
+            qs_cnt_l.append(row[slot])
         qs_start[qi + 1] = len(qs_slot_l)
     s_pad = next_pow2(max(len(slot_start), slot_bucket))
     out = {
@@ -333,6 +335,7 @@ def build_impact_batch(seg, dseg, queries: list[list[tuple[str, str]]],
         "qs_start": qs_start,
         "qs_slot": np.asarray(qs_slot_l, dtype=np.int32),
         "qs_w": np.asarray(qs_w_l, dtype=np.float32),
+        "qs_cnt": np.asarray(qs_cnt_l, dtype=np.int32),
         "q_nblk": q_nblk,
     }
     # flat scatter extent of the dense [s_pad, n1] M build (same value
@@ -454,6 +457,7 @@ def build_impact_batch_native(seg, dseg, queries: list[str], fields,
         "qs_start": qs_start,
         "qs_slot": qs_slot,
         "qs_w": qs_w,
+        "qs_cnt": qs_cnt,
         "q_nblk": q_nblk,
     }
     nb_pad = pow15_bucket(max(int(slot_bcnt.sum()), 1), minimum=32)

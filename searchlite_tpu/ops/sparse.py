@@ -44,6 +44,67 @@ import numpy as np
 
 from searchlite_tpu.ops.impact import next_pow2, pow15_bucket
 
+# Packed per-(query, slot) upload format (partition_sparse_batch_packed
+# / make_sparse_candidate_scorer_packed): one int32 carries the term id
+# in the low 26 bits and the within-query occurrence count in bits
+# 26..30 (sign bit stays clear). Segments with >=2^26 terms or queries
+# repeating one term >31 times fall back to the explicit-table path.
+TID_BITS = 26
+TID_LIMIT = 1 << TID_BITS
+OCC_MAX = 31
+
+
+def _candidate_core(jax, jnp, block_docs, block_impacts, bstart, bcnt,
+                    w, sentinel_row, sentinel_doc, *, k: int,
+                    t_pad: int, nblk: int, log2_run: int,
+                    with_counts: bool):
+    """Shared body of the candidate scorers: gather each row's posting
+    blocks, sort by doc, combine duplicate-doc runs, top-k. Operands
+    bstart/bcnt/w are [B, t_pad] (block start, block count — 0 for
+    unused slots — and f32 weight per slot)."""
+    B = bstart.shape[0]
+    cum = jnp.cumsum(bcnt, axis=1)                       # [B, T]
+    total = cum[:, -1]
+    pos = jnp.arange(nblk, dtype=jnp.int32)
+    # owning term slot per gathered block: #{t : cum[t] <= pos}
+    t_of = (pos[None, None, :] >= cum[:, :, None]).sum(
+        axis=1).astype(jnp.int32)                        # [B, nblk]
+    valid = pos[None, :] < total[:, None]
+    t_safe = jnp.minimum(t_of, t_pad - 1)
+    begin = cum - bcnt
+    blk = (jnp.take_along_axis(bstart, t_safe, axis=1)
+           + (pos[None, :] - jnp.take_along_axis(begin, t_safe,
+                                                 axis=1)))
+    blk_idx = jnp.where(valid, blk, sentinel_row)
+    w_blk = jnp.take_along_axis(w, t_safe, axis=1)
+    d = block_docs[blk_idx].reshape(B, nblk * 128)
+    v = (block_impacts[blk_idx]
+         * w_blk[:, :, None]).reshape(B, nblk * 128)
+    d, v = jax.lax.sort((d, v), num_keys=1, dimension=1)
+    # segmented inclusive scan: runs (equal doc) are <= 2^log2_run
+    # long (a doc appears at most once per term slot)
+    off = 1
+    for _ in range(log2_run):
+        same = d[:, off:] == d[:, :-off]
+        v = jnp.concatenate(
+            [v[:, :off],
+             v[:, off:] + jnp.where(same, v[:, :-off], 0.0)],
+            axis=1)
+        off *= 2
+    run_end = jnp.concatenate(
+        [d[:, 1:] != d[:, :-1], jnp.ones((B, 1), dtype=bool)],
+        axis=1)
+    ok = run_end & (d != sentinel_doc) & (v > 0.0)
+    score = jnp.where(ok, v, -jnp.inf)
+    ts, tp = jax.lax.top_k(score, k)
+    td = jnp.take_along_axis(d, tp, axis=1)
+    if with_counts:
+        # exact per-row match count (the single-query route's
+        # total_hits_estimate — same count the dense executor's
+        # match mask produces)
+        return ts, td, ok.sum(axis=1).astype(jnp.int32)
+    return ts, td
+
 
 def make_sparse_candidate_scorer():
     """Batched candidate scorer over the block layout.
@@ -72,49 +133,58 @@ def make_sparse_candidate_scorer():
         non-matches are -inf (same contract as the dense scorers)."""
         bstart, bcnt = tbl[0], tbl[1]
         w = jax.lax.bitcast_convert_type(tbl[2], jnp.float32)
-        sentinel_row, sentinel_doc = sent[0], sent[1]
-        B = bstart.shape[0]
-        cum = jnp.cumsum(bcnt, axis=1)                       # [B, T]
-        total = cum[:, -1]
-        pos = jnp.arange(nblk, dtype=jnp.int32)
-        # owning term slot per gathered block: #{t : cum[t] <= pos}
-        t_of = (pos[None, None, :] >= cum[:, :, None]).sum(
-            axis=1).astype(jnp.int32)                        # [B, nblk]
-        valid = pos[None, :] < total[:, None]
-        t_safe = jnp.minimum(t_of, t_pad - 1)
-        begin = cum - bcnt
-        blk = (jnp.take_along_axis(bstart, t_safe, axis=1)
-               + (pos[None, :] - jnp.take_along_axis(begin, t_safe,
-                                                     axis=1)))
-        blk_idx = jnp.where(valid, blk, sentinel_row)
-        w_blk = jnp.take_along_axis(w, t_safe, axis=1)
-        d = block_docs[blk_idx].reshape(B, nblk * 128)
-        v = (block_impacts[blk_idx]
-             * w_blk[:, :, None]).reshape(B, nblk * 128)
-        d, v = jax.lax.sort((d, v), num_keys=1, dimension=1)
-        # segmented inclusive scan: runs (equal doc) are <= 2^log2_run
-        # long (a doc appears at most once per term slot)
-        off = 1
-        for _ in range(log2_run):
-            same = d[:, off:] == d[:, :-off]
-            v = jnp.concatenate(
-                [v[:, :off],
-                 v[:, off:] + jnp.where(same, v[:, :-off], 0.0)],
-                axis=1)
-            off *= 2
-        run_end = jnp.concatenate(
-            [d[:, 1:] != d[:, :-1], jnp.ones((B, 1), dtype=bool)],
-            axis=1)
-        ok = run_end & (d != sentinel_doc) & (v > 0.0)
-        score = jnp.where(ok, v, -jnp.inf)
-        ts, tp = jax.lax.top_k(score, k)
-        td = jnp.take_along_axis(d, tp, axis=1)
-        if with_counts:
-            # exact per-row match count (the single-query route's
-            # total_hits_estimate — same count the dense executor's
-            # match mask produces)
-            return ts, td, ok.sum(axis=1).astype(jnp.int32)
-        return ts, td
+        return _candidate_core(
+            jax, jnp, block_docs, block_impacts, bstart, bcnt, w,
+            sent[0], sent[1], k=k, t_pad=t_pad, nblk=nblk,
+            log2_run=log2_run, with_counts=with_counts)
+
+    return scorer
+
+
+def make_sparse_candidate_scorer_packed():
+    """Candidate scorer variant whose per-batch upload is ONE packed
+    [B, t_pad] int32 (tid | occurrence_count << 26) instead of the
+    [3, B, t_pad] explicit table — block starts/counts and f32 idf are
+    gathered from the segment-resident ``tid_tbl`` [3, n_terms_pad]
+    (DeviceSegment.sparse_tid_tbl), cutting the per-batch transfer 3x
+    on the tunnel-attached device.
+
+    Weights are recomputed on device as f32(occ) * f32(idf). That
+    double-rounds differently from the host definition
+    f32(occ * f64(idf)) in rare cases (only possible at occ > 1), so
+    the host partition ships those entries' exact f32 weights in
+    ``ovr`` [2, ov_pad] int32 (flat row*t_pad+col indices bucketed to
+    a static pad — pads point past B*t_pad and drop; weights bitcast)
+    and the scorer scatters them over the recomputed matrix: results
+    are bit-identical to the explicit-table path
+    (tests/test_sparse_packed.py fuzzes this).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    @partial(jax.jit,
+             static_argnames=("k", "t_pad", "nblk", "log2_run",
+                              "n_ovr", "with_counts"))
+    def scorer(block_docs, block_impacts, tid_tbl, packed, ovr, sent,
+               *, k: int, t_pad: int, nblk: int, log2_run: int,
+               n_ovr: int = 0, with_counts: bool = False):
+        tid = packed & (TID_LIMIT - 1)
+        occ = jax.lax.shift_right_logical(packed, TID_BITS)
+        bstart = tid_tbl[0][tid]
+        bcnt = jnp.where(occ > 0, tid_tbl[1][tid], 0)
+        idf = jax.lax.bitcast_convert_type(tid_tbl[2][tid], jnp.float32)
+        w = occ.astype(jnp.float32) * idf
+        if n_ovr:
+            B = packed.shape[0]
+            wf = w.reshape(B * t_pad)
+            wf = wf.at[ovr[0]].set(
+                jax.lax.bitcast_convert_type(ovr[1], jnp.float32),
+                mode="drop")
+            w = wf.reshape(B, t_pad)
+        return _candidate_core(
+            jax, jnp, block_docs, block_impacts, bstart, bcnt, w,
+            sent[0], sent[1], k=k, t_pad=t_pad, nblk=nblk,
+            log2_run=log2_run, with_counts=with_counts)
 
     return scorer
 
@@ -147,19 +217,15 @@ def make_row_combiner():
     return combine
 
 
-def partition_sparse_batch(qb, max_blocks: int):
-    """Split a build_impact_batch() output by per-query gathered-block
-    count: queries at or under ``max_blocks`` go to the candidate
-    scorer, the rest (head-term queries, whose candidate strips would
-    stretch every row of the batch) stay on the dense path.
-
-    Returns None when no query qualifies, else a dict with the light
-    rows' [Bl, t_pad] (bstart, bcnt, weight) tables, the light/heavy
-    row maps, and the bucketed static shape params."""
+def _split_light(qb, max_blocks: int):
+    """Shared light/heavy split of a build_impact_batch() output by
+    per-query gathered-block count: queries at or under ``max_blocks``
+    go to the candidate scorer, the rest (head-term queries, whose
+    candidate strips would stretch every row of the batch) stay on the
+    dense path. Returns None when no query qualifies, else the light
+    rows' CSR entry gather + bucketed static shapes."""
     from searchlite_tpu.ops.impact import csr_row_lengths, csr_take_rows
 
-    bcnt_of_slot = qb["slot_bcnt"]
-    bstart_of_slot = qb["slot_bstart"]
     nblk_q = qb["q_nblk"]
     light = nblk_q <= max_blocks
     if not light.any():
@@ -170,21 +236,85 @@ def partition_sparse_batch(qb, max_blocks: int):
     idx, sc, pos = csr_take_rows(qb["qs_start"], counts, light_idx)
     t_max = int(sc.max()) if len(sc) else 1
     t_pad = next_pow2(max(t_max, 2))
-    nblk = pow15_bucket(int(nblk_q[light_idx].max()), minimum=16)
-    bl = pow15_bucket(len(light_idx), minimum=64)
-    bstart = np.zeros((bl, t_pad), dtype=np.int32)
-    bcnt = np.zeros((bl, t_pad), dtype=np.int32)
-    w = np.zeros((bl, t_pad), dtype=np.float32)
-    rows_rep = np.repeat(np.arange(len(light_idx), dtype=np.int64), sc)
-    slots = qb["qs_slot"][idx]
-    bstart[rows_rep, pos] = bstart_of_slot[slots]
-    bcnt[rows_rep, pos] = bcnt_of_slot[slots]
-    w[rows_rep, pos] = qb["qs_w"][idx]
     return {
-        "tbl": np.stack([bstart, bcnt, w.view(np.int32)]),
+        "idx": idx,
+        "pos": pos,
+        "rows_rep": np.repeat(
+            np.arange(len(light_idx), dtype=np.int64), sc),
         "light_idx": light_idx,
         "heavy_idx": heavy_idx,
         "t_pad": t_pad,
-        "nblk": nblk,
+        "nblk": pow15_bucket(int(nblk_q[light_idx].max()), minimum=16),
+        "bl": pow15_bucket(len(light_idx), minimum=64),
         "log2_run": max((t_pad - 1).bit_length(), 1),
     }
+
+
+def partition_sparse_batch(qb, max_blocks: int):
+    """Explicit-table emission of the light/heavy split: the light
+    rows' [3, Bl, t_pad] (bstart, bcnt, weight) upload for
+    make_sparse_candidate_scorer(). Returns None when no query
+    qualifies."""
+    sp = _split_light(qb, max_blocks)
+    if sp is None:
+        return None
+    idx, pos, rows_rep = sp["idx"], sp["pos"], sp["rows_rep"]
+    t_pad, bl = sp["t_pad"], sp["bl"]
+    bstart = np.zeros((bl, t_pad), dtype=np.int32)
+    bcnt = np.zeros((bl, t_pad), dtype=np.int32)
+    w = np.zeros((bl, t_pad), dtype=np.float32)
+    slots = qb["qs_slot"][idx]
+    bstart[rows_rep, pos] = qb["slot_bstart"][slots]
+    bcnt[rows_rep, pos] = qb["slot_bcnt"][slots]
+    w[rows_rep, pos] = qb["qs_w"][idx]
+    sp["tbl"] = np.stack([bstart, bcnt, w.view(np.int32)])
+    return sp
+
+
+def partition_sparse_batch_packed(qb, max_blocks: int,
+                                  idf32: np.ndarray):
+    """Packed emission of the light/heavy split for
+    make_sparse_candidate_scorer_packed(): ONE [Bl, t_pad] int32 of
+    (tid | occ << 26) plus the (usually empty) weight-override COO.
+    ``idf32`` is the segment's f64 idf table pre-rounded to f32 — the
+    values the device recomputes weights from. Returns None when the
+    batch can't use the packed format (no per-entry occurrence counts,
+    term ids >= 2^26, or a query repeating one term > 31 times) — the
+    caller falls back to partition_sparse_batch."""
+    qs_cnt = qb.get("qs_cnt")
+    if qs_cnt is None:
+        return None
+    slot_tids = qb["slot_tids"]
+    if len(slot_tids) and int(slot_tids.max()) >= TID_LIMIT:
+        return None
+    sp = _split_light(qb, max_blocks)
+    if sp is None:
+        return None
+    idx, pos, rows_rep = sp["idx"], sp["pos"], sp["rows_rep"]
+    t_pad, bl = sp["t_pad"], sp["bl"]
+    occ = qs_cnt[idx]
+    if len(occ) and int(occ.max()) > OCC_MAX:
+        return None
+    slots = qb["qs_slot"][idx]
+    tids_e = slot_tids[slots].astype(np.int64)
+    packed = np.zeros((bl, t_pad), dtype=np.int32)
+    packed[rows_rep, pos] = (
+        tids_e | (occ.astype(np.int64) << TID_BITS)).astype(np.int32)
+    # entries where the device's f32(occ)*f32(idf) double-rounds away
+    # from the host's f32(occ * f64(idf)) ship their exact weight
+    qs_w = qb["qs_w"][idx]
+    w_dev = occ.astype(np.float32) * idf32[tids_e]
+    bad = w_dev.view(np.int32) != qs_w.view(np.int32)
+    n_ovr = int(bad.sum())
+    if n_ovr:
+        ov_pad = next_pow2(max(n_ovr, 8))
+        ovr = np.full((2, ov_pad), bl * t_pad, dtype=np.int32)
+        ovr[0, :n_ovr] = (rows_rep[bad] * t_pad + pos[bad]).astype(
+            np.int32)
+        ovr[1, :n_ovr] = qs_w[bad].view(np.int32)
+    else:
+        ovr = np.zeros((2, 1), dtype=np.int32)
+    sp["packed"] = packed
+    sp["ovr"] = ovr
+    sp["n_ovr"] = next_pow2(max(n_ovr, 8)) if n_ovr else 0
+    return sp
