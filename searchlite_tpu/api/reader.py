@@ -2381,7 +2381,6 @@ class IndexReader:
         import jax
         import jax.numpy as jnp
 
-        from searchlite_tpu.ops.impact import build_impact_batch
         from searchlite_tpu.ops.tiles import (
             get_tile_index,
             make_pq_run_scorer,
@@ -2396,7 +2395,7 @@ class IndexReader:
         selector = make_seed_selector()
         scorer = make_pq_run_scorer()
         merger = make_topk_merge()
-        analyzed_all = self._analyze_batches(batches, fields)
+        analyzed_box = [None]  # Python analysis only if native rejects
 
         class _Item:
             __slots__ = ("bi", "dseg", "tl", "qb", "ub", "q_tids",
@@ -2410,7 +2409,7 @@ class IndexReader:
 
         # wave 0 — UB launches for every (batch, segment)
         items: list = []
-        for bi, analyzed in enumerate(analyzed_all):
+        for bi in range(len(batches)):
             for dseg in self.device_segments:
                 seg = dseg.reader
                 if seg.doc_count == 0:
@@ -2419,7 +2418,8 @@ class IndexReader:
                 it.bi = bi
                 it.dseg = dseg
                 it.tl = get_tile_index(dseg)
-                it.qb = build_impact_batch(seg, dseg, analyzed)
+                it.qb = self._qb_lazy_native(
+                    seg, dseg, batches, bi, fields, analyzed_box)
                 it.done = False
                 it.sparse = None
                 it.hmap = None
@@ -2471,6 +2471,11 @@ class IndexReader:
                     csr_row_lengths,
                     csr_take_rows,
                 )
+                from searchlite_tpu.ops.impact import (
+                    ensure_dense_tables,
+                )
+
+                ensure_dense_tables(it.qb)  # qb was built lazily
                 tids = it.qb["slot_tids"]
                 counts = csr_row_lengths(it.qb)
                 all_q = np.arange(q, dtype=np.int64)
@@ -2633,7 +2638,6 @@ class IndexReader:
         import jax
         import jax.numpy as jnp
 
-        from searchlite_tpu.ops.impact import build_impact_batch
         from searchlite_tpu.ops.tiles import get_tile_index
 
         if filter_tables is None:
@@ -2645,16 +2649,18 @@ class IndexReader:
         ub_scorer = self._ub_scorer()
         run_scorer = self._run_scorer()
 
-        analyzed_all = self._analyze_batches(batches, fields)
+        analyzed_box = [None]  # Python analysis only if native rejects
 
         # wave 1 — per (batch, segment): UB matrix launch
         work = []  # (batch_i, dseg, tl, qb, ub_ref)
-        for bi, analyzed in enumerate(analyzed_all):
+        for bi in range(len(batches)):
             for dseg in self.device_segments:
                 seg = dseg.reader
                 if seg.doc_count == 0:
                     continue
-                qb = build_impact_batch(seg, dseg, analyzed)
+                qb = self._qb_lazy_native(
+                    seg, dseg, batches, bi, fields, analyzed_box,
+                    lazy_tables=False)
                 tl = get_tile_index(dseg)
                 n_slots = qb["n_slots"]
                 if n_slots == 0:
@@ -3178,33 +3184,89 @@ class IndexReader:
             k=k, s_pad=qb["s_pad"], n_queries=qb["n_queries"],
             use_filters=use_filters)
 
+    def _qb_lazy_native(self, seg, dseg, batches, bi, fields,
+                        analyzed_box, lazy_tables: bool = True):
+        """Build one (batch, segment) qb through the native C++ prep
+        fast path, falling back to Python analysis (computed once for
+        the whole stream, cached in ``analyzed_box[0]``) when the
+        native side rejects the batch."""
+        from searchlite_tpu.ops.impact import (
+            build_impact_batch,
+            build_impact_batch_native,
+        )
+
+        qb = build_impact_batch_native(
+            seg, dseg, batches[bi], fields, self.analysis,
+            self.schema, lazy_tables=lazy_tables)
+        if qb is None:
+            if analyzed_box[0] is None:
+                analyzed_box[0] = self._analyze_batches(
+                    batches, fields)
+            qb = build_impact_batch(seg, dseg, analyzed_box[0][bi],
+                                    lazy_tables=lazy_tables)
+        return qb
+
     def _sparse_light_launch(self, dseg, qb, k: int, max_blocks: int):
         """Partition a qb's light rows and dispatch them through the
-        sparse candidate scorer — packed upload when the batch/segment
-        qualify (one [Bl, t_pad] int32; block ranges + idf gathered
-        from the segment-resident tid table), explicit [3, Bl, t_pad]
-        tables otherwise. Returns (scores, ids, partition) or None when
-        no query is light enough. Results are bit-identical between
-        the two uploads (tests/test_sparse_packed.py)."""
+        sparse candidate scorer. Preferred form: packed uploads (one
+        [Bg, t_pad] int32 per pow-4 block-count tier; block ranges +
+        idf gathered from the segment-resident tid table) with the
+        tier results gathered back into light-row order on device —
+        tiering keeps a single wide query from inflating every other
+        row's candidate strip. Falls back to one explicit
+        [3, Bl, t_pad] table when the packed format doesn't apply.
+        Returns (scores, ids, partition) with scores/ids rows aligned
+        to partition["light_idx"], or None when no query is light
+        enough. Results are bit-identical between the forms
+        (tests/test_sparse_packed.py)."""
         import jax.numpy as jnp
 
         from searchlite_tpu.ops.sparse import (
+            make_group_gather,
             partition_sparse_batch,
-            partition_sparse_batch_packed,
+            partition_sparse_batch_tiered,
         )
 
         part = None
         if os.environ.get("SEARCHLITE_SPARSE_PACKED", "1") != "0":
-            part = partition_sparse_batch_packed(
-                qb, max_blocks, dseg.idf32)
-        if part is not None and k <= part["nblk"] * 128:
+            part = partition_sparse_batch_tiered(
+                qb, max_blocks, dseg.idf32, k)
+        if part is not None:
             scorer = self._sparse_candidate_scorer_packed()
-            ts, td = scorer(
-                dseg.block_docs, dseg.block_impacts_live,
-                dseg.sparse_tid_tbl, jnp.asarray(part["packed"]),
-                jnp.asarray(part["ovr"]), dseg.sparse_sentinels,
-                k=k, t_pad=part["t_pad"], nblk=part["nblk"],
-                log2_run=part["log2_run"], n_ovr=part["n_ovr"])
+            outs = []
+            for g in part["groups"]:
+                outs.append(scorer(
+                    dseg.block_docs, dseg.block_impacts_live,
+                    dseg.sparse_tid_tbl, jnp.asarray(g["packed"]),
+                    jnp.asarray(g["ovr"]), dseg.sparse_sentinels,
+                    k=k, t_pad=g["t_pad"], nblk=g["nblk"],
+                    log2_run=g["log2_run"], n_ovr=g["n_ovr"]))
+            groups = part["groups"]
+            n_light = len(part["light_idx"])
+            if (len(groups) == 1
+                    and groups[0]["packed"].shape[0] == part["bl"]):
+                # single occupied tier covering every light row in
+                # order — the group IS the light-order result
+                ts, td = outs[0]
+                return ts, td, part
+            bl = part["bl"]
+            posmaps = np.full(
+                sum(g["packed"].shape[0] for g in groups), bl,
+                dtype=np.int32)
+            off = 0
+            for g in groups:
+                posmaps[off:off + len(g["pos_in_light"])] = \
+                    g["pos_in_light"]
+                off += g["packed"].shape[0]
+            with _GLOBAL_LOCK:
+                gatherer = _GLOBAL_SCORERS.get(("group_gather",))
+                if gatherer is None:
+                    gatherer = make_group_gather()
+                    _GLOBAL_SCORERS[("group_gather",)] = gatherer
+            ts, td = gatherer(
+                tuple(o[0] for o in outs), tuple(o[1] for o in outs),
+                jnp.asarray(posmaps), bl=bl)
+            assert n_light <= bl
             return ts, td, part
         part = partition_sparse_batch(qb, max_blocks)
         if part is None or k > part["nblk"] * 128:

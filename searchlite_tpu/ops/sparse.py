@@ -189,6 +189,30 @@ def make_sparse_candidate_scorer_packed():
     return scorer
 
 
+def make_group_gather():
+    """Scatter the tier groups' (scores, ids) into light-row order on
+    device: one [bl, k] pair out of N per-tier results. ``posmaps``
+    concatenates each group's positions within the light order (pads
+    carry bl — out of range, dropped)."""
+    import jax
+    import jax.numpy as jnp
+
+    @partial(jax.jit, static_argnames=("bl",))
+    def gather(group_s, group_i, posmaps, *, bl: int):
+        k = group_s[0].shape[1]
+        s = jnp.full((bl, k), -jnp.inf, dtype=group_s[0].dtype)
+        i = jnp.zeros((bl, k), dtype=group_i[0].dtype)
+        off = 0
+        for gs, gi in zip(group_s, group_i):
+            m = posmaps[off:off + gs.shape[0]]
+            s = s.at[m].set(gs, mode="drop")
+            i = i.at[m].set(gi, mode="drop")
+            off += gs.shape[0]
+        return s, i
+
+    return gather
+
+
 def make_row_combiner():
     """Scatter two row-groups' (scores, ids) back into original batch
     order on device (pad rows carry an out-of-range map entry and are
@@ -215,6 +239,22 @@ def make_row_combiner():
         return s[:n_rows], i[:n_rows]
 
     return combine
+
+
+def tier_bounds(max_blocks: int) -> list:
+    """Pow-4 ladder of light-row tiers up to ``max_blocks``
+    (e.g. 512 → [8, 32, 128, 512]). The candidate scorer pads every
+    row's strip to the GROUP's max block count, so mixing a 480-block
+    query into a batch of 4-block queries makes every row sort a
+    61k-candidate strip; tiering keeps each row's padding within 4x of
+    its need at the cost of one launch per occupied tier."""
+    bounds = []
+    b = 8
+    while b < max_blocks:
+        bounds.append(b)
+        b *= 4
+    bounds.append(max_blocks)
+    return bounds
 
 
 def _split_light(qb, max_blocks: int):
@@ -271,37 +311,43 @@ def partition_sparse_batch(qb, max_blocks: int):
     return sp
 
 
-def partition_sparse_batch_packed(qb, max_blocks: int,
-                                  idf32: np.ndarray):
-    """Packed emission of the light/heavy split for
-    make_sparse_candidate_scorer_packed(): ONE [Bl, t_pad] int32 of
-    (tid | occ << 26) plus the (usually empty) weight-override COO.
-    ``idf32`` is the segment's f64 idf table pre-rounded to f32 — the
-    values the device recomputes weights from. Returns None when the
-    batch can't use the packed format (no per-entry occurrence counts,
-    term ids >= 2^26, or a query repeating one term > 31 times) — the
-    caller falls back to partition_sparse_batch."""
+def _packed_applies(qb) -> bool:
+    """Batch-global guards for the packed upload format: per-entry
+    occurrence counts present, term ids under 2^26, occurrence counts
+    at most 31."""
     qs_cnt = qb.get("qs_cnt")
     if qs_cnt is None:
-        return None
+        return False
     slot_tids = qb["slot_tids"]
     if len(slot_tids) and int(slot_tids.max()) >= TID_LIMIT:
-        return None
-    sp = _split_light(qb, max_blocks)
-    if sp is None:
-        return None
-    idx, pos, rows_rep = sp["idx"], sp["pos"], sp["rows_rep"]
-    t_pad, bl = sp["t_pad"], sp["bl"]
-    occ = qs_cnt[idx]
-    if len(occ) and int(occ.max()) > OCC_MAX:
-        return None
+        return False
+    if len(qs_cnt) and int(qs_cnt.max()) > OCC_MAX:
+        return False
+    return True
+
+
+def _emit_packed_rows(qb, row_idx, idf32, bl_min: int = 64):
+    """Packed [bl, t_pad] int32 of (tid | occ << 26) for the given
+    query rows, plus the (usually empty) weight-override COO: entries
+    where the device's f32(occ)*f32(idf) double-rounds away from the
+    host's f32(occ * f64(idf)) ship their exact weight. ``idf32`` is
+    the segment's f64 idf table pre-rounded to f32 — the values the
+    device recomputes weights from (DeviceSegment.idf32 must match
+    sparse_tid_tbl's row 2)."""
+    from searchlite_tpu.ops.impact import csr_row_lengths, csr_take_rows
+
+    counts = csr_row_lengths(qb)
+    idx, sc, pos = csr_take_rows(qb["qs_start"], counts, row_idx)
+    t_max = int(sc.max()) if len(sc) else 1
+    t_pad = next_pow2(max(t_max, 2))
+    bl = pow15_bucket(len(row_idx), minimum=bl_min)
+    rows_rep = np.repeat(np.arange(len(row_idx), dtype=np.int64), sc)
+    occ = qb["qs_cnt"][idx]
     slots = qb["qs_slot"][idx]
-    tids_e = slot_tids[slots].astype(np.int64)
+    tids_e = qb["slot_tids"][slots].astype(np.int64)
     packed = np.zeros((bl, t_pad), dtype=np.int32)
     packed[rows_rep, pos] = (
         tids_e | (occ.astype(np.int64) << TID_BITS)).astype(np.int32)
-    # entries where the device's f32(occ)*f32(idf) double-rounds away
-    # from the host's f32(occ * f64(idf)) ship their exact weight
     qs_w = qb["qs_w"][idx]
     w_dev = occ.astype(np.float32) * idf32[tids_e]
     bad = w_dev.view(np.int32) != qs_w.view(np.int32)
@@ -314,7 +360,65 @@ def partition_sparse_batch_packed(qb, max_blocks: int,
         ovr[1, :n_ovr] = qs_w[bad].view(np.int32)
     else:
         ovr = np.zeros((2, 1), dtype=np.int32)
-    sp["packed"] = packed
-    sp["ovr"] = ovr
-    sp["n_ovr"] = next_pow2(max(n_ovr, 8)) if n_ovr else 0
+    return {
+        "packed": packed,
+        "ovr": ovr,
+        "n_ovr": next_pow2(max(n_ovr, 8)) if n_ovr else 0,
+        "t_pad": t_pad,
+        "log2_run": max((t_pad - 1).bit_length(), 1),
+    }
+
+
+def partition_sparse_batch_packed(qb, max_blocks: int,
+                                  idf32: np.ndarray):
+    """Packed emission of the light/heavy split for
+    make_sparse_candidate_scorer_packed(): ONE [Bl, t_pad] int32 of
+    (tid | occ << 26) plus the (usually empty) weight-override COO.
+    Returns None when the batch can't use the packed format (see
+    _packed_applies) — the caller falls back to
+    partition_sparse_batch."""
+    if not _packed_applies(qb):
+        return None
+    sp = _split_light(qb, max_blocks)
+    if sp is None:
+        return None
+    sp.update(_emit_packed_rows(qb, sp["light_idx"], idf32))
     return sp
+
+
+def partition_sparse_batch_tiered(qb, max_blocks: int,
+                                  idf32: np.ndarray, k: int):
+    """Tiered packed emission: light rows are grouped into pow-4
+    block-count tiers (tier_bounds), one packed table per occupied
+    tier, so a single wide query can't inflate every other row's
+    candidate strip. Each group's strip is still wide enough for
+    top-k (nblk >= ceil(k/128)). Returns None when the packed format
+    doesn't apply or no query is light."""
+    if not _packed_applies(qb):
+        return None
+    nblk_q = qb["q_nblk"]
+    light = nblk_q <= max_blocks
+    if not light.any():
+        return None
+    light_idx = np.flatnonzero(light)
+    heavy_idx = np.flatnonzero(~light)
+    nblk_min = -(-k // 128)  # strips must hold at least k candidates
+    groups = []
+    prev = 0
+    for bound in tier_bounds(max_blocks):
+        sel = (nblk_q[light_idx] > prev) & (nblk_q[light_idx] <= bound)
+        prev = bound
+        if not sel.any():
+            continue
+        rows = light_idx[sel]
+        g = _emit_packed_rows(qb, rows, idf32, bl_min=16)
+        g["pos_in_light"] = np.flatnonzero(sel)
+        g["nblk"] = pow15_bucket(
+            max(int(nblk_q[rows].max()), nblk_min), minimum=16)
+        groups.append(g)
+    return {
+        "groups": groups,
+        "light_idx": light_idx,
+        "heavy_idx": heavy_idx,
+        "bl": pow15_bucket(len(light_idx), minimum=64),
+    }

@@ -225,6 +225,41 @@ def test_override_machinery_kernel_level():
         np.sort(ts_p[0][:4]), np.sort(expect.astype(np.float32)))
 
 
+def test_tiered_wide_narrow_mix(index, monkeypatch):
+    """A head-term (many-block) query mixed into a batch of tiny
+    queries lands in its own tier; results must stay identical to the
+    explicit single-strip path."""
+    reader = index.reader()
+    # w0 is the most frequent token (widest posting range); w100+ tiny
+    queries = ["w0 w1", "w110 w111", "w112", "w113 w114 w115",
+               "w116", "w117 w118"] * 8
+    explicit, packed = run_both(reader, queries, 10, monkeypatch)
+    assert_identical(explicit, packed)
+    # and the tiered partition really produced multiple groups
+    from searchlite_tpu.ops.impact import build_impact_batch
+    from searchlite_tpu.ops.sparse import partition_sparse_batch_tiered
+
+    seg = reader.segments[0]
+    dseg = reader.device_segments[0]
+    analyzed = [[("body", t) for t in q.split()] for q in queries]
+    qb = build_impact_batch(seg, dseg, analyzed, lazy_tables=True)
+    tp = partition_sparse_batch_tiered(qb, 10_000, dseg.idf32, 10)
+    assert tp is not None and len(tp["groups"]) >= 2
+    covered = np.sort(np.concatenate(
+        [g["pos_in_light"] for g in tp["groups"]]))
+    assert np.array_equal(covered,
+                          np.arange(len(tp["light_idx"])))
+
+
+def test_tiered_k_exceeds_small_tier(index, monkeypatch):
+    """k larger than a small tier's natural strip width: the tier's
+    nblk must be bumped so top_k stays valid, results identical."""
+    reader = index.reader()
+    queries = ["w115", "w116 w117", "w0 w1 w2"] * 4
+    explicit, packed = run_both(reader, queries, 200, monkeypatch)
+    assert_identical(explicit, packed)
+
+
 def test_fallback_guards():
     """Wide tids / huge occurrence counts refuse the packed format."""
     base = {
