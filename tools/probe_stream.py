@@ -81,6 +81,15 @@ def main():
         ("arrays explicit all-light",
          {"SEARCHLITE_SPARSE_PACKED": "0"}, lights * 8, "arrays"),
         ("pairs packed mixed", dict(), mixed * 8, "pairs"),
+        # light/heavy boundary sweep: with tiered strips, wide queries
+        # sit in their own tier — how far can the sparse route stretch
+        # before the dense matmul's flat-in-df cost wins?
+        ("arrays cap=128 mixed", {"SEARCHLITE_SPARSE_MAX_BLOCKS":
+                                  "128"}, mixed * 8, "arrays"),
+        ("arrays cap=512 mixed", {"SEARCHLITE_SPARSE_MAX_BLOCKS":
+                                  "512"}, mixed * 8, "arrays"),
+        ("arrays cap=2048 mixed", {"SEARCHLITE_SPARSE_MAX_BLOCKS":
+                                   "2048"}, mixed * 8, "arrays"),
     ]
     for name, env, stream, output in scenarios:
         stream = stream[:n]
