@@ -90,6 +90,10 @@ def main():
                                   "512"}, mixed * 8, "arrays"),
         ("arrays cap=2048 mixed", {"SEARCHLITE_SPARSE_MAX_BLOCKS":
                                    "2048"}, mixed * 8, "arrays"),
+        # batch-size scaling: per-batch Python/dispatch overhead
+        # amortizes with wider batches (same total queries)
+        ("arrays packed mixed b3072", dict(),
+         [sum(mixed, [])] * 8, "arrays"),
     ]
     for name, env, stream, output in scenarios:
         stream = stream[:n]
