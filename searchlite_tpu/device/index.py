@@ -11,8 +11,12 @@ block arrays — from paying its HBM footprint):
   -1 to the sentinel ordinal ``n_docs`` (dead slot of the
   ``n_docs+1``-wide score arrays); trailing all-sentinel row pads the
   scorer's block gathers.
-- ``block_impacts [B+1,128] float32`` — precomputed BM25 impacts
-  (tf-saturation × length norm; query-independent), pads 0.
+- ``block_impacts [B+1,128]`` — precomputed BM25 impacts
+  (tf-saturation × length norm; query-independent), pads 0. Host copy
+  is f32; the device copy stores the precision policy's impact dtype
+  (bf16 on accelerators in fast modes — halves upload/HBM/gather
+  traffic; ops/precision.py::impacts_store_dtype, divergence D8) and
+  scorers upcast to f32 right after their gathers.
 - ``block_tfs [B,128] float32`` (raw tfs, block-scatter path + mesh).
 - ``doc_len [n_len_fields, n_docs+1] float32`` — per-field BM25 doc
   lengths (from the ``_len:{field}`` fast columns).
@@ -166,8 +170,20 @@ class DeviceSegment:
 
     @property
     def block_impacts(self):
+        """Device copy of the posting impact blocks, stored in the
+        precision policy's impact dtype (bf16 on accelerators in the
+        fast modes — halves upload/HBM/gather traffic, D8; f32 under
+        f32_strict and on CPU). Scorers upcast to f32 right after
+        their gathers. Host conversion happens before upload so the
+        link carries the small form."""
         if self._block_impacts is None:
-            self._block_impacts = self._jnp.asarray(self.block_impacts_np)
+            from searchlite_tpu.ops.precision import (  # noqa: PLC0415
+                impacts_store_dtype,
+            )
+
+            dtype = impacts_store_dtype()
+            self._block_impacts = self._jnp.asarray(
+                self.block_impacts_np.astype(np.dtype(dtype)))
         return self._block_impacts
 
     @property
@@ -262,6 +278,8 @@ class DeviceSegment:
         self._block_impacts_live = None
         self._sparse_sentinels = None
         self._sparse_tid_tbl = None
+        self._docs_flat = None
+        self._impacts_flat = None
 
     @property
     def docs_flat(self):
@@ -272,7 +290,13 @@ class DeviceSegment:
     @property
     def impacts_flat(self):
         if self._impacts_flat is None:
-            self._impacts_flat = self._jnp.asarray(self.impacts_flat_np)
+            from searchlite_tpu.ops.precision import (  # noqa: PLC0415
+                impacts_store_dtype,
+            )
+
+            dtype = impacts_store_dtype()
+            self._impacts_flat = self._jnp.asarray(
+                self.impacts_flat_np.astype(np.dtype(dtype)))
         return self._impacts_flat
 
     def field_id(self, field: str) -> int:
@@ -393,11 +417,16 @@ class DeviceSegment:
             dest = block_base[:-1][run_of] * 128 + offset
             bdocs.reshape(-1)[dest] = docs_sh
             bimps.reshape(-1)[dest] = imps_sh
+        from searchlite_tpu.ops.precision import (  # noqa: PLC0415
+            impacts_store_dtype,
+        )
+
         cached = {
             "n_shards": n_shards,
             "shard_width": int(shard_width),
             "block_docs": jnp.asarray(bdocs),
-            "block_impacts": jnp.asarray(bimps),
+            "block_impacts": jnp.asarray(
+                bimps.astype(np.dtype(impacts_store_dtype()))),
             # block range of key = shard*n_terms + term (host numpy)
             "block_base": block_base,
             "blocks": blocks,

@@ -99,8 +99,13 @@ def build_m_from_blocks(jnp, block_docs, block_impacts, blk_idx,
     nb = blk_idx.shape[0]
     docs2d = block_docs[blk_idx]
     imps2d = block_impacts[blk_idx]
-    if dtype is not None and imps2d.dtype != dtype:
-        imps2d = imps2d.astype(dtype)
+    # upcast right after the gather: impacts may be stored bf16 on
+    # device (ops/precision.py::impacts_store_dtype) but the scatter
+    # stores f32 — a bf16 scatter store measured SLOWER (sub-word
+    # writes), and fast-f32 matmuls round inputs to bf16 anyway
+    target = dtype if dtype is not None else jnp.float32
+    if imps2d.dtype != target:
+        imps2d = imps2d.astype(target)
     pos = jnp.arange(nb * 128, dtype=jnp.int32).reshape(nb, 128)
     is_pad = docs2d == (n1 - 1)
     flat_idx = jnp.where(
@@ -138,8 +143,9 @@ def build_m(jnp, docs_flat, impacts_flat, slot_start, slot_len,
     p_idx = jnp.where(valid, p_idx, 0)
     docs = docs_flat[p_idx]
     impacts = jnp.where(valid, impacts_flat[p_idx], 0.0)
-    if dtype is not None and impacts.dtype != dtype:
-        impacts = impacts.astype(dtype)
+    target = dtype if dtype is not None else jnp.float32
+    if impacts.dtype != target:
+        impacts = impacts.astype(target)
     flat_idx = jnp.where(
         valid,
         seg_safe * n1 + docs,

@@ -71,6 +71,35 @@ def m_store_dtype(precision: str):
     return jnp.float32
 
 
+def impacts_store_dtype():
+    """DEVICE storage dtype for posting impacts (block_impacts,
+    impacts_flat, and the doc-shard copies). bf16 on accelerators in
+    the fast/bf16 modes: the default fast-f32 matmul rounds M's
+    entries to bf16 anyway, so dense-path scores are unchanged, while
+    upload bytes, HBM residency, and M-build gather traffic halve
+    (at 5M docs the block upload drops 2.5 GB → 1.9 GB). The sparse
+    candidate path's f32 multiplies then see bf16-rounded impacts —
+    within the D8 fast-mode tolerance that bench.py's oracle gate
+    verifies. Host arrays stay f32 (pruning bounds, the C++ engine,
+    and ingest are unaffected).
+
+    f32 under ``f32_strict`` or ``SEARCHLITE_DEVICE_IMPACTS=f32``;
+    CPU backends keep f32 (exact math for tests) unless
+    ``SEARCHLITE_DEVICE_IMPACTS=bf16`` forces the quantized layout
+    (used by the equivalence tests)."""
+    import jax
+    import jax.numpy as jnp
+
+    forced = os.environ.get("SEARCHLITE_DEVICE_IMPACTS")
+    if strict() or forced == "f32":
+        return jnp.float32
+    if forced == "bf16":
+        return jnp.bfloat16
+    if jax.default_backend() == "cpu":
+        return jnp.float32
+    return jnp.bfloat16
+
+
 def dense_store_dtype(precision: str):
     """Storage dtype for the PRECOMPUTED dense impact rows (m_dense):
     no scatter ever writes them, so bf16 halves HBM + upload + matmul

@@ -78,8 +78,10 @@ def _candidate_core(jax, jnp, block_docs, block_impacts, bstart, bcnt,
     blk_idx = jnp.where(valid, blk, sentinel_row)
     w_blk = jnp.take_along_axis(w, t_safe, axis=1)
     d = block_docs[blk_idx].reshape(B, nblk * 128)
-    v = (block_impacts[blk_idx]
-         * w_blk[:, :, None]).reshape(B, nblk * 128)
+    imps = block_impacts[blk_idx]
+    if imps.dtype != jnp.float32:  # bf16 device storage (D8)
+        imps = imps.astype(jnp.float32)
+    v = (imps * w_blk[:, :, None]).reshape(B, nblk * 128)
     d, v = jax.lax.sort((d, v), num_keys=1, dimension=1)
     # segmented inclusive scan: runs (equal doc) are <= 2^log2_run
     # long (a doc appears at most once per term slot)

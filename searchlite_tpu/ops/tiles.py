@@ -404,8 +404,9 @@ def build_m_from_runs(jnp, docs_flat, impacts_flat, run_start, run_len,
     p_idx = jnp.where(valid, p_idx, 0)
     dest = docs_flat[p_idx] + run_off[rid_safe]
     impacts = jnp.where(valid, impacts_flat[p_idx], 0.0)
-    if dtype is not None and impacts.dtype != dtype:
-        impacts = impacts.astype(dtype)
+    target = dtype if dtype is not None else jnp.float32
+    if impacts.dtype != target:
+        impacts = impacts.astype(target)
     flat_idx = jnp.where(
         valid,
         run_slot[rid_safe] * n_cols + dest,

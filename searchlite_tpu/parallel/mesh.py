@@ -236,6 +236,8 @@ def make_sharded_impact_scorer(mesh, n1: int):
         p_idx = jnp.where(valid, jnp.minimum(p_idx, n_local - 1), 0)
         docs = docs_flat[p_idx]
         impacts = jnp.where(valid, impacts_flat[p_idx], 0.0)
+        if impacts.dtype != jnp.float32:  # bf16 device storage (D8)
+            impacts = impacts.astype(jnp.float32)
         flat_idx = jnp.where(
             valid,
             seg_safe * n1 + docs,
