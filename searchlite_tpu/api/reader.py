@@ -2171,6 +2171,7 @@ class IndexReader:
 
         analyzed_all = None
         launches = []  # per batch: list of (seg_ord, scores, ids)
+        pending_recs = []  # term-split soundness checks (+ bi/li)
         for bi, (queries, (fidx, distinct), blimits) in enumerate(
                 zip(batches, filter_tables, limits)):
             k_batch = int(max(blimits)) if len(blimits) else limit
@@ -2190,11 +2191,12 @@ class IndexReader:
                                             lazy_tables=True)
                 s_pad = qb["s_pad"]
                 est_bytes = (s_pad + len(queries)) * dseg.n1 * 4
+                pend: list = []
                 if (est_bytes <= m_budget_bytes
                         and qb["flat_extent"] < FLAT_INDEX_LIMIT):
                     k = min(k_batch, dseg.n1)
                     scores, ids = self._launch_batch_segment(
-                        dseg, qb, k, fidx, distinct)
+                        dseg, qb, k, fidx, distinct, pending=pend)
                 else:
                     # oversized corpus: the sparse candidate scorer
                     # needs no doc-axis matrix at ALL, so it routes
@@ -2204,21 +2206,34 @@ class IndexReader:
                     if fidx is None:
                         out = self._try_sparse_candidates(
                             dseg, qb, min(k_batch, dseg.n1),
-                            shard_budget=m_budget_bytes)
+                            shard_budget=m_budget_bytes,
+                            pending=pend)
                         if out is not None:
                             scores, ids = out
                     if scores is None:
+                        pend = []
                         scores, ids = self._search_batch_sharded(
                             dseg, None, qb, k_batch, est_bytes,
                             m_budget_bytes, fidx, distinct)
+                for rec in pend:
+                    rec["bi"] = bi
+                    rec["li"] = len(launched)
+                    pending_recs.append(rec)
                 launched.append((dseg.ord, scores, ids))
             launches.append(launched)
 
-        # phase 2 — ONE bulk fetch for every batch and segment
+        # phase 2 — ONE bulk fetch for every batch and segment (the
+        # term-split soundness flags ride the same fetch)
         flat_refs = [x for launched in launches
                      for _ord, scores, ids in launched
                      for x in (scores, ids)]
+        n_main = len(flat_refs)
+        flat_refs += [rec["sound"] for rec in pending_recs]
         flat_vals = list(jax.device_get(tuple(flat_refs)))
+        if pending_recs:
+            self._apply_split_fallbacks(
+                launches, flat_vals, n_main, pending_recs)
+            del flat_vals[n_main:]
 
         # phase 3 — host merge per batch
         out: list = []
@@ -3115,8 +3130,61 @@ class IndexReader:
         return (np.take_along_axis(cat_scores, order, axis=1),
                 np.take_along_axis(cat_ids, order, axis=1))
 
+    def _apply_split_fallbacks(self, launches, flat_vals, n_main,
+                               pending_recs):
+        """Fallback wave for the term-split sparse path: rows whose
+        soundness certificate failed (their candidate-strip top-k is
+        not provably the dense result — _candidate_core_split) are
+        re-scored through the dense scorers and patched into the
+        fetched per-(batch, segment) arrays in place. Sound workloads
+        pay only the flag bytes on the main fetch; the wave adds one
+        dispatch + fetch round only when failures exist."""
+        import jax
+
+        from searchlite_tpu.ops.impact import subset_impact_batch
+
+        entry_off = np.cumsum(
+            [0] + [len(launched) for launched in launches])
+        patches = []
+        for rec, flags in zip(pending_recs, flat_vals[n_main:]):
+            flags = np.asarray(flags)
+            li = rec["light_idx"]
+            bad = li[~flags[: len(li)]]
+            if len(bad) == 0:
+                continue
+            dseg = rec["dseg"]
+            # diagnostics: rows per reader that needed the dense wave
+            self._split_fallback_rows = getattr(
+                self, "_split_fallback_rows", 0) + len(bad)
+            hqb = subset_impact_batch(rec["qb"], np.asarray(bad))
+            sb = rec["shard_budget"]
+            est = (hqb["s_pad"] + hqb["n_queries"]) * dseg.n1 * 4
+            if sb and (est > sb
+                       or hqb["flat_extent"] >= FLAT_INDEX_LIMIT):
+                ps, pi = self._search_batch_sharded(
+                    dseg, None, hqb, rec["k"], est, sb)
+            else:
+                ps, pi = self._launch_batch_segment(
+                    dseg, hqb, rec["k"], allow_sparse=False)
+            patches.append((rec, bad, ps, pi))
+        if not patches:
+            return
+        vals = iter(jax.device_get(tuple(
+            x for _r, _b, s, i in patches for x in (s, i))))
+        for rec, bad, _s, _i in patches:
+            ps = np.asarray(next(vals))
+            pi = np.asarray(next(vals))
+            pos = 2 * (int(entry_off[rec["bi"]]) + rec["li"])
+            sc = np.array(flat_vals[pos], copy=True)
+            ids = np.array(flat_vals[pos + 1], copy=True)
+            sc[bad] = ps[: len(bad)]
+            ids[bad] = pi[: len(bad)]
+            flat_vals[pos] = sc
+            flat_vals[pos + 1] = ids
+
     def _launch_batch_segment(self, dseg, qb, k: int, fidx=None,
-                              distinct=None, allow_sparse: bool = True):
+                              distinct=None, allow_sparse: bool = True,
+                              pending=None):
         """Dispatch one segment's batched scoring. Unfiltered batches
         route through the sparse candidate scorer first (ops/sparse.py:
         top-k over each query's own gathered postings — no doc-axis
@@ -3131,7 +3199,8 @@ class IndexReader:
 
         use_filters = fidx is not None
         if allow_sparse and not use_filters:
-            out = self._try_sparse_candidates(dseg, qb, k)
+            out = self._try_sparse_candidates(dseg, qb, k,
+                                              pending=pending)
             if out is not None:
                 return out
         if qb["flat_extent"] >= FLAT_INDEX_LIMIT:
@@ -3206,7 +3275,8 @@ class IndexReader:
                                     lazy_tables=lazy_tables)
         return qb
 
-    def _sparse_light_launch(self, dseg, qb, k: int, max_blocks: int):
+    def _sparse_light_launch(self, dseg, qb, k: int, max_blocks: int,
+                             allow_split: bool = False):
         """Partition a qb's light rows and dispatch them through the
         sparse candidate scorer. Preferred form: packed uploads (one
         [Bg, t_pad] int32 per pow-4 block-count tier; block ranges +
@@ -3215,39 +3285,89 @@ class IndexReader:
         tiering keeps a single wide query from inflating every other
         row's candidate strip. Falls back to one explicit
         [3, Bl, t_pad] table when the packed format doesn't apply.
+
+        With ``allow_split`` (callers that can run a dense fallback
+        wave), the TERM-split partition widens eligibility to
+        head-term rows: their light terms ride the strip, heavy terms
+        are added by point lookup, and the returned partition carries
+        per-light-row ``sound`` flags (device bool ref) the caller
+        MUST honor — unsound rows' results are not exact and must be
+        re-scored dense (ops/sparse.py::_candidate_core_split).
+
         Returns (scores, ids, partition) with scores/ids rows aligned
-        to partition["light_idx"], or None when no query is light
-        enough. Results are bit-identical between the forms
+        to partition["light_idx"], or None when no query qualifies.
+        Results are bit-identical between the packed forms
         (tests/test_sparse_packed.py)."""
         import jax.numpy as jnp
 
+        from searchlite_tpu.ops.impact import next_pow2
         from searchlite_tpu.ops.sparse import (
             make_group_gather,
+            make_group_gather_sound,
             partition_sparse_batch,
+            partition_sparse_batch_split,
             partition_sparse_batch_tiered,
         )
 
         part = None
-        if os.environ.get("SEARCHLITE_SPARSE_PACKED", "1") != "0":
+        term_cap = 0
+        use_packed = os.environ.get(
+            "SEARCHLITE_SPARSE_PACKED", "1") != "0"
+        if (allow_split and use_packed
+                and os.environ.get("SEARCHLITE_TERM_SPLIT", "1")
+                != "0"):
+            term_cap = int(os.environ.get(
+                "SEARCHLITE_HEAVY_TERM_BLOCKS", str(max_blocks)))
+            h_max = int(os.environ.get("SEARCHLITE_HEAVY_SLOTS", "4"))
+            ub_ratio = float(os.environ.get(
+                "SEARCHLITE_SPLIT_UB_RATIO", "0.5"))
+            part = partition_sparse_batch_split(
+                qb, max_blocks, dseg.idf32, k, term_cap, h_max,
+                maximp=dseg.heavy_lookup_host(term_cap)["maximp"],
+                ub_ratio=ub_ratio)
+        if part is None and use_packed:
             part = partition_sparse_batch_tiered(
                 qb, max_blocks, dseg.idf32, k)
         if part is not None:
-            scorer = self._sparse_candidate_scorer_packed()
-            outs = []
-            for g in part["groups"]:
-                outs.append(scorer(
-                    dseg.block_docs, dseg.block_impacts_live,
-                    dseg.sparse_tid_tbl, jnp.asarray(g["packed"]),
-                    jnp.asarray(g["ovr"]), dseg.sparse_sentinels,
-                    k=k, t_pad=g["t_pad"], nblk=g["nblk"],
-                    log2_run=g["log2_run"], n_ovr=g["n_ovr"]))
             groups = part["groups"]
+            kp = next_pow2(max(4 * k, 64))
+            outs = []
+            flags = []
+            any_split = False
+            for g in groups:
+                if g.get("hvy") is not None:
+                    hl = dseg.heavy_lookup(term_cap)
+                    ss = self._sparse_candidate_scorer_split()
+                    ts_g, td_g, snd = ss(
+                        dseg.block_docs, dseg.block_impacts_live,
+                        dseg.sparse_tid_tbl, hl["tbl"], hl["base"],
+                        hl["log2g"], hl["maximp"],
+                        jnp.asarray(g["packed"]),
+                        jnp.asarray(g["ovr"]),
+                        jnp.asarray(g["hvy"]), dseg.sparse_sentinels,
+                        k=k, kp=kp, t_pad=g["t_pad"], nblk=g["nblk"],
+                        log2_run=g["log2_run"], h_pad=g["h_pad"],
+                        n_ovr=g["n_ovr"])
+                    outs.append((ts_g, td_g))
+                    flags.append(snd)
+                    any_split = True
+                else:
+                    scorer = self._sparse_candidate_scorer_packed()
+                    outs.append(scorer(
+                        dseg.block_docs, dseg.block_impacts_live,
+                        dseg.sparse_tid_tbl, jnp.asarray(g["packed"]),
+                        jnp.asarray(g["ovr"]), dseg.sparse_sentinels,
+                        k=k, t_pad=g["t_pad"], nblk=g["nblk"],
+                        log2_run=g["log2_run"], n_ovr=g["n_ovr"]))
+                    flags.append(None)
             n_light = len(part["light_idx"])
             if (len(groups) == 1
                     and groups[0]["packed"].shape[0] == part["bl"]):
                 # single occupied tier covering every light row in
                 # order — the group IS the light-order result
                 ts, td = outs[0]
+                if any_split:
+                    part["sound"] = flags[0]
                 return ts, td, part
             bl = part["bl"]
             posmaps = np.full(
@@ -3258,6 +3378,25 @@ class IndexReader:
                 posmaps[off:off + len(g["pos_in_light"])] = \
                     g["pos_in_light"]
                 off += g["packed"].shape[0]
+            if any_split:
+                flags = [f if f is not None
+                         else jnp.ones((outs[i][0].shape[0],),
+                                       dtype=bool)
+                         for i, f in enumerate(flags)]
+                with _GLOBAL_LOCK:
+                    gatherer = _GLOBAL_SCORERS.get(
+                        ("group_gather_sound",))
+                    if gatherer is None:
+                        gatherer = make_group_gather_sound()
+                        _GLOBAL_SCORERS[("group_gather_sound",)] = \
+                            gatherer
+                ts, td, snd = gatherer(
+                    tuple(o[0] for o in outs),
+                    tuple(o[1] for o in outs), tuple(flags),
+                    jnp.asarray(posmaps), bl=bl)
+                part["sound"] = snd
+                assert n_light <= bl
+                return ts, td, part
             with _GLOBAL_LOCK:
                 gatherer = _GLOBAL_SCORERS.get(("group_gather",))
                 if gatherer is None:
@@ -3280,7 +3419,7 @@ class IndexReader:
         return ts, td, part
 
     def _try_sparse_candidates(self, dseg, qb, k: int,
-                               shard_budget: int = 0):
+                               shard_budget: int = 0, pending=None):
         """Route a batch through the sparse candidate scorer
         (ops/sparse.py). Queries whose gathered posting strips fit in
         SEARCHLITE_SPARSE_MAX_BLOCKS blocks are scored over their own
@@ -3289,9 +3428,15 @@ class IndexReader:
         scorers, and both row groups are scattered back into batch
         order on device. With ``shard_budget`` set (the oversized-
         corpus branch) a wider default block cap applies and the heavy
-        remainder runs the doc-sharded scan. Returns None when the
-        path doesn't apply (disabled, no light queries, oversized k) —
-        the caller falls through to the dense scorers."""
+        remainder runs the doc-sharded scan.
+
+        With ``pending`` (a list), the TERM-split partition also
+        admits head-term rows (light terms on the strip, heavy terms
+        by point lookup — batched WAND); a record with the per-row
+        soundness flags (device ref) is appended, and the caller MUST
+        fetch them and re-score unsound rows dense
+        (_apply_split_fallbacks). Returns None when the path doesn't
+        apply — the caller falls through to the dense scorers."""
         import jax.numpy as jnp
 
         from searchlite_tpu.ops.impact import subset_impact_batch
@@ -3304,12 +3449,18 @@ class IndexReader:
         nq = qb["n_queries"]
         if nq == 0 or qb["n_slots"] == 0:
             return None
-        launched = self._sparse_light_launch(dseg, qb, k, max_blocks)
+        launched = self._sparse_light_launch(
+            dseg, qb, k, max_blocks, allow_split=pending is not None)
         if launched is None:
             return None
         ts, td, part = launched
         light_idx = part["light_idx"]
         heavy_idx = part["heavy_idx"]
+        if part.get("sound") is not None:
+            pending.append({
+                "dseg": dseg, "qb": qb, "light_idx": light_idx,
+                "sound": part["sound"], "k": k,
+                "shard_budget": shard_budget})
         if len(heavy_idx) == 0 and len(light_idx) == nq \
                 and ts.shape[0] == nq:
             return ts, td
@@ -3443,6 +3594,18 @@ class IndexReader:
             if scorer is None:
                 scorer = make_sparse_candidate_scorer_packed()
                 _GLOBAL_SCORERS[("sparse_cand_packed",)] = scorer
+            return scorer
+
+    def _sparse_candidate_scorer_split(self):
+        from searchlite_tpu.ops.sparse import (
+            make_sparse_candidate_scorer_split,
+        )
+
+        with _GLOBAL_LOCK:
+            scorer = _GLOBAL_SCORERS.get(("sparse_cand_split",))
+            if scorer is None:
+                scorer = make_sparse_candidate_scorer_split()
+                _GLOBAL_SCORERS[("sparse_cand_split",)] = scorer
             return scorer
 
     def _row_combiner(self):

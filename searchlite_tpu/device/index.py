@@ -254,6 +254,37 @@ class DeviceSegment:
             self._sparse_tid_tbl = self._jnp.asarray(tbl)
         return self._sparse_tid_tbl
 
+    def heavy_lookup_host(self, term_cap: int):
+        """Host arrays of the heavy-term doc→block lookup
+        (ops/sparse.py::build_heavy_lookup_host), built once per
+        (segment, term_cap) and cached. ``maximp`` (f32 [n_terms],
+        covering EVERY term) also feeds the term-split partition's
+        host routing predictor."""
+        cached = getattr(self, "_heavy_lookup_host", None)
+        if cached is not None and cached[0] == term_cap:
+            return cached[1]
+        from searchlite_tpu.ops.sparse import build_heavy_lookup_host
+
+        host = build_heavy_lookup_host(
+            self.reader.postings, self.block_docs_np,
+            self.block_impacts_np, self.n1, term_cap)
+        self._heavy_lookup_host = (term_cap, host)
+        return host
+
+    def heavy_lookup(self, term_cap: int):
+        """Device copies of the heavy-term doc→block lookup for the
+        term-split candidate scorer — segment-static and cached: keys
+        ``tbl``/``base``/``log2g`` int32 and ``maximp`` f32
+        [n_terms]. ~1-2 int32 entries per heavy-term block, so a few
+        MB even at 5M docs."""
+        cached = getattr(self, "_heavy_lookup", None)
+        if cached is not None and cached[0] == term_cap:
+            return cached[1]
+        host = self.heavy_lookup_host(term_cap)
+        dev = {k: self._jnp.asarray(v) for k, v in host.items()}
+        self._heavy_lookup = (term_cap, dev)
+        return dev
+
     @property
     def sparse_sentinels(self):
         """[2] int32 device array (sentinel block row, dead doc slot)
@@ -278,6 +309,7 @@ class DeviceSegment:
         self._block_impacts_live = None
         self._sparse_sentinels = None
         self._sparse_tid_tbl = None
+        self._heavy_lookup = None
         self._docs_flat = None
         self._impacts_flat = None
 

@@ -54,14 +54,14 @@ TID_LIMIT = 1 << TID_BITS
 OCC_MAX = 31
 
 
-def _candidate_core(jax, jnp, block_docs, block_impacts, bstart, bcnt,
-                    w, sentinel_row, sentinel_doc, *, k: int,
-                    t_pad: int, nblk: int, log2_run: int,
-                    with_counts: bool):
-    """Shared body of the candidate scorers: gather each row's posting
-    blocks, sort by doc, combine duplicate-doc runs, top-k. Operands
-    bstart/bcnt/w are [B, t_pad] (block start, block count — 0 for
-    unused slots — and f32 weight per slot)."""
+def _strip_gather_scan(jax, jnp, block_docs, block_impacts, bstart,
+                       bcnt, w, sentinel_row, sentinel_doc, *,
+                       t_pad: int, nblk: int, log2_run: int):
+    """Gather each row's posting blocks into a candidate strip, sort
+    by doc, and combine duplicate-doc runs. Operands bstart/bcnt/w are
+    [B, t_pad] (block start, block count — 0 for unused slots — and
+    f32 weight per slot). Returns (d, v, ok): sorted candidate docs,
+    run-total values, and the run-end match mask."""
     B = bstart.shape[0]
     cum = jnp.cumsum(bcnt, axis=1)                       # [B, T]
     total = cum[:, -1]
@@ -97,6 +97,19 @@ def _candidate_core(jax, jnp, block_docs, block_impacts, bstart, bcnt,
         [d[:, 1:] != d[:, :-1], jnp.ones((B, 1), dtype=bool)],
         axis=1)
     ok = run_end & (d != sentinel_doc) & (v > 0.0)
+    return d, v, ok
+
+
+def _candidate_core(jax, jnp, block_docs, block_impacts, bstart, bcnt,
+                    w, sentinel_row, sentinel_doc, *, k: int,
+                    t_pad: int, nblk: int, log2_run: int,
+                    with_counts: bool):
+    """Shared body of the candidate scorers: gather each row's posting
+    blocks, sort by doc, combine duplicate-doc runs, top-k."""
+    d, v, ok = _strip_gather_scan(
+        jax, jnp, block_docs, block_impacts, bstart, bcnt, w,
+        sentinel_row, sentinel_doc, t_pad=t_pad, nblk=nblk,
+        log2_run=log2_run)
     score = jnp.where(ok, v, -jnp.inf)
     ts, tp = jax.lax.top_k(score, k)
     td = jnp.take_along_axis(d, tp, axis=1)
@@ -191,6 +204,199 @@ def make_sparse_candidate_scorer_packed():
     return scorer
 
 
+def build_heavy_lookup_host(postings, block_docs_np, block_impacts_np,
+                            n1: int, term_cap: int):
+    """Host build of the per-segment heavy-term doc→block lookup used
+    by the term-split candidate scorer (TPU-native batched WAND — see
+    make_sparse_candidate_scorer_split).
+
+    For every term with more than ``term_cap`` posting blocks, the doc
+    axis is cut into pow-2 groups of width G (per term, G chosen so
+    any group's docs lie within TWO consecutive blocks — G = 128
+    always satisfies this because a 128-posting block spans ≥ 127
+    docs, and wider G is used when the term's average block span
+    allows). ``tbl[base + (doc >> log2g)]`` then names the first of
+    the ≤ 2 blocks that can contain ``doc``: one int32 gather plus two
+    128-wide block-row gathers replace the reference's posting-cursor
+    skip_to (`query/wand.rs:883-891`) — no per-wave run tables, no
+    per-batch upload.
+
+    Returns dict of host arrays: ``tbl`` int32 [total_entries+1]
+    (absolute block-row ids), ``base`` int32 [n_terms] (−1 = term has
+    no row), ``log2g`` int32 [n_terms], ``maximp`` f32 [n_terms]
+    (per-term max impact incl. tombstoned docs — a sound upper bound
+    for the non-candidate pruning check)."""
+    nb = postings.term_block_count.astype(np.int64)
+    start = postings.term_block_start.astype(np.int64)
+    n_terms = len(nb)
+    base = np.full(n_terms, -1, dtype=np.int32)
+    log2g = np.zeros(n_terms, dtype=np.int32)
+    # per-term max impact: blocks are term-contiguous & ascending
+    maximp = np.zeros(n_terms, dtype=np.float32)
+    has = nb > 0
+    if has.any():
+        bmax = block_impacts_np[: int((start + nb).max()), :].max(
+            axis=1).astype(np.float32)
+        red = np.maximum.reduceat(bmax, start[has])
+        maximp[has] = red
+    heavy = np.flatnonzero(nb > term_cap)
+    parts = []
+    total = 0
+    for t in heavy:
+        s, c = int(start[t]), int(nb[t])
+        lasts = block_docs_np[s:s + c, -1].astype(np.int64)
+        g = 128
+        span = max(128 * n1 // max(int(postings.term_df[t]), 1), 128)
+        while g * 2 <= span:
+            g *= 2
+        while g > 128:
+            lo = np.minimum(
+                np.searchsorted(lasts, np.arange(0, n1, g)), c - 1)
+            if np.all(np.diff(lo) <= 1):
+                break
+            g //= 2
+        lo = np.minimum(
+            np.searchsorted(lasts, np.arange(0, n1, g)), c - 1)
+        parts.append((lo + s).astype(np.int32))
+        base[t] = total
+        log2g[t] = int(g).bit_length() - 1
+        total += len(lo)
+    tbl = (np.concatenate(parts + [np.zeros(1, dtype=np.int32)])
+           if parts else np.zeros(1, dtype=np.int32))
+    return {"tbl": tbl, "base": base, "log2g": log2g,
+            "maximp": maximp}
+
+
+def _candidate_core_split(jax, jnp, block_docs, block_impacts, bstart,
+                          bcnt, w, sentinel_row, sentinel_doc,
+                          hvy, hb_tbl, hb_base, hb_log2g, tid_tbl,
+                          maximp, *, k: int, kp: int, t_pad: int,
+                          nblk: int, log2_run: int, h_pad: int):
+    """Term-split candidate scoring: the row's LIGHT terms ride the
+    candidate strip exactly like _candidate_core; its HEAVY (head)
+    terms are added afterwards by direct per-candidate lookup — for
+    each of the top-``kp`` tail candidates, the heavy term's impact at
+    that doc is found via the heavy lookup table (≤ 2 block-row
+    gathers; build_heavy_lookup_host). This is batched WAND run
+    backwards: instead of walking the head term's huge posting list,
+    the rare terms nominate candidates and the head terms answer point
+    queries.
+
+    Exactness is certified per row (``sound`` output): with
+    HUB = Σ_h w_h·maximp_h (every heavy term's best possible
+    contribution), a row's result equals the dense scorer's iff
+    (a) θ (its k-th final score) strictly beats HUB — no doc OUTSIDE
+    the candidate strip (matching only heavy terms, tail score 0) can
+    reach the top-k, and (b) the kp-th tail score + HUB strictly
+    under θ — no candidate cut by the first top-kp can re-enter on
+    heavy contributions. Rows with no heavy terms are sound by
+    construction. Unsound rows must be re-scored by a dense path
+    (the reader's fallback wave).
+
+    hvy [2, B, h_pad] int32: heavy term ids (0-padded) and their exact
+    f32 leaf weights bit-cast (0 = unused slot)."""
+    d, v, ok = _strip_gather_scan(
+        jax, jnp, block_docs, block_impacts, bstart, bcnt, w,
+        sentinel_row, sentinel_doc, t_pad=t_pad, nblk=nblk,
+        log2_run=log2_run)
+    B = d.shape[0]
+    n_cand = ok.sum(axis=1).astype(jnp.int32)
+    score = jnp.where(ok, v, -jnp.inf)
+    kp = min(kp, nblk * 128)
+    tv, tp = jax.lax.top_k(score, kp)
+    td = jnp.take_along_axis(d, tp, axis=1)              # [B, kp]
+    real = tv > -jnp.inf
+    hvy_tid = hvy[0]
+    hvy_w = jax.lax.bitcast_convert_type(hvy[1], jnp.float32)
+    heavy_sum = jnp.zeros((B, kp), dtype=jnp.float32)
+    hub = jnp.zeros((B,), dtype=jnp.float32)
+    n_tbl = hb_tbl.shape[0]
+    for h in range(h_pad):
+        tid = hvy_tid[:, h]                              # [B]
+        wh = hvy_w[:, h]
+        tbase = hb_base[tid]
+        lg = hb_log2g[tid]
+        blk0 = tid_tbl[0][tid]
+        nb_t = tid_tbl[1][tid]
+        last = blk0 + jnp.maximum(nb_t - 1, 0)
+        ok_h = (wh > 0.0) & (tbase >= 0) & (nb_t > 0)
+        g = jax.lax.shift_right_logical(td, lg[:, None])
+        ent_idx = jnp.minimum(
+            jnp.where(ok_h, tbase, 0)[:, None] + g, n_tbl - 1)
+        ent = hb_tbl[ent_idx]                            # [B, kp]
+        b1 = jnp.clip(ent, blk0[:, None], last[:, None])
+        b2 = jnp.minimum(b1 + 1, last[:, None])
+        b2_ok = ok_h[:, None] & (b2 != b1)
+        b1 = jnp.where(ok_h[:, None], b1, sentinel_row)
+        b2 = jnp.where(b2_ok, b2, sentinel_row)
+        d1 = block_docs[b1]                              # [B, kp, 128]
+        i1 = block_impacts[b1]
+        d2 = block_docs[b2]
+        i2 = block_impacts[b2]
+        if i1.dtype != jnp.float32:  # bf16 device storage (D8)
+            i1 = i1.astype(jnp.float32)
+            i2 = i2.astype(jnp.float32)
+        c = (jnp.where(d1 == td[..., None], i1, 0.0).sum(axis=-1)
+             + jnp.where(d2 == td[..., None], i2, 0.0).sum(axis=-1))
+        heavy_sum = heavy_sum + wh[:, None] * c
+        hub = hub + jnp.where(ok_h, wh * maximp[tid], 0.0)
+    final = jnp.where(real, tv + heavy_sum, -jnp.inf)
+    # (score desc, doc asc) over the kp window: stable doc-asc sort,
+    # then stable score-desc sort — the engine's tie order
+    od = jnp.argsort(td, axis=1, stable=True)
+    f1 = jnp.take_along_axis(final, od, axis=1)
+    d1s = jnp.take_along_axis(td, od, axis=1)
+    osc = jnp.argsort(-f1, axis=1, stable=True)
+    fs = jnp.take_along_axis(f1, osc, axis=1)[:, :k]
+    ds = jnp.take_along_axis(d1s, osc, axis=1)[:, :k]
+    nreal = (fs > -jnp.inf).sum(axis=1)
+    theta = jnp.where(nreal >= k, fs[:, k - 1], -jnp.inf)
+    tail_k = tv[:, kp - 1]
+    excluded = n_cand > kp
+    sound = (hub <= 0.0) | (
+        (theta > hub) & (~excluded | (tail_k + hub < theta)))
+    return fs, ds, sound
+
+
+def make_sparse_candidate_scorer_split():
+    """Term-split variant of the packed candidate scorer (see
+    _candidate_core_split): per-batch upload is the packed light table
+    + override COO (as the packed scorer) + ONE [2, B, h_pad] heavy
+    table; the heavy lookup arrays and maximp are segment-resident
+    (DeviceSegment.heavy_lookup). Returns (scores [B,k], ids [B,k],
+    sound [B] bool)."""
+    import jax
+    import jax.numpy as jnp
+
+    @partial(jax.jit,
+             static_argnames=("k", "kp", "t_pad", "nblk", "log2_run",
+                              "n_ovr", "h_pad"))
+    def scorer(block_docs, block_impacts, tid_tbl, hb_tbl, hb_base,
+               hb_log2g, maximp, packed, ovr, hvy, sent,
+               *, k: int, kp: int, t_pad: int, nblk: int,
+               log2_run: int, h_pad: int, n_ovr: int = 0):
+        tid = packed & (TID_LIMIT - 1)
+        occ = jax.lax.shift_right_logical(packed, TID_BITS)
+        bstart = tid_tbl[0][tid]
+        bcnt = jnp.where(occ > 0, tid_tbl[1][tid], 0)
+        idf = jax.lax.bitcast_convert_type(tid_tbl[2][tid], jnp.float32)
+        w = occ.astype(jnp.float32) * idf
+        if n_ovr:
+            B = packed.shape[0]
+            wf = w.reshape(B * t_pad)
+            wf = wf.at[ovr[0]].set(
+                jax.lax.bitcast_convert_type(ovr[1], jnp.float32),
+                mode="drop")
+            w = wf.reshape(B, t_pad)
+        return _candidate_core_split(
+            jax, jnp, block_docs, block_impacts, bstart, bcnt, w,
+            sent[0], sent[1], hvy, hb_tbl, hb_base, hb_log2g, tid_tbl,
+            maximp, k=k, kp=kp, t_pad=t_pad, nblk=nblk,
+            log2_run=log2_run, h_pad=h_pad)
+
+    return scorer
+
+
 def make_group_gather():
     """Scatter the tier groups' (scores, ids) into light-row order on
     device: one [bl, k] pair out of N per-tier results. ``posmaps``
@@ -211,6 +417,32 @@ def make_group_gather():
             i = i.at[m].set(gi, mode="drop")
             off += gs.shape[0]
         return s, i
+
+    return gather
+
+
+def make_group_gather_sound():
+    """Group gather variant that also scatters per-row soundness flags
+    (term-split groups; plain groups pass all-True). Unmapped rows
+    default to sound=True (they don't exist — pads are dropped by the
+    posmap, and rows outside every group never reach the caller)."""
+    import jax
+    import jax.numpy as jnp
+
+    @partial(jax.jit, static_argnames=("bl",))
+    def gather(group_s, group_i, group_f, posmaps, *, bl: int):
+        k = group_s[0].shape[1]
+        s = jnp.full((bl, k), -jnp.inf, dtype=group_s[0].dtype)
+        i = jnp.zeros((bl, k), dtype=group_i[0].dtype)
+        f = jnp.ones((bl,), dtype=bool)
+        off = 0
+        for gs, gi, gf in zip(group_s, group_i, group_f):
+            m = posmaps[off:off + gs.shape[0]]
+            s = s.at[m].set(gs, mode="drop")
+            i = i.at[m].set(gi, mode="drop")
+            f = f.at[m].set(gf, mode="drop")
+            off += gs.shape[0]
+        return s, i, f
 
     return gather
 
@@ -328,6 +560,26 @@ def _packed_applies(qb) -> bool:
     return True
 
 
+def _take_kept(qb, row_idx, entry_keep):
+    """Row-major CSR expansion of the given rows' entries restricted
+    to ``entry_keep`` (bool over the global qs_* entry axis). Returns
+    (idx, rows_rep, pos, sc): kept global entry indices, their row
+    ordinal within ``row_idx``, within-row rank, and per-row kept
+    counts."""
+    from searchlite_tpu.ops.impact import csr_row_lengths, csr_take_rows
+
+    counts = csr_row_lengths(qb)
+    idx, sc, _pos = csr_take_rows(qb["qs_start"], counts, row_idx)
+    rows_rep = np.repeat(np.arange(len(row_idx), dtype=np.int64), sc)
+    keep = entry_keep[idx]
+    idx = idx[keep]
+    rows_rep = rows_rep[keep]
+    sc2 = np.bincount(rows_rep, minlength=len(row_idx)).astype(np.int64)
+    starts2 = np.concatenate([[0], np.cumsum(sc2)[:-1]])
+    pos = np.arange(len(idx), dtype=np.int64) - starts2[rows_rep]
+    return idx, rows_rep, pos, sc2
+
+
 def _emit_packed_rows(qb, row_idx, idf32, bl_min: int = 64):
     """Packed [bl, t_pad] int32 of (tid | occ << 26) for the given
     query rows, plus the (usually empty) weight-override COO: entries
@@ -341,9 +593,17 @@ def _emit_packed_rows(qb, row_idx, idf32, bl_min: int = 64):
     counts = csr_row_lengths(qb)
     idx, sc, pos = csr_take_rows(qb["qs_start"], counts, row_idx)
     t_max = int(sc.max()) if len(sc) else 1
-    t_pad = next_pow2(max(t_max, 2))
-    bl = pow15_bucket(len(row_idx), minimum=bl_min)
     rows_rep = np.repeat(np.arange(len(row_idx), dtype=np.int64), sc)
+    return _pack_entries(qb, idx, rows_rep, pos, len(row_idx), t_max,
+                         idf32, bl_min)
+
+
+def _pack_entries(qb, idx, rows_rep, pos, n_rows, t_max, idf32,
+                  bl_min):
+    """Shared packed-table emission from a row-major entry selection
+    (see _emit_packed_rows for the format)."""
+    t_pad = next_pow2(max(t_max, 2))
+    bl = pow15_bucket(n_rows, minimum=bl_min)
     occ = qb["qs_cnt"][idx]
     slots = qb["qs_slot"][idx]
     tids_e = qb["slot_tids"][slots].astype(np.int64)
@@ -386,6 +646,102 @@ def partition_sparse_batch_packed(qb, max_blocks: int,
         return None
     sp.update(_emit_packed_rows(qb, sp["light_idx"], idf32))
     return sp
+
+
+def partition_sparse_batch_split(qb, max_blocks: int,
+                                 idf32: np.ndarray, k: int,
+                                 term_cap: int, h_max: int,
+                                 maximp: np.ndarray | None = None,
+                                 ub_ratio: float = 0.5):
+    """TERM-level split partition (TPU-native batched WAND): an entry
+    is heavy when ITS term exceeds ``term_cap`` blocks; a row is
+    eligible when its LIGHT entries total ≤ ``max_blocks`` blocks, it
+    has ≤ ``h_max`` heavy entries, and ≥ 1 light entry. Eligible rows
+    ride the candidate strips on their light terms (pow-4 tiers, as
+    partition_sparse_batch_tiered) with per-group heavy tables
+    [2, Bg, h_pad] (term id, exact f32 weight bit-cast) consumed by
+    make_sparse_candidate_scorer_split; the rest fall back dense.
+
+    Against the row-level tiered partition this turns head-term
+    queries — previously ALL dense — into strip rows with a 2-block
+    point lookup per heavy term, at the price of a per-row soundness
+    certificate (rows whose certificate fails must be re-scored dense;
+    the scorer returns the flags). Groups without heavy entries carry
+    ``hvy=None`` and should run the plain packed scorer."""
+    if not _packed_applies(qb):
+        return None
+    nq = qb["n_queries"]
+    from searchlite_tpu.ops.impact import csr_row_lengths
+
+    counts = csr_row_lengths(qb)
+    row_of = np.repeat(np.arange(nq, dtype=np.int64), counts)
+    ent_bcnt = qb["slot_bcnt"][qb["qs_slot"]].astype(np.int64)
+    heavy_e = ent_bcnt > term_cap
+    n_heavy = np.bincount(row_of[heavy_e], minlength=nq)
+    light_blocks = np.bincount(
+        row_of[~heavy_e], weights=ent_bcnt[~heavy_e],
+        minlength=nq).astype(np.int64)
+    n_light = np.bincount(row_of[~heavy_e], minlength=nq)
+    eligible = ((light_blocks <= max_blocks) & (n_heavy <= h_max)
+                & ((n_light > 0) | (n_heavy == 0)))
+    if maximp is not None and ub_ratio > 0:
+        # host routing predictor: a split row's certificate needs its
+        # k-th candidate score to strictly beat HUB = Σ_heavy w·maximp.
+        # θ is unknowable before scoring, but rows where HUB rivals
+        # even the best light term's ceiling (max_light w·maximp)
+        # almost always fail it — send those straight to the dense
+        # path instead of scoring them twice. Pure routing: mispredicts
+        # are caught by the certificate (→ fallback wave) or merely
+        # dense-score a row that would have been sound.
+        ent_ub = qb["qs_w"] * maximp[
+            qb["slot_tids"][qb["qs_slot"]]].astype(np.float32)
+        hub = np.bincount(row_of[heavy_e], weights=ent_ub[heavy_e],
+                          minlength=nq)
+        lmax = np.zeros(nq, dtype=np.float64)
+        np.maximum.at(lmax, row_of[~heavy_e], ent_ub[~heavy_e])
+        eligible &= (n_heavy == 0) | (hub < ub_ratio * lmax)
+    if not eligible.any():
+        return None
+    light_idx = np.flatnonzero(eligible)
+    heavy_idx = np.flatnonzero(~eligible)
+    nblk_min = -(-k // 128)  # strips must hold at least k candidates
+    groups = []
+    prev = -1  # first tier includes 0-block strips (all-df-0 rows)
+    for bound in tier_bounds(max_blocks):
+        lb = light_blocks[light_idx]
+        sel = (lb > prev) & (lb <= bound)
+        prev = bound
+        if not sel.any():
+            continue
+        rows = light_idx[sel]
+        lidx, lrows, lpos, lsc = _take_kept(qb, rows, ~heavy_e)
+        g = _pack_entries(qb, lidx, lrows, lpos, len(rows),
+                          int(lsc.max()) if len(lsc) else 1, idf32,
+                          bl_min=16)
+        g["pos_in_light"] = np.flatnonzero(sel)
+        g["nblk"] = pow15_bucket(
+            max(int(lb[sel].max()), nblk_min), minimum=16)
+        nh = n_heavy[rows]
+        if nh.any():
+            bl = g["packed"].shape[0]
+            h_pad = next_pow2(max(int(nh.max()), 1))
+            hidx, hrows, hpos, _hsc = _take_kept(qb, rows, heavy_e)
+            hvy = np.zeros((2, bl, h_pad), dtype=np.int32)
+            htids = qb["slot_tids"][qb["qs_slot"][hidx]]
+            hvy[0, hrows, hpos] = htids.astype(np.int32)
+            hvy[1, hrows, hpos] = qb["qs_w"][hidx].view(np.int32)
+            g["hvy"] = hvy
+            g["h_pad"] = h_pad
+        else:
+            g["hvy"] = None
+        groups.append(g)
+    return {
+        "groups": groups,
+        "light_idx": light_idx,
+        "heavy_idx": heavy_idx,
+        "bl": pow15_bucket(len(light_idx), minimum=64),
+        "term_split": True,
+    }
 
 
 def partition_sparse_batch_tiered(qb, max_blocks: int,

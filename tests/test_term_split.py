@@ -1,0 +1,253 @@
+"""Term-split batched scoring (TPU-native batched WAND) vs the dense
+path.
+
+ops/sparse.py::_candidate_core_split lets head-term queries ride the
+candidate strips: light terms are gathered/sorted/summed as usual,
+heavy terms are added by point lookup over the segment's heavy lookup
+table, and a per-row soundness certificate (the WAND upper-bound
+argument) marks rows whose result provably equals the dense scorer's.
+Unsound rows are re-scored dense by the reader's fallback wave
+(api/reader.py::_apply_split_fallbacks).
+
+These tests pin: (a) agreement with the dense path across randomized
+workloads including head terms, deletions, duplicates, multi-segment
+indexes, and per-query limits (tolerance = f32 association-order ulps,
+divergence D10); (b) the fallback wave fires and still yields exact
+results when the certificate cannot hold (candidates fewer than k);
+(c) the lookup-table invariant that any doc group spans at most two
+blocks.
+
+Reference behavior contract: WAND/BMW return identical top-k to brute
+BM25 (`searchlite-core/tests/pruning.rs:44-105`)."""
+
+import random
+
+import numpy as np
+import pytest
+
+from searchlite_tpu.api.types import IndexOptions, StorageType
+from searchlite_tpu.index import Index
+from searchlite_tpu.index.manifest import Schema
+
+VOCAB = [f"w{i}" for i in range(150)]
+HEADS = ["head0", "head1", "head2"]
+
+
+def build_index(seed=11, n_docs=3000, segments=2, delete_every=17,
+                head_p=(0.8, 0.5, 0.25)):
+    rng = np.random.default_rng(seed)
+    probs = 1.0 / np.arange(1, len(VOCAB) + 1)
+    probs /= probs.sum()
+    idx = Index.create(
+        IndexOptions(path="", create_if_missing=True,
+                     storage=StorageType.IN_MEMORY),
+        Schema.from_json({
+            "text_fields": [{"name": "body", "analyzer": "default",
+                             "stored": False, "indexed": True}]}))
+    writer = idx.writer()
+    for i in range(n_docs):
+        n = int(rng.integers(4, 40))
+        toks = list(rng.choice(VOCAB, size=n, p=probs))
+        for h, p in zip(HEADS, head_p):
+            if rng.random() < p:
+                toks.append(h)
+        writer.add_document({"_id": str(i), "body": " ".join(toks)})
+        if segments > 1 and i == n_docs // segments:
+            writer.commit()
+    writer.commit()
+    if delete_every:
+        w2 = idx.writer()
+        for i in range(0, n_docs, delete_every):
+            w2.delete_document(str(i))
+        w2.commit()
+    return idx
+
+
+def make_queries(rng, n, max_terms=4, head_p=0.6, dup_p=0.15):
+    out = []
+    for _ in range(n):
+        t = rng.randint(1, max_terms)
+        terms = [rng.choice(VOCAB) for _ in range(t)]
+        if rng.random() < head_p:
+            terms.append(rng.choice(HEADS))
+        if rng.random() < head_p / 2:
+            terms.append(rng.choice(HEADS))
+        if rng.random() < dup_p and terms:
+            terms.append(terms[0])  # occ > 1
+        random.shuffle(terms)
+        out.append(" ".join(terms))
+    return out
+
+
+def assert_same(dense, split, rtol=1e-5, atol=1e-5):
+    assert len(dense) == len(split)
+    for qi, (dr, sr) in enumerate(zip(dense, split)):
+        assert len(dr) == len(sr), f"q{qi} lengths {len(dr)}/{len(sr)}"
+        if not dr:
+            continue
+        # the sorted score vectors must agree elementwise...
+        ds = np.array(sorted(s for _d, s in dr), dtype=np.float64)
+        ss = np.array(sorted(s for _d, s in sr), dtype=np.float64)
+        assert np.allclose(ds, ss, rtol=rtol, atol=atol), \
+            f"q{qi} score vectors {ds} vs {ss}"
+        # ...every doc returned by both must score identically (tol),
+        # and any doc returned by only one side must be a genuine
+        # near-tie with some doc on the other side (D10 ulp noise can
+        # legitimately swap exact ties at the top-k boundary)
+        dd = {d: s for d, s in dr}
+        sd = {d: s for d, s in sr}
+        for d in set(dd) & set(sd):
+            assert abs(dd[d] - sd[d]) <= atol + rtol * abs(dd[d]), \
+                f"q{qi} doc {d}: {dd[d]} vs {sd[d]}"
+        for only_d, here, there in (
+                (set(dd) - set(sd), dd, sd),
+                (set(sd) - set(dd), sd, dd)):
+            for d in only_d:
+                s = here[d]
+                near = min(abs(s - v) for v in there.values())
+                assert near <= atol + rtol * abs(s), \
+                    f"q{qi} boundary doc {d} ({s}) not a tie"
+
+
+def run_both(reader, queries, limit, monkeypatch, max_blocks=8,
+             **kw):
+    monkeypatch.setenv("SEARCHLITE_SPARSE_MAX_BLOCKS",
+                       str(max_blocks))
+    monkeypatch.setenv("SEARCHLITE_HEAVY_TERM_BLOCKS",
+                       str(max_blocks))
+    monkeypatch.setenv("SEARCHLITE_TERM_SPLIT", "0")
+    dense = reader.search_batch(queries, limit=limit, **kw)
+    monkeypatch.setenv("SEARCHLITE_TERM_SPLIT", "1")
+    split = reader.search_batch(queries, limit=limit, **kw)
+    return dense, split
+
+
+@pytest.fixture(scope="module")
+def index():
+    return build_index()
+
+
+def test_head_term_queries_match_dense(index, monkeypatch):
+    rng = random.Random(7)
+    reader = index.reader()
+    queries = make_queries(rng, 64)
+    dense, split = run_both(reader, queries, 10, monkeypatch)
+    assert_same(dense, split)
+
+
+def test_split_actually_engages(index, monkeypatch):
+    """Head-term rows must ride the split scorer, not fall back: with
+    all-head queries sharing one rare discriminating term, soundness
+    holds and no dense wave runs."""
+    reader = index.reader()
+    monkeypatch.setenv("SEARCHLITE_SPARSE_MAX_BLOCKS", "8")
+    monkeypatch.setenv("SEARCHLITE_HEAVY_TERM_BLOCKS", "8")
+    monkeypatch.setenv("SEARCHLITE_TERM_SPLIT", "1")
+    # w100+ are rare (zipf tail): strong tail evidence, tiny head UB
+    queries = [f"w14{i} head0" for i in range(5)] * 4
+    before = getattr(reader, "_split_fallback_rows", 0)
+    split = reader.search_batch(queries, limit=3)
+    monkeypatch.setenv("SEARCHLITE_TERM_SPLIT", "0")
+    dense = reader.search_batch(queries, limit=3)
+    assert_same(dense, split)
+    assert getattr(reader, "_split_fallback_rows", 0) == before, \
+        "expected zero fallbacks on rare-tail + head queries"
+
+
+def test_fallback_wave_exactness(index, monkeypatch):
+    """Queries whose certificate cannot hold (fewer candidates than k,
+    heavy terms present) must flow through the dense fallback wave and
+    still match the dense path exactly."""
+    reader = index.reader()
+    # w149 is the rarest vocab term; limit larger than its df forces
+    # theta = -inf with hub > 0 → unsound → fallback
+    queries = ["w149 head0", "w148 head1 head2", "head0 w147"] * 3
+    dense, split = run_both(reader, queries, 200, monkeypatch)
+    assert_same(dense, split)
+    assert getattr(reader, "_split_fallback_rows", 0) > 0
+
+
+def test_all_heavy_and_oov_rows(index, monkeypatch):
+    """Rows with no light terms (all-head) or nothing at all keep
+    dense routing / empty results."""
+    reader = index.reader()
+    queries = ["head0", "head0 head1", "zzz-not-a-term", "head2"]
+    dense, split = run_both(reader, queries, 10, monkeypatch)
+    assert_same(dense, split)
+
+
+def test_per_query_limits(index, monkeypatch):
+    rng = random.Random(13)
+    reader = index.reader()
+    queries = make_queries(rng, 16)
+    limits = [rng.randint(1, 20) for _ in queries]
+    monkeypatch.setenv("SEARCHLITE_SPARSE_MAX_BLOCKS", "8")
+    monkeypatch.setenv("SEARCHLITE_HEAVY_TERM_BLOCKS", "8")
+    monkeypatch.setenv("SEARCHLITE_TERM_SPLIT", "0")
+    dense = reader.search_batch(queries, limit=20, limits=limits)
+    monkeypatch.setenv("SEARCHLITE_TERM_SPLIT", "1")
+    split = reader.search_batch(queries, limit=20, limits=limits)
+    assert_same(dense, split)
+    for lim, row in zip(limits, split):
+        assert len(row) <= lim
+
+
+def test_fuzz_random_workloads(monkeypatch):
+    rng = random.Random(29)
+    for trial in range(3):
+        idx = build_index(seed=100 + trial,
+                          n_docs=rng.randint(800, 2500),
+                          segments=rng.randint(1, 3),
+                          delete_every=rng.choice([0, 11]))
+        reader = idx.reader()
+        queries = make_queries(rng, 32, max_terms=5)
+        dense, split = run_both(
+            reader, queries, rng.choice([1, 5, 10, 50]), monkeypatch,
+            max_blocks=rng.choice([4, 8, 16]))
+        assert_same(dense, split)
+
+
+def test_oversized_corpus_split_route(index, monkeypatch):
+    """The sharded (oversized-corpus) branch also admits term-split
+    rows and patches unsound ones through the sharded dense scan."""
+    rng = random.Random(31)
+    reader = index.reader()
+    queries = make_queries(rng, 24)
+    monkeypatch.setenv("SEARCHLITE_SPARSE_MAX_BLOCKS", "8")
+    monkeypatch.setenv("SEARCHLITE_HEAVY_TERM_BLOCKS", "8")
+    monkeypatch.setenv("SEARCHLITE_TERM_SPLIT", "0")
+    dense = reader.search_batch(queries, limit=10)
+    monkeypatch.setenv("SEARCHLITE_TERM_SPLIT", "1")
+    monkeypatch.setenv("SEARCHLITE_M_BUDGET_BYTES", "200000")
+    split = reader.search_batch(queries, limit=10)
+    assert_same(dense, split)
+
+
+def test_heavy_lookup_invariant():
+    """Every doc group names a block window of ≤ 2 blocks that covers
+    all of the term's postings in the group (the G=128 guarantee and
+    its widenings — build_heavy_lookup_host)."""
+    idx = build_index(seed=77, n_docs=1500, segments=1,
+                      delete_every=0)
+    reader = idx.reader()
+    dseg = reader.device_segments[0]
+    from searchlite_tpu.ops.sparse import build_heavy_lookup_host
+
+    p = dseg.reader.postings
+    hl = build_heavy_lookup_host(p, dseg.block_docs_np,
+                                 dseg.block_impacts_np, dseg.n1, 2)
+    heavy = np.flatnonzero(hl["base"] >= 0)
+    assert len(heavy) > 0
+    for t in heavy:
+        docs, _tfs = p.term_postings(int(t))
+        g = docs >> hl["log2g"][t]
+        ent = hl["tbl"][hl["base"][t] + g]
+        # block containing posting j is blk0 + j // 128
+        blk0 = int(p.term_block_start[t])
+        blk_of_doc = blk0 + np.arange(len(docs)) // 128
+        assert ((blk_of_doc == ent) | (blk_of_doc == ent + 1)).all()
+        # maximp is a sound upper bound on the term's impacts
+        flat = dseg.impacts_flat_np
+        base = int(p.df_base(int(t)))
+        assert hl["maximp"][t] >= flat[
+            base: base + len(docs)].max() - 1e-6
