@@ -3524,13 +3524,66 @@ class IndexReader:
         bstart = postings.term_block_start[tids].astype(np.int64)
         bcnt = postings.term_block_count[tids].astype(np.int64)
         total = int(bcnt.sum())
-        if total == 0 or total > max_blocks or k > total * 128:
-            return None
         w = np.zeros(n_slots, dtype=np.float32)
         for s, v in qargs["slot_weight"].items():
             w[s] = v
-        if (w <= 0).any():
+        if total == 0 or k > total * 128 or (w <= 0).any():
             return None
+        if total > max_blocks:
+            # TERM-split single-query route: ONE heavy (head) term is
+            # added by full-strip point lookup (exact scores AND exact
+            # counts: |light ∪ heavy| = n_strip + live_df − overlap);
+            # the result carries a soundness certificate (θ > HUB) —
+            # when it fails, fall through to the dense/pruned paths.
+            if os.environ.get("SEARCHLITE_TERM_SPLIT", "1") == "0":
+                return None
+            term_cap = int(os.environ.get(
+                "SEARCHLITE_HEAVY_TERM_BLOCKS", str(max_blocks)))
+            heavy = bcnt > term_cap
+            light_total = int(bcnt[~heavy].sum())
+            if (int(heavy.sum()) != 1 or light_total == 0
+                    or light_total > max_blocks
+                    or k > light_total * 128):
+                return None
+            h_slot = int(np.flatnonzero(heavy)[0])
+            h_tid = int(tids[h_slot])
+            hl_host = dseg.heavy_lookup_host(term_cap)
+            ub_ratio = float(os.environ.get(
+                "SEARCHLITE_SPLIT_UB_RATIO", "0.5"))
+            maximp = hl_host["maximp"]
+            hub = float(w[h_slot] * maximp[h_tid])
+            lmax = float((w[~heavy]
+                          * maximp[tids[~heavy]]).max())
+            if ub_ratio > 0 and hub >= ub_ratio * lmax:
+                return None  # certificate unlikely — go dense/pruned
+            lt = int((~heavy).sum())
+            t_pad = next_pow2(max(lt, 2))
+            tbl = np.zeros((3, 1, t_pad), dtype=np.int32)
+            tbl[0, 0, :lt] = bstart[~heavy]
+            tbl[1, 0, :lt] = bcnt[~heavy]
+            tbl[2, 0, :lt] = w[~heavy].view(np.int32)
+            hvy = np.array([[h_tid], [np.float32(
+                w[h_slot]).view(np.int32)]], dtype=np.int32)
+            hl = dseg.heavy_lookup(term_cap)
+            scorer = self._sparse_single_split_scorer()
+            ts, td, n_strip, overlap, sound = scorer(
+                dseg.block_docs, dseg.block_impacts_live,
+                hl["tbl"], hl["base"], hl["log2g"],
+                dseg.sparse_tid_tbl, hl["maximp"],
+                jnp.asarray(tbl), jnp.asarray(hvy),
+                dseg.sparse_sentinels,
+                k=k, t_pad=t_pad,
+                nblk=pow15_bucket(light_total, minimum=16),
+                log2_run=max((t_pad - 1).bit_length(), 1))
+            ts, td, n_strip, overlap, sound = jax.device_get(
+                (ts, td, n_strip, overlap, sound))
+            if not bool(np.asarray(sound)[0]):
+                return None
+            cnt = (int(np.asarray(n_strip)[0])
+                   + dseg.live_term_df(h_tid)
+                   - int(np.asarray(overlap)[0]))
+            return (np.asarray(ts)[0], np.asarray(td)[0], cnt,
+                    qargs["postings_touched"])
         t_pad = next_pow2(max(n_slots, 2))
         tbl = np.zeros((3, 1, t_pad), dtype=np.int32)
         tbl[0, 0, :n_slots] = bstart
@@ -3606,6 +3659,18 @@ class IndexReader:
             if scorer is None:
                 scorer = make_sparse_candidate_scorer_split()
                 _GLOBAL_SCORERS[("sparse_cand_split",)] = scorer
+            return scorer
+
+    def _sparse_single_split_scorer(self):
+        from searchlite_tpu.ops.sparse import (
+            make_sparse_single_split_scorer,
+        )
+
+        with _GLOBAL_LOCK:
+            scorer = _GLOBAL_SCORERS.get(("sparse_single_split",))
+            if scorer is None:
+                scorer = make_sparse_single_split_scorer()
+                _GLOBAL_SCORERS[("sparse_single_split",)] = scorer
             return scorer
 
     def _row_combiner(self):

@@ -271,6 +271,26 @@ class DeviceSegment:
         self._heavy_lookup_host = (term_cap, host)
         return host
 
+    def live_term_df(self, tid: int) -> int:
+        """Exact live (non-tombstoned) document frequency of one term
+        — the single-query term-split route's count arithmetic
+        (|light ∪ heavy| = n_strip + live_df − overlap) needs it.
+        Free when the segment has no deletions; otherwise one host
+        pass over the term's postings, cached per tid."""
+        p = self.reader.postings
+        if self.live_docs == self.n_docs:
+            return int(p.term_df[tid])
+        cache = getattr(self, "_live_df_cache", None)
+        if cache is None:
+            cache = self._live_df_cache = {}
+        got = cache.get(tid)
+        if got is None:
+            base = int(p.df_base(tid))
+            docs = self.docs_flat_np[base: base + int(p.term_df[tid])]
+            got = int(np.count_nonzero(~self.deleted_np[docs]))
+            cache[tid] = got
+        return got
+
     def heavy_lookup(self, term_cap: int):
         """Device copies of the heavy-term doc→block lookup for the
         term-split candidate scorer — segment-static and cached: keys

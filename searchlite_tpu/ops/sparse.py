@@ -358,6 +358,69 @@ def _candidate_core_split(jax, jnp, block_docs, block_impacts, bstart,
     return fs, ds, sound
 
 
+def make_sparse_single_split_scorer():
+    """Single-query term-split scorer: the query's light terms ride
+    one candidate strip; ONE heavy term is added by point lookup at
+    EVERY run-end position (affordable at B=1, and it makes the match
+    count exact: |light ∪ heavy| = n_strip + live_df − overlap, the
+    caller adds live_df host-side). Soundness needs only θ > HUB —
+    nothing is truncated before the final top-k. Returns (scores,
+    ids, n_strip, overlap, sound)."""
+    import jax
+    import jax.numpy as jnp
+
+    @partial(jax.jit,
+             static_argnames=("k", "t_pad", "nblk", "log2_run"))
+    def scorer(block_docs, block_impacts, hb_tbl, hb_base, hb_log2g,
+               tid_tbl, maximp, tbl, hvy, sent,
+               *, k: int, t_pad: int, nblk: int, log2_run: int):
+        bstart, bcnt = tbl[0], tbl[1]
+        w = jax.lax.bitcast_convert_type(tbl[2], jnp.float32)
+        d, v, ok = _strip_gather_scan(
+            jax, jnp, block_docs, block_impacts, bstart, bcnt, w,
+            sent[0], sent[1], t_pad=t_pad, nblk=nblk,
+            log2_run=log2_run)
+        tid = hvy[0]                                     # [1]
+        wh = jax.lax.bitcast_convert_type(hvy[1], jnp.float32)
+        tbase = hb_base[tid]
+        lg = hb_log2g[tid]
+        blk0 = tid_tbl[0][tid]
+        nb_t = tid_tbl[1][tid]
+        last = blk0 + jnp.maximum(nb_t - 1, 0)
+        ok_h = (wh > 0.0) & (tbase >= 0) & (nb_t > 0)
+        n_tbl = hb_tbl.shape[0]
+        g = jax.lax.shift_right_logical(d, lg[:, None])
+        ent = hb_tbl[jnp.minimum(
+            jnp.where(ok_h, tbase, 0)[:, None] + g, n_tbl - 1)]
+        b1 = jnp.clip(ent, blk0[:, None], last[:, None])
+        b2 = jnp.minimum(b1 + 1, last[:, None])
+        b2_ok = ok_h[:, None] & (b2 != b1)
+        b1 = jnp.where(ok_h[:, None], b1, sent[0])
+        b2 = jnp.where(b2_ok, b2, sent[0])
+        i1 = block_impacts[b1]
+        i2 = block_impacts[b2]
+        if i1.dtype != jnp.float32:  # bf16 device storage (D8)
+            i1 = i1.astype(jnp.float32)
+            i2 = i2.astype(jnp.float32)
+        c = (jnp.where(block_docs[b1] == d[..., None], i1, 0.0)
+             .sum(axis=-1)
+             + jnp.where(block_docs[b2] == d[..., None], i2, 0.0)
+             .sum(axis=-1))
+        hv = wh[:, None] * c
+        overlap = (ok & (hv > 0.0)).sum(axis=1).astype(jnp.int32)
+        score = jnp.where(ok, v + hv, -jnp.inf)
+        ts, tp = jax.lax.top_k(score, k)
+        td = jnp.take_along_axis(d, tp, axis=1)
+        n_strip = ok.sum(axis=1).astype(jnp.int32)
+        hub = jnp.where(ok_h, wh * maximp[tid], 0.0)
+        nreal = (ts > -jnp.inf).sum(axis=1)
+        theta = jnp.where(nreal >= k, ts[:, k - 1], -jnp.inf)
+        sound = (hub <= 0.0) | (theta > hub)
+        return ts, td, n_strip, overlap, sound
+
+    return scorer
+
+
 def make_sparse_candidate_scorer_split():
     """Term-split variant of the packed candidate scorer (see
     _candidate_core_split): per-batch upload is the packed light table

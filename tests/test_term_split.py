@@ -223,6 +223,51 @@ def test_oversized_corpus_split_route(index, monkeypatch):
     assert_same(dense, split)
 
 
+def _single(reader, q, limit=10, execution="bm25"):
+    res = reader.search({"query": q, "limit": limit,
+                         "execution": execution})
+    return ([(h.doc_id, h.score) for h in res.hits],
+            res.total_hits_estimate)
+
+
+def test_single_query_split_route(index, monkeypatch):
+    """The single-query term-split route (head term via full-strip
+    lookup) returns the dense path's hits AND its exact match count —
+    counts come from |light ∪ heavy| = n_strip + live_df − overlap,
+    with tombstones excluded on both sides."""
+    reader = index.reader()
+    monkeypatch.setenv("SEARCHLITE_SINGLE_SPARSE_MIN_DOCS", "0")
+    monkeypatch.setenv("SEARCHLITE_SINGLE_SPARSE_BLOCKS", "8")
+    monkeypatch.setenv("SEARCHLITE_HEAVY_TERM_BLOCKS", "8")
+    queries = ["w120 head0", "w50 w90 head1", "w30 head2 w77",
+               "w140 w141 head0"]
+    for q in queries:
+        monkeypatch.setenv("SEARCHLITE_TERM_SPLIT", "0")
+        dense_hits, dense_cnt = _single(reader, q)
+        monkeypatch.setenv("SEARCHLITE_TERM_SPLIT", "1")
+        split_hits, split_cnt = _single(reader, q)
+        assert split_cnt == dense_cnt, f"{q}: count"
+        assert_same([dense_hits], [split_hits])
+
+
+def test_single_query_split_unsound_falls_through(index, monkeypatch):
+    """When the certificate can't hold (limit above the light df), the
+    route returns None and the dense path answers — results must be
+    the dense results trivially, and still correct."""
+    reader = index.reader()
+    monkeypatch.setenv("SEARCHLITE_SINGLE_SPARSE_MIN_DOCS", "0")
+    monkeypatch.setenv("SEARCHLITE_SINGLE_SPARSE_BLOCKS", "8")
+    monkeypatch.setenv("SEARCHLITE_HEAVY_TERM_BLOCKS", "8")
+    monkeypatch.setenv("SEARCHLITE_SPLIT_UB_RATIO", "0")  # no predictor
+    q = "w149 head0"
+    monkeypatch.setenv("SEARCHLITE_TERM_SPLIT", "0")
+    dense_hits, dense_cnt = _single(reader, q, limit=300)
+    monkeypatch.setenv("SEARCHLITE_TERM_SPLIT", "1")
+    split_hits, split_cnt = _single(reader, q, limit=300)
+    assert split_cnt == dense_cnt
+    assert_same([dense_hits], [split_hits])
+
+
 def test_heavy_lookup_invariant():
     """Every doc group names a block window of ≤ 2 blocks that covers
     all of the term's postings in the group (the G=128 guarantee and
