@@ -3539,10 +3539,17 @@ class IndexReader:
                 return None
             term_cap = int(os.environ.get(
                 "SEARCHLITE_HEAVY_TERM_BLOCKS", str(max_blocks)))
-            heavy = bcnt > term_cap
+            # exact counts need exactly ONE point-lookup term, but the
+            # lookup term need not be the only over-cap one: take the
+            # LARGEST term (it must exceed term_cap to be in the
+            # lookup table); any other head terms ride the strip like
+            # light terms, provided the light total still fits.
+            if int(bcnt.max()) <= term_cap:
+                return None
+            heavy = np.zeros(n_slots, dtype=bool)
+            heavy[int(bcnt.argmax())] = True
             light_total = int(bcnt[~heavy].sum())
-            if (int(heavy.sum()) != 1 or light_total == 0
-                    or light_total > max_blocks
+            if (light_total == 0 or light_total > max_blocks
                     or k > light_total * 128):
                 return None
             h_slot = int(np.flatnonzero(heavy)[0])

@@ -250,6 +250,27 @@ def test_single_query_split_route(index, monkeypatch):
         assert_same([dense_hits], [split_hits])
 
 
+def test_single_query_split_two_head_terms(index, monkeypatch):
+    """Two over-cap terms in one query: only the LARGEST takes the
+    point-lookup role; the second head term rides the strip with the
+    light terms (its blocks count toward the light budget). Results
+    and counts still match the dense path exactly."""
+    reader = index.reader()
+    monkeypatch.setenv("SEARCHLITE_SINGLE_SPARSE_MIN_DOCS", "0")
+    monkeypatch.setenv("SEARCHLITE_SINGLE_SPARSE_BLOCKS", "16")
+    monkeypatch.setenv("SEARCHLITE_HEAVY_TERM_BLOCKS", "4")
+    monkeypatch.setenv("SEARCHLITE_SPLIT_UB_RATIO", "0")  # force try
+    queries = ["head0 head1 w40", "head1 head2 w10 w11",
+               "head0 head2 w3"]
+    for q in queries:
+        monkeypatch.setenv("SEARCHLITE_TERM_SPLIT", "0")
+        dense_hits, dense_cnt = _single(reader, q)
+        monkeypatch.setenv("SEARCHLITE_TERM_SPLIT", "1")
+        split_hits, split_cnt = _single(reader, q)
+        assert split_cnt == dense_cnt, f"{q}: count"
+        assert_same([dense_hits], [split_hits])
+
+
 def test_single_query_split_unsound_falls_through(index, monkeypatch):
     """When the certificate can't hold (limit above the light df), the
     route returns None and the dense path answers — results must be
