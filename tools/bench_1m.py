@@ -1,4 +1,7 @@
-"""1M-doc batched QPS through the engine (doc-sharded path)."""
+"""1M-doc engine benchmark: batched QPS (bm25 + wand, pairs + arrays
+surfaces), in-run single-core C++ baseline on the same workload, and
+warmed single-query p50 (default routing — exercises the sparse
+single-query/term-split routes at this corpus size)."""
 
 import sys
 import time
@@ -34,17 +37,43 @@ def main():
     t0 = time.perf_counter()
     reader = index.reader()
     batches = bench.build_queries()
-    for batch in batches:
-        reader.search_batch(batch, limit=bench.K)
+    for execution in ("bm25", "wand"):
+        reader.search_batch(batches[0], limit=bench.K,
+                            execution=execution)
     print(f"upload+warm {time.perf_counter()-t0:.0f}s", flush=True)
-    t0 = time.perf_counter()
-    n = 0
-    for _rep in range(3):
-        for batch in batches[1:]:
-            reader.search_batch(batch, limit=bench.K)
-            n += len(batch)
-    dt = time.perf_counter() - t0
-    print(f"1M-doc batched QPS: {n/dt:.0f}", flush=True)
+
+    for execution in ("bm25", "wand"):
+        outputs = ("pairs", "arrays") if execution == "bm25" \
+            else ("pairs",)  # pruned paths return pairs only
+        for output in outputs:
+            t0 = time.perf_counter()
+            n = 0
+            for _rep in range(3):
+                for batch in batches[1:]:
+                    reader.search_batch_many(
+                        [batch], limit=bench.K, execution=execution,
+                        output=output)
+                    n += len(batch)
+            dt = time.perf_counter() - t0
+            print(f"1M-doc batched QPS [{execution}/{output}]: "
+                  f"{n/dt:.0f}", flush=True)
+
+    best = bench.cpp_engine_qps(reader, batches[1])
+    if best is not None:
+        print(f"1M-doc C++ engine (1 core, same workload): "
+              f"{best[1]:.0f} qps [{best[0]}]", flush=True)
+
+    singles = batches[1][:30]
+    for q in singles[:5]:
+        reader.search({"query": q, "limit": bench.K})  # warm buckets
+    lat = []
+    for q in singles:
+        t0 = time.perf_counter()
+        reader.search({"query": q, "limit": bench.K})
+        lat.append((time.perf_counter() - t0) * 1e3)
+    lat.sort()
+    print(f"1M-doc single-query p50 (default routing): "
+          f"{lat[len(lat)//2]:.1f} ms", flush=True)
 
 
 if __name__ == "__main__":
