@@ -49,8 +49,14 @@ class IndexWriter:
         self._ops.append(("add", doc))
 
     def add_documents(self, docs: list[dict]) -> None:
+        """Bulk add: validates EVERY document before any WAL append
+        (all-or-nothing on validation errors; the per-doc form appends
+        each doc as it validates), then writes the WAL entries in one
+        storage append."""
         for doc in docs:
-            self.add_document(doc)
+            self.index.schema.validate_document(doc)
+        self.wal.append_add_docs(docs)
+        self._ops.extend(("add", doc) for doc in docs)
 
     def delete_document(self, doc_id: str) -> None:
         self.wal.append_delete_doc_id(doc_id)

@@ -71,11 +71,14 @@ def _decompress(codec: Optional[str], data: bytes) -> bytes:
 
 
 class DocStoreWriter:
+    _BUF_FLUSH = 1 << 20
+
     def __init__(self, fileobj: BinaryIO, compress=False):
         self._file = fileobj
         self.codec = resolve_codec(compress)
         self._offsets: list[int] = []
         self._pos = 0
+        self._buf = bytearray()  # records buffered per ~1 MiB write
 
     _EMPTY = b"{}"
 
@@ -92,9 +95,19 @@ class DocStoreWriter:
             raise StorageError(
                 f"document of {len(data)} bytes exceeds docstore cap")
         self._offsets.append(self._pos)
-        self._file.write(len(data).to_bytes(4, "little"))
-        self._file.write(data)
+        buf = self._buf
+        buf += len(data).to_bytes(4, "little")
+        buf += data
         self._pos += 4 + len(data)
+        if len(buf) >= self._BUF_FLUSH:
+            self.flush()
+
+    def flush(self) -> None:
+        """Write buffered records; MUST be called before the backing
+        file is closed."""
+        if self._buf:
+            self._file.write(bytes(self._buf))
+            self._buf.clear()
 
     def _empty_record(self) -> bytes:
         cached = getattr(self, "_empty_cache", None)

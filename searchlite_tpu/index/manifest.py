@@ -420,6 +420,22 @@ class Schema:
         self.resolved_fields()
         return self.__dict__["_resolved_map"].get(field)
 
+    def nested_map(self) -> dict:
+        """name -> NestedField, cached (hot on ingest validation)."""
+        cached = self.__dict__.get("_nested_map")
+        if cached is None:
+            cached = {n.name: n for n in self.nested_fields}
+            self.__dict__["_nested_map"] = cached
+        return cached
+
+    def vector_names(self) -> frozenset:
+        """Vector field names, cached (hot on ingest collection)."""
+        cached = self.__dict__.get("_vector_names")
+        if cached is None:
+            cached = frozenset(vf.name for vf in self.vector_fields)
+            self.__dict__["_vector_names"] = cached
+        return cached
+
     def field_kind(self, field: str) -> str:
         meta = self.field_meta(field)
         return meta.kind if meta else "unknown"
@@ -537,8 +553,7 @@ class Schema:
                 f"missing or empty required document id field "
                 f"`{self.doc_id_field}`")
         for name, value in doc.items():
-            nested = next(
-                (n for n in self.nested_fields if n.name == name), None)
+            nested = self.nested_map().get(name)
             if nested is not None:
                 nested.validate(value)
                 continue

@@ -264,10 +264,12 @@ def collect_document(schema: Schema, doc: dict,
     doc_id = doc.get(schema.doc_id_field)
     collected.doc_id = doc_id
     collected.push_stored(schema.doc_id_field, [doc_id])
+    vector_names = schema.vector_names()
+    nested_map = schema.nested_map()
     for field, value in doc.items():
         if field == schema.doc_id_field:
             continue
-        if any(vf.name == field for vf in schema.vector_fields):
+        if field in vector_names:
             collected.vectors[field] = _collect_vector_value(
                 schema, field, value)
             continue
@@ -275,8 +277,7 @@ def collect_document(schema: Schema, doc: dict,
         if meta is not None:
             _handle_field(meta, value, collected, True)
             continue
-        nested = next(
-            (n for n in schema.nested_fields if n.name == field), None)
+        nested = nested_map.get(field)
         if nested is not None:
             if value is None:
                 if nested.nullable:
@@ -594,6 +595,7 @@ class SegmentWriter:
 
                 doc_writer.add_document(collected.finalize_stored())
         finally:
+            doc_writer.flush()
             doc_file.close()
 
         total_docs = len(doc_ids)

@@ -45,6 +45,21 @@ class Wal:
             ADD_DOC,
             json.dumps({"fields": doc}, sort_keys=True).encode())
 
+    def append_add_docs(self, docs: list[dict]) -> None:
+        """Bulk form of :meth:`append_add_doc`: one storage append for
+        the whole batch, byte-identical entries (hot at ingest — on FS
+        storage a per-doc append costs an open+close each)."""
+        buf = bytearray()
+        for doc in docs:
+            payload = json.dumps({"fields": doc}, sort_keys=True).encode()
+            buf += varint.encode_u64(len(payload))
+            buf.append(ADD_DOC)
+            buf += payload
+            checksum = crc32(bytes([ADD_DOC]) + payload)
+            buf += checksum.to_bytes(4, "little")
+        if buf:
+            self._storage.append_all(self._path, bytes(buf))
+
     def append_commit(self) -> None:
         self._append_entry(COMMIT, b"")
 
