@@ -77,20 +77,58 @@ inline uint64_t fnv1a(const char* p, size_t n) {
 }
 
 struct Shard {
-  std::unordered_map<std::string, uint32_t> term_ids;
+  // Open-addressing term table keyed by the fnv1a hash the caller
+  // already computed for shard routing (libstdc++ unordered_map would
+  // hash the full key a second time and chase bucket nodes — measured
+  // ~2x slower on the ingest hot loop). Linear probing, 0 = empty,
+  // load factor <= 0.7.
+  std::vector<uint64_t> slot_hash;
+  std::vector<uint32_t> slot_id1;  // term id + 1; 0 = empty slot
+  size_t n_used = 0;
   std::vector<TermPostings> terms;
   std::vector<std::string> term_keys;
 
-  TermPostings& term(const std::string& key) {
-    auto it = term_ids.find(key);
-    if (it == term_ids.end()) {
-      uint32_t id = static_cast<uint32_t>(terms.size());
-      term_ids.emplace(key, id);
-      terms.emplace_back();
-      term_keys.push_back(key);
-      return terms.back();
+  void rehash(size_t cap) {
+    std::vector<uint64_t> nh(cap, 0);
+    std::vector<uint32_t> ni(cap, 0);
+    const size_t mask = cap - 1;
+    for (size_t j = 0; j < slot_id1.size(); ++j) {
+      if (!slot_id1[j]) continue;
+      size_t i = static_cast<size_t>(slot_hash[j]) & mask;
+      while (ni[i]) i = (i + 1) & mask;
+      nh[i] = slot_hash[j];
+      ni[i] = slot_id1[j];
     }
-    return terms[it->second];
+    slot_hash.swap(nh);
+    slot_id1.swap(ni);
+  }
+
+  TermPostings& term_h(uint64_t h, const char* key, size_t klen) {
+    if (slot_hash.empty()) rehash(4096);
+    const size_t mask = slot_hash.size() - 1;
+    size_t i = static_cast<size_t>(h) & mask;
+    while (true) {
+      const uint32_t id1 = slot_id1[i];
+      if (id1 == 0) break;
+      if (slot_hash[i] == h) {
+        const std::string& k = term_keys[id1 - 1];
+        if (k.size() == klen && std::memcmp(k.data(), key, klen) == 0)
+          return terms[id1 - 1];
+      }
+      i = (i + 1) & mask;
+    }
+    const uint32_t id = static_cast<uint32_t>(terms.size());
+    terms.emplace_back();
+    term_keys.emplace_back(key, klen);
+    slot_hash[i] = h;
+    slot_id1[i] = id + 1;
+    if (++n_used * 10 >= slot_hash.size() * 7)
+      rehash(slot_hash.size() * 2);
+    return terms.back();
+  }
+
+  TermPostings& term(const std::string& key) {
+    return term_h(fnv1a(key.data(), key.size()), key.data(), key.size());
   }
 };
 
@@ -113,9 +151,9 @@ struct Builder {
   uint64_t terms_bytes = 0;
 
   TermPostings& term(const std::string& key) {
-    return shards[fnv1a(key.data(), key.size()) %
-                  static_cast<uint64_t>(n_shards)]
-        .term(key);
+    const uint64_t h = fnv1a(key.data(), key.size());
+    return shards[h % static_cast<uint64_t>(n_shards)].term_h(
+        h, key.data(), key.size());
   }
 };
 
@@ -382,12 +420,11 @@ void slt_add_texts(void* handle, const char* texts, const int64_t* text_off,
   auto phase_b = [&](uint32_t shard_id) {
     Shard& s = b->shards[shard_id];
     const uint64_t mod = static_cast<uint64_t>(T);
-    std::string key;
     for (const auto& st : streams) {
       for (const auto& tk : st.toks) {
         if (tk.hash % mod != shard_id) continue;
-        key.assign(st.arena.data() + tk.key_off, tk.key_len);
-        s.term(key).add(tk.doc, tk.pos, b->enable_positions);
+        s.term_h(tk.hash, st.arena.data() + tk.key_off, tk.key_len)
+            .add(tk.doc, tk.pos, b->enable_positions);
       }
     }
   };

@@ -113,13 +113,16 @@ class Column:
 
 class FastFieldsWriter:
     def __init__(self):
-        # name -> {"kind", "nested", "rows": {doc: [(object_idx, value)]}}
+        # name -> {"kind", "nested", "docs": [], "objs": [], "vals": []}
+        # — flat append-order arrays (calls arrive doc-ascending from
+        # the segment writer; build() stable-sorts if they don't)
         self._cols: dict[str, dict] = {}
 
     def _col(self, name: str, kind: str, nested: bool) -> dict:
         col = self._cols.get(name)
         if col is None:
-            col = {"kind": kind, "nested": nested, "rows": {}}
+            col = {"kind": kind, "nested": nested,
+                   "docs": [], "objs": [], "vals": []}
             self._cols[name] = col
         else:
             if col["kind"] != kind:
@@ -131,61 +134,62 @@ class FastFieldsWriter:
             col["nested"] = col["nested"] or nested
         return col
 
-    def set_i64(self, name: str, doc: int, values, object_idx: int | None = None):
-        col = self._col(name, "i64", object_idx is not None)
-        rows = col["rows"].setdefault(doc, [])
+    @staticmethod
+    def _push(col: dict, doc: int, values, object_idx, coerce):
+        oi = object_idx or 0
+        docs, objs, vals = col["docs"], col["objs"], col["vals"]
         for v in (values if isinstance(values, list) else [values]):
-            rows.append((object_idx or 0, int(v)))
+            docs.append(doc)
+            objs.append(oi)
+            vals.append(coerce(v))
+
+    def set_i64(self, name: str, doc: int, values, object_idx: int | None = None):
+        self._push(self._col(name, "i64", object_idx is not None),
+                   doc, values, object_idx, int)
 
     def set_f64(self, name: str, doc: int, values, object_idx: int | None = None):
-        col = self._col(name, "f64", object_idx is not None)
-        rows = col["rows"].setdefault(doc, [])
-        for v in (values if isinstance(values, list) else [values]):
-            rows.append((object_idx or 0, float(v)))
+        self._push(self._col(name, "f64", object_idx is not None),
+                   doc, values, object_idx, float)
 
     def set_str(self, name: str, doc: int, values, object_idx: int | None = None):
-        col = self._col(name, "str", object_idx is not None)
-        rows = col["rows"].setdefault(doc, [])
-        for v in (values if isinstance(values, list) else [values]):
-            rows.append((object_idx or 0, str(v)))
+        self._push(self._col(name, "str", object_idx is not None),
+                   doc, values, object_idx, str)
 
     def set_nested_count(self, path: str, doc: int, count: int):
         self.set_i64(nested_count_key(path), doc, count)
 
     def set_nested_parent(self, path: str, doc: int, object_idx: int, parent: int):
         col = self._col(nested_parent_key(path), "i64", True)
-        col["rows"].setdefault(doc, []).append((object_idx, int(parent)))
+        col["docs"].append(doc)
+        col["objs"].append(object_idx)
+        col["vals"].append(int(parent))
 
     def build(self, n_docs: int) -> "FastFields":
         columns: dict[str, Column] = {}
         for name, col in self._cols.items():
-            rows = col["rows"]
             kind = col["kind"]
+            docs = np.asarray(col["docs"], dtype=np.int64)
+            flat_vals = col["vals"]
+            flat_objs = np.asarray(col["objs"], dtype=np.int32)
+            if len(docs) and np.any(np.diff(docs) < 0):
+                order = np.argsort(docs, kind="stable")
+                docs = docs[order]
+                flat_objs = flat_objs[order]
+                flat_vals = [flat_vals[i] for i in order]
+            counts = (np.bincount(docs, minlength=n_docs)
+                      if len(docs) else
+                      np.zeros(n_docs, dtype=np.int64))
             offsets = np.zeros(n_docs + 1, dtype=np.int64)
-            flat_vals: list = []
-            flat_objs: list[int] = []
-            row_ids: list[int] = []
-            is_list = False
-            for doc in range(n_docs):
-                entries = rows.get(doc, ())
-                offsets[doc + 1] = offsets[doc] + len(entries)
-                if len(entries) > 1:
-                    is_list = True
-                for obj_idx, v in entries:
-                    flat_vals.append(v)
-                    flat_objs.append(obj_idx)
-                    row_ids.append(doc)
+            np.cumsum(counts, out=offsets[1:])
+            is_list = bool(counts.max(initial=0) > 1)
             dictionary: list[str] = []
             if kind == "str":
+                # first-occurrence dictionary encode, one C-speed pass
+                # (setdefault evaluates len(uniq) before inserting)
                 uniq: dict[str, int] = {}
-                codes = np.zeros(len(flat_vals), dtype=np.int32)
-                for i, s in enumerate(flat_vals):
-                    code = uniq.get(s)
-                    if code is None:
-                        code = len(uniq)
-                        uniq[s] = code
-                    codes[i] = code
-                values = codes
+                values = np.fromiter(
+                    (uniq.setdefault(s, len(uniq)) for s in flat_vals),
+                    dtype=np.int32, count=len(flat_vals))
                 dictionary = list(uniq)
             elif kind == "i64":
                 values = np.asarray(flat_vals, dtype=np.int64)
@@ -196,9 +200,8 @@ class FastFieldsWriter:
                 nested=col["nested"],
                 offsets=offsets,
                 values=values,
-                row_ids=np.asarray(row_ids, dtype=np.int32),
-                objects=np.asarray(flat_objs, dtype=np.int32)
-                if col["nested"] else None,
+                row_ids=docs.astype(np.int32),
+                objects=flat_objs if col["nested"] else None,
                 dictionary=dictionary,
                 is_list=is_list,
             )
