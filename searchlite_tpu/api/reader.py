@@ -2169,6 +2169,18 @@ class IndexReader:
         # Python analyze + build path, computed lazily on first need.
         from searchlite_tpu.ops.impact import build_impact_batch_native
 
+        # opt-in host-phase accounting (SEARCHLITE_HOST_PROFILE=1):
+        # wall time per phase accumulated on the reader — the device
+        # overlaps all of it, so these bound the pipelined throughput
+        prof = None
+        if os.environ.get("SEARCHLITE_HOST_PROFILE"):
+            prof = getattr(self, "_host_profile", None)
+            if prof is None:
+                prof = self._host_profile = {
+                    "prep": 0.0, "dispatch": 0.0, "fetch": 0.0,
+                    "fallback": 0.0, "merge": 0.0, "batches": 0}
+            prof["batches"] += len(batches)
+
         analyzed_all = None
         launches = []  # per batch: list of (seg_ord, scores, ids)
         pending_recs = []  # term-split soundness checks (+ bi/li)
@@ -2180,6 +2192,8 @@ class IndexReader:
                 seg = dseg.reader
                 if seg.doc_count == 0:
                     continue
+                if prof is not None:
+                    t_prep = time.perf_counter()
                 qb = build_impact_batch_native(
                     seg, dseg, queries, fields, self.analysis,
                     self.schema, lazy_tables=True)
@@ -2189,6 +2203,9 @@ class IndexReader:
                             batches, fields)
                     qb = build_impact_batch(seg, dseg, analyzed_all[bi],
                                             lazy_tables=True)
+                if prof is not None:
+                    t_disp = time.perf_counter()
+                    prof["prep"] += t_disp - t_prep
                 s_pad = qb["s_pad"]
                 est_bytes = (s_pad + len(queries)) * dseg.n1 * 4
                 pend: list = []
@@ -2220,20 +2237,30 @@ class IndexReader:
                     rec["li"] = len(launched)
                     pending_recs.append(rec)
                 launched.append((dseg.ord, scores, ids))
+                if prof is not None:
+                    prof["dispatch"] += time.perf_counter() - t_disp
             launches.append(launched)
 
         # phase 2 — ONE bulk fetch for every batch and segment (the
         # term-split soundness flags ride the same fetch)
+        if prof is not None:
+            t_fetch = time.perf_counter()
         flat_refs = [x for launched in launches
                      for _ord, scores, ids in launched
                      for x in (scores, ids)]
         n_main = len(flat_refs)
         flat_refs += [rec["sound"] for rec in pending_recs]
         flat_vals = list(jax.device_get(tuple(flat_refs)))
+        if prof is not None:
+            t_fb = time.perf_counter()
+            prof["fetch"] += t_fb - t_fetch
         if pending_recs:
             self._apply_split_fallbacks(
                 launches, flat_vals, n_main, pending_recs)
             del flat_vals[n_main:]
+        if prof is not None:
+            t_merge = time.perf_counter()
+            prof["fallback"] += t_merge - t_fb
 
         # phase 3 — host merge per batch
         out: list = []
@@ -2251,6 +2278,8 @@ class IndexReader:
             else:
                 out.append(self._merge_batch_results(
                     queries, per_segment, blimits))
+        if prof is not None:
+            prof["merge"] += time.perf_counter() - t_merge
         return out
 
     def _merge_batch_arrays(self, per_segment, limits):

@@ -78,14 +78,26 @@ def main():
               f"drain(all) {tf * 1000:6.1f} ms "
               f"({tf / n * 1000:.1f}/batch)")
 
-    # end-to-end pipelined stream, same as bench.py
+    # end-to-end pipelined stream, same as bench.py — with the
+    # reader's host-phase accounting on (the REAL path: native prep,
+    # sparse tiers, term split), for both output surfaces
+    import os
+    os.environ["SEARCHLITE_HOST_PROFILE"] = "1"
     stream = batches[1:] * 8
     nq = sum(len(b) for b in stream)
-    t0 = time.perf_counter()
-    reader.search_batch_many(stream, limit=10)
-    dt = time.perf_counter() - t0
-    print(f"stream: {nq / dt:8.0f} qps   "
-          f"{dt / len(stream) * 1000:.1f} ms/batch")
+    for output in ("pairs", "arrays"):
+        reader._host_profile = None
+        t0 = time.perf_counter()
+        reader.search_batch_many(stream, limit=10, output=output)
+        dt = time.perf_counter() - t0
+        prof = reader._host_profile
+        nb = max(prof["batches"], 1)
+        stages = "  ".join(
+            f"{k} {prof[k] / nb * 1000:5.1f}"
+            for k in ("prep", "dispatch", "fetch", "fallback", "merge"))
+        print(f"stream[{output}]: {nq / dt:8.0f} qps   "
+              f"{dt / len(stream) * 1000:.1f} ms/batch   "
+              f"host ms/batch: {stages}")
 
 
 if __name__ == "__main__":
