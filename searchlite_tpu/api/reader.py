@@ -2136,8 +2136,6 @@ class IndexReader:
             raise QueryError(f"unknown execution strategy `{execution}`")
         if output not in ("pairs", "arrays"):
             raise QueryError(f"unknown output form `{output}`")
-        if output == "arrays" and execution != "bm25":
-            raise QueryError("output='arrays' requires execution=bm25")
         if fields is None:
             fields = [f.name for f in self.schema.text_fields]
         limits = self._check_batch_limits(batches, limit, limits)
@@ -2152,10 +2150,11 @@ class IndexReader:
             if mode != "union" and not has_filters:
                 return self._retry_oom(
                     lambda: self._search_batch_pruned_pq(
-                        batches, limit, fields, limits))
+                        batches, limit, fields, limits, output=output))
             return self._retry_oom(
                 lambda: self._search_batch_pruned_many(
-                    batches, limit, fields, filter_tables, limits))
+                    batches, limit, fields, filter_tables, limits,
+                    output=output))
 
         # memory budget for the dense M + score matrices on one chip;
         # past it, loop host-defined doc shards
@@ -2272,15 +2271,28 @@ class IndexReader:
                                     np.asarray(flat_vals[cursor]),
                                     np.asarray(flat_vals[cursor + 1])))
                 cursor += 2
-            if output == "arrays":
-                out.append(self._merge_batch_arrays(
-                    per_segment, blimits))
-            else:
-                out.append(self._merge_batch_results(
-                    queries, per_segment, blimits))
+            out.append(self._merge_batch_output(
+                queries, per_segment, blimits, output, limit))
         if prof is not None:
             prof["merge"] += time.perf_counter() - t_merge
         return out
+
+    def _merge_batch_output(self, queries, per_segment, blimits,
+                            output: str, limit: int):
+        """One batch's per-segment (seg_ord, scores, ids) -> the
+        requested result surface; handles the no-live-segments case
+        (empty index) for both forms."""
+        if output == "arrays":
+            if not per_segment:
+                k = int(blimits.max()) if len(blimits) else limit
+                q = len(queries)
+                return (np.full((q, k), -np.inf, dtype=np.float32),
+                        np.zeros((q, k), dtype=np.int32),
+                        np.zeros((q, k), dtype=np.int32))
+            return self._merge_batch_arrays(per_segment, blimits)
+        if not per_segment:
+            return [[] for _ in queries]
+        return self._merge_batch_results(queries, per_segment, blimits)
 
     def _merge_batch_arrays(self, per_segment, limits):
         """Merge per-segment top-k (scores, ids) into batch-order
@@ -2403,7 +2415,7 @@ class IndexReader:
     # -- doc-tile pruned batch execution (real WAND/BMW) ------------------
 
     def _search_batch_pruned_pq(self, batches, limit: int, fields,
-                                limits=None):
+                                limits=None, output: str = "pairs"):
         """PER-QUERY doc-tile pruned batch execution. The union-wave
         path below scores the union of all queries' candidate tiles —
         on Zipf batches that union covers the corpus and pruning
@@ -2659,15 +2671,13 @@ class IndexReader:
         out = []
         for bi, (queries, per_segment) in enumerate(
                 zip(batches, per_batch_segments)):
-            if not per_segment:
-                out.append([[] for _ in queries])
-                continue
-            out.append(self._merge_batch_results(
-                queries, per_segment, limits[bi]))
+            out.append(self._merge_batch_output(
+                queries, per_segment, limits[bi], output, limit))
         return out
 
     def _search_batch_pruned_many(self, batches, limit: int, fields,
-                                  filter_tables=None, limits=None):
+                                  filter_tables=None, limits=None,
+                                  output: str = "pairs"):
         """Three-wave doc-tile pruned execution (ops/tiles.py): wave 1
         computes per-tile score upper bounds (one small MXU matmul),
         wave 2 exactly scores each query's top tiles by bound, wave 3
@@ -2831,11 +2841,8 @@ class IndexReader:
         out = []
         for bi, (queries, per_segment) in enumerate(
                 zip(batches, per_batch_segments)):
-            if not per_segment:
-                out.append([[] for _ in queries])
-                continue
-            out.append(self._merge_batch_results(
-                queries, per_segment, limits[bi]))
+            out.append(self._merge_batch_output(
+                queries, per_segment, limits[bi], output, limit))
         return out
 
     @staticmethod

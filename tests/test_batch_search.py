@@ -358,6 +358,69 @@ def test_output_arrays_rejections(index):
     reader = index.reader()
     with pytest.raises(QueryError):
         reader.search_batch_many([["w1"]], output="bogus")
-    with pytest.raises(QueryError):
-        reader.search_batch_many([["w1"]], execution="wand",
-                                 output="arrays")
+
+
+def test_output_arrays_pruned_matches_dense(index):
+    """The pruned batched executions return the arrays surface too,
+    identical to the dense path's (both per-query pruning and — via
+    SEARCHLITE_BATCH_PRUNE=union — the union-wave path)."""
+    import numpy as np
+
+    rng = random.Random(33)
+    reader = index.reader()
+    queries = [" ".join(rng.sample([f"w{i}" for i in range(60)],
+                                   k=rng.randint(1, 4)))
+               for _ in range(24)]
+    want = reader.search_batch_many([queries], limit=10,
+                                    output="arrays")[0]
+    for execution in ("wand", "bmw"):
+        got = reader.search_batch_many([queries], limit=10,
+                                       execution=execution,
+                                       output="arrays")[0]
+        for w, g, name in zip(want, got, ("scores", "ids", "segs")):
+            np.testing.assert_allclose(
+                np.asarray(w, dtype=np.float64),
+                np.asarray(g, dtype=np.float64),
+                rtol=1e-5, atol=1e-5,
+                err_msg=f"{execution}/{name}")
+
+
+def test_output_arrays_union_pruned_matches_dense(index, monkeypatch):
+    import numpy as np
+
+    monkeypatch.setenv("SEARCHLITE_BATCH_PRUNE", "union")
+    rng = random.Random(34)
+    reader = index.reader()
+    queries = [" ".join(rng.sample([f"w{i}" for i in range(60)],
+                                   k=rng.randint(1, 3)))
+               for _ in range(12)]
+    want = reader.search_batch_many([queries], limit=5,
+                                    output="arrays")[0]
+    got = reader.search_batch_many([queries], limit=5,
+                                   execution="bmw",
+                                   output="arrays")[0]
+    for w, g in zip(want, got):
+        np.testing.assert_allclose(np.asarray(w, dtype=np.float64),
+                                   np.asarray(g, dtype=np.float64),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_output_arrays_empty_index():
+    import numpy as np
+
+    idx = Index.create(
+        IndexOptions(path="", create_if_missing=True,
+                     storage=StorageType.IN_MEMORY),
+        Schema.from_json({
+            "text_fields": [{"name": "body", "analyzer": "default",
+                             "stored": True, "indexed": True}]}))
+    reader = idx.reader()
+    for execution in ("bm25", "wand"):
+        scores, ids, segs = reader.search_batch_many(
+            [["w1 w2", "w3"]], limit=4, execution=execution,
+            output="arrays")[0]
+        assert scores.shape == (2, 4)
+        assert np.all(scores == -np.inf)
+        pairs = reader.search_batch_many(
+            [["w1 w2", "w3"]], limit=4, execution=execution)[0]
+        assert pairs == [[], []]

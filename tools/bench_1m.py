@@ -43,8 +43,7 @@ def main():
     print(f"upload+warm {time.perf_counter()-t0:.0f}s", flush=True)
 
     for execution in ("bm25", "wand"):
-        outputs = ("pairs", "arrays") if execution == "bm25" \
-            else ("pairs",)  # pruned paths return pairs only
+        outputs = ("pairs", "arrays")
         for output in outputs:
             t0 = time.perf_counter()
             n = 0
