@@ -2437,20 +2437,15 @@ class IndexReader:
         import jax
         import jax.numpy as jnp
 
-        from searchlite_tpu.ops.tiles import (
-            get_tile_index,
-            make_pq_run_scorer,
-            make_seed_selector,
-            make_topk_merge,
-        )
+        from searchlite_tpu.ops.tiles import get_tile_index
 
         if limits is None:
             limits = [np.full(len(qs), limit, dtype=np.int64)
                       for qs in batches]
         ub_scorer = self._ub_scorer()
-        selector = make_seed_selector()
-        scorer = make_pq_run_scorer()
-        merger = make_topk_merge()
+        selector = self._pq_seed_selector()
+        scorer = self._pq_run_scorer()
+        merger = self._pq_topk_merge()
         analyzed_box = [None]  # Python analysis only if native rejects
 
         class _Item:
@@ -3003,6 +2998,43 @@ class IndexReader:
                 scorer = make_run_batch_scorer()
                 _GLOBAL_SCORERS[("tile_runs",)] = scorer
             return scorer
+
+    # The pq-path jit wrappers MUST be process-cached: a fresh
+    # jax.jit wrapper per search call would recompile every wave
+    # shape bucket on every call (10-300s each over the tunnel).
+
+    def _pq_seed_selector(self):
+        from searchlite_tpu.ops.tiles import make_seed_selector
+
+        with _GLOBAL_LOCK:
+            fn = _GLOBAL_SCORERS.get(("pq_seed",))
+            if fn is None:
+                fn = make_seed_selector()
+                _GLOBAL_SCORERS[("pq_seed",)] = fn
+            return fn
+
+    def _pq_run_scorer(self):
+        from searchlite_tpu.ops.tiles import make_pq_run_scorer
+
+        # the M storage dtype is baked in at trace time from the
+        # precision mode — key the cache on it
+        precision = os.environ.get("SEARCHLITE_PRECISION", "f32")
+        with _GLOBAL_LOCK:
+            fn = _GLOBAL_SCORERS.get(("pq_runs", precision))
+            if fn is None:
+                fn = make_pq_run_scorer()
+                _GLOBAL_SCORERS[("pq_runs", precision)] = fn
+            return fn
+
+    def _pq_topk_merge(self):
+        from searchlite_tpu.ops.tiles import make_topk_merge
+
+        with _GLOBAL_LOCK:
+            fn = _GLOBAL_SCORERS.get(("pq_merge",))
+            if fn is None:
+                fn = make_topk_merge()
+                _GLOBAL_SCORERS[("pq_merge",)] = fn
+            return fn
 
     def _pruned_postings(self, dseg, qargs, top_scores_np,
                          limit: int, strategy: str) -> int:
