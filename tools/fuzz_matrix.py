@@ -1,0 +1,240 @@
+"""Randomized knob-matrix differential fuzz of the batched engine.
+
+Every iteration builds a random corpus (size, vocabulary shape,
+segments, deletes, positions), picks a random combination of the
+engine's routing knobs (packed sparse uploads, term split, batch prune
+mode, dense split budget, precision, memory budget, single-sparse
+gate), and checks that EVERY execution strategy and output surface of
+``search_batch_many`` agrees with the per-query ``search()`` path and
+with an exact numpy BM25 oracle.
+
+The per-path equivalence tests (tests/test_*.py) cover each knob in
+isolation; this campaign hunts interactions between them. Run:
+
+    python tools/fuzz_matrix.py [n_iters] [seed]
+
+Prints one line per iteration; exits non-zero on the first mismatch
+with a repro header (iteration seed + knob dict).
+"""
+
+from __future__ import annotations
+
+import os
+import random
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+
+import numpy as np  # noqa: E402
+
+
+def build_corpus(rng: random.Random, n_docs: int, vocab: int,
+                 positions: bool, n_segments: int, delete_frac: float):
+    from searchlite_tpu.api.types import IndexOptions, StorageType
+    from searchlite_tpu.index import Index
+    from searchlite_tpu.index.manifest import Schema
+
+    index = Index.create(
+        IndexOptions(path="", create_if_missing=True,
+                     storage=StorageType.IN_MEMORY,
+                     enable_positions=positions),
+        Schema.from_json({
+            "text_fields": [{"name": "body", "analyzer": "default",
+                             "stored": False, "indexed": True}]}))
+    writer = index.writer()
+    alpha = rng.uniform(0.8, 1.6)
+    ranks = np.arange(1, vocab + 1, dtype=np.float64)
+    probs = (1.0 / ranks ** alpha)
+    probs /= probs.sum()
+    nrng = np.random.default_rng(rng.randrange(2**31))
+    per_seg = max(1, n_docs // n_segments)
+    docs_written = 0
+    for _s in range(n_segments):
+        batch = []
+        for _ in range(per_seg):
+            n = nrng.integers(3, 80)
+            toks = nrng.choice(vocab, size=n, p=probs)
+            batch.append({"_id": str(docs_written),
+                          "body": " ".join(f"t{t}" for t in toks)})
+            docs_written += 1
+        writer.add_documents(batch)
+        writer.commit()
+    if delete_frac > 0:
+        dels = [str(i) for i in range(docs_written)
+                if rng.random() < delete_frac]
+        if dels:
+            writer.delete_documents(dels)
+            writer.commit()
+    return index
+
+
+def oracle_scores(reader, raw_query: str) -> dict[str, float]:
+    """Exact f64-accumulated BM25 per doc_id across all segments."""
+    out: dict[str, float] = {}
+    k1, b = 0.9, 0.4
+    for seg, dseg in zip(reader.segments, reader.device_segments):
+        postings = seg.postings
+        n_docs = seg.doc_count
+        col = seg.fast.column("_len:body")
+        doc_len = np.zeros(n_docs, dtype=np.float64)
+        doc_len[col.row_ids] = col.values.astype(np.float64)
+        avg = seg.avg_field_length("body")
+        live = float(dseg.live_docs)
+        scores = np.zeros(n_docs, dtype=np.float64)
+        touched = np.zeros(n_docs, dtype=bool)
+        for token in raw_query.split():
+            tid = seg.terms.get(f"body:{token}")
+            if tid is None:
+                continue
+            df = float(postings.term_df[tid])
+            # mirror device/index.py::idf_table — the ratio is clamped
+            # before the log so df > live (tombstones) stays finite
+            ratio = max((live - df + 0.5) / (df + 0.5), 1e-300)
+            idf = max(np.log(ratio), 0.0) + 1.0
+            docs, tfs = postings.term_postings(tid)
+            tfs = tfs.astype(np.float64)
+            norm = doc_len[docs] / avg
+            denom = np.maximum(tfs + k1 * (1 - b + b * norm), 1e-6)
+            # weight = count x idf per engine convention: a repeated
+            # query term multiplies the idf; oracle handles repeats by
+            # just accumulating again, same total
+            scores[docs] += idf * tfs * (k1 + 1) / denom
+            touched[docs] = True
+        deleted = np.asarray(dseg.deleted_np[:n_docs])
+        for d in np.flatnonzero(touched & ~deleted):
+            out[seg.doc_id(int(d))] = out.get(
+                seg.doc_id(int(d)), 0.0) + float(scores[d])
+    return out
+
+
+def check_topk(queries, got_rows, oracles, strict: bool, tag: str,
+               limit: int):
+    rtol = 1e-5 if strict else 6e-3
+    atol = 1e-4 if strict else 1e-3
+    for q, row, oracle in zip(queries, got_rows, oracles):
+        want_n = min(limit, len(oracle))
+        if len(row) != want_n:
+            return f"{tag}: {q!r} returned {len(row)} hits, want {want_n}"
+        floor = None
+        for doc_id, score in row:
+            ref = oracle.get(doc_id)
+            if ref is None:
+                return f"{tag}: {q!r} returned non-matching doc {doc_id}"
+            tol = atol + rtol * abs(ref)
+            if abs(score - ref) > tol:
+                return (f"{tag}: {q!r} doc {doc_id} score {score} "
+                        f"!= oracle {ref}")
+            floor = ref if floor is None else min(floor, ref)
+        if row:
+            others = [s for d, s in oracle.items()
+                      if d not in {d2 for d2, _ in row}]
+            if others:
+                best_out = max(others)
+                if best_out > floor + atol + rtol * abs(best_out):
+                    return (f"{tag}: {q!r} missed doc scoring "
+                            f"{best_out} > floor {floor}")
+    return None
+
+
+KNOB_SPACE = {
+    "SEARCHLITE_SPARSE_PACKED": ("0", "1"),
+    "SEARCHLITE_TERM_SPLIT": ("0", "1"),
+    "SEARCHLITE_BATCH_PRUNE": ("auto", "union"),
+    "SEARCHLITE_DENSE_M_BYTES": ("0", str(256 << 20)),
+    "SEARCHLITE_PRECISION": ("", "f32_strict", "bf16"),
+    "SEARCHLITE_M_BUDGET_BYTES": ("", "200000"),
+    "SEARCHLITE_SINGLE_SPARSE_MIN_DOCS": ("", "1000"),
+    "SEARCHLITE_WAND_SPARSE_BLOCKS": ("", "8"),
+    "SEARCHLITE_HEAVY_TERM_BLOCKS": ("", "4"),
+}
+
+
+def run_iteration(it: int, seed: int) -> str | None:
+    rng = random.Random(seed)
+    knobs = {}
+    for key, choices in KNOB_SPACE.items():
+        val = rng.choice(choices)
+        if val == "":
+            os.environ.pop(key, None)
+        else:
+            os.environ[key] = val
+            knobs[key] = val
+    n_docs = rng.choice((500, 3000, 20000))
+    vocab = rng.choice((50, 400, 3000))
+    n_segments = rng.choice((1, 1, 2, 3))
+    positions = rng.random() < 0.5
+    delete_frac = rng.choice((0.0, 0.0, 0.05))
+    limit = rng.choice((1, 3, 10))
+    strict = os.environ.get("SEARCHLITE_PRECISION") == "f32_strict"
+
+    index = build_corpus(rng, n_docs, vocab, positions, n_segments,
+                         delete_frac)
+    reader = index.reader()
+    nq = rng.choice((7, 32, 128))
+    queries = []
+    for _ in range(nq):
+        terms = [f"t{rng.randrange(vocab)}"
+                 for _ in range(rng.randint(1, 5))]
+        if rng.random() < 0.15 and terms:
+            terms.append(terms[0])  # repeated term: count x idf weight
+        queries.append(" ".join(terms))
+    oracles = [oracle_scores(reader, q) for q in queries]
+
+    header = (f"iter {it} seed {seed} docs={n_docs} vocab={vocab} "
+              f"segs={n_segments} dels={delete_frac} nq={nq} "
+              f"limit={limit} knobs={knobs}")
+    for execution in ("bm25", "wand", "bmw"):
+        rows = reader.search_batch_many([queries], limit=limit,
+                                        execution=execution)[0]
+        err = check_topk(queries, rows, oracles, strict,
+                         f"batch/{execution}", limit)
+        if err:
+            return f"{header}\n{err}"
+        s, i, g = reader.search_batch_many([queries], limit=limit,
+                                           execution=execution,
+                                           output="arrays")[0]
+        arr_rows = []
+        for qi in range(len(queries)):
+            n = int((s[qi] != -np.inf).sum())
+            arr_rows.append([
+                (reader.segments[int(g[qi, j])].doc_id(int(i[qi, j])),
+                 float(s[qi, j])) for j in range(n)])
+        err = check_topk(queries, arr_rows, oracles, strict,
+                         f"arrays/{execution}", limit)
+        if err:
+            return f"{header}\n{err}"
+    # per-query path on a subsample
+    for q, oracle in list(zip(queries, oracles))[:8]:
+        res = reader.search({"query": q, "limit": limit})
+        row = [(h.doc_id, h.score) for h in res.hits]
+        err = check_topk([q], [row], [oracle], strict, "single", limit)
+        if err:
+            return f"{header}\n{err}"
+    return None
+
+
+def main():
+    n_iters = int(sys.argv[1]) if len(sys.argv) > 1 else 50
+    base_seed = int(sys.argv[2]) if len(sys.argv) > 2 else 12345
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    t0 = time.time()
+    for it in range(n_iters):
+        seed = base_seed + it
+        t1 = time.time()
+        err = run_iteration(it, seed)
+        if err:
+            print(f"FAIL\n{err}", flush=True)
+            sys.exit(1)
+        print(f"iter {it} ok ({time.time()-t1:.1f}s, "
+              f"total {time.time()-t0:.0f}s)", flush=True)
+    print("ALL OK", flush=True)
+
+
+if __name__ == "__main__":
+    main()
