@@ -3430,9 +3430,13 @@ class IndexReader:
                     flags.append(None)
             n_light = len(part["light_idx"])
             if (len(groups) == 1
-                    and groups[0]["packed"].shape[0] == part["bl"]):
+                    and len(groups[0]["pos_in_light"]) == n_light):
                 # single occupied tier covering every light row in
-                # order — the group IS the light-order result
+                # order — the group IS the light-order result. The
+                # coverage check must count ROWS, not compare padded
+                # shapes: a group that silently dropped rows (e.g.
+                # 0-block rows outside every tier) would shift every
+                # result below the gap (found by tools/fuzz_matrix.py)
                 ts, td = outs[0]
                 if any_split:
                     part["sound"] = flags[0]

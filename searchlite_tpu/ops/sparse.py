@@ -825,7 +825,10 @@ def partition_sparse_batch_tiered(qb, max_blocks: int,
     heavy_idx = np.flatnonzero(~light)
     nblk_min = -(-k // 128)  # strips must hold at least k candidates
     groups = []
-    prev = 0
+    # first tier includes 0-block rows (every query term absent from
+    # this segment): they MUST land in a group — an ungrouped light
+    # row would shift every later row in a single-group fast path
+    prev = -1
     for bound in tier_bounds(max_blocks):
         sel = (nblk_q[light_idx] > prev) & (nblk_q[light_idx] <= bound)
         prev = bound

@@ -282,3 +282,34 @@ def test_fallback_guards():
 
     qb = dict(base, slot_tids=np.array([0], dtype=np.int64))
     assert partition_sparse_batch_packed(qb, 8, idf32) is None  # no cnt
+
+
+def test_zero_entry_rows_do_not_shift_results(index, monkeypatch):
+    """Queries whose every term is ABSENT from a segment produce
+    0-block light rows. Those rows must land in a tier (and the
+    single-tier fast path must count covered ROWS, not compare padded
+    shapes) — an ungrouped row used to shift every later row's result
+    by one (found by tools/fuzz_matrix.py, seed 20260820)."""
+    reader = index.reader()
+    # 'zz*' terms exist in no segment; mix them between real queries
+    queries = []
+    rng = random.Random(5)
+    for i in range(48):
+        if i % 5 == 2:
+            queries.append(f"zz{i} zz{i + 1}")
+        else:
+            queries.append(" ".join(
+                rng.sample(VOCAB, k=rng.randint(1, 3))))
+    explicit, packed = run_both(reader, queries, 5, monkeypatch)
+    assert_identical(explicit, packed)
+    for i in range(48):
+        if i % 5 == 2:
+            assert packed[i] == []  # absent terms match nothing
+
+
+def test_all_zero_entry_batch(index, monkeypatch):
+    """Every query absent from the index: all rows are 0-block."""
+    reader = index.reader()
+    queries = [f"zz{i}" for i in range(9)]
+    explicit, packed = run_both(reader, queries, 5, monkeypatch)
+    assert explicit == packed == [[] for _ in queries]
