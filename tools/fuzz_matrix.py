@@ -44,7 +44,11 @@ def build_corpus(rng: random.Random, n_docs: int, vocab: int,
                      enable_positions=positions),
         Schema.from_json({
             "text_fields": [{"name": "body", "analyzer": "default",
-                             "stored": False, "indexed": True}]}))
+                             "stored": False, "indexed": True}],
+            "keyword_fields": [{"name": "cat", "stored": False,
+                                "indexed": False, "fast": True}],
+            "numeric_fields": [{"name": "price", "i64": True,
+                                "stored": False, "fast": True}]}))
     writer = index.writer()
     alpha = rng.uniform(0.8, 1.6)
     ranks = np.arange(1, vocab + 1, dtype=np.float64)
@@ -59,7 +63,9 @@ def build_corpus(rng: random.Random, n_docs: int, vocab: int,
             n = nrng.integers(3, 80)
             toks = nrng.choice(vocab, size=n, p=probs)
             batch.append({"_id": str(docs_written),
-                          "body": " ".join(f"t{t}" for t in toks)})
+                          "body": " ".join(f"t{t}" for t in toks),
+                          "cat": f"c{docs_written % 5}",
+                          "price": docs_written % 97})
             docs_written += 1
         writer.add_documents(batch)
         writer.commit()
@@ -214,6 +220,45 @@ def run_iteration(it: int, seed: int) -> str | None:
         err = check_topk([q], [row], [oracle], strict, "single", limit)
         if err:
             return f"{header}\n{err}"
+
+    # per-query FILTERS through every batched execution vs the
+    # single-query path with the same filter (mask-table dedup, the
+    # union pruned path's filter rows, and the dense fallbacks)
+    def rand_filter():
+        r = rng.random()
+        if r < 0.35:
+            return {"KeywordEq": {"field": "cat",
+                                  "value": f"c{rng.randrange(6)}"}}
+        if r < 0.6:
+            lo = rng.randrange(97)
+            return {"I64Range": {"field": "price", "min": lo,
+                                 "max": lo + rng.randrange(1, 40)}}
+        if r < 0.8:
+            return {"Or": [
+                {"KeywordEq": {"field": "cat",
+                               "value": f"c{rng.randrange(5)}"}},
+                {"KeywordEq": {"field": "cat",
+                               "value": f"c{rng.randrange(5)}"}}]}
+        return None
+    sub_q = queries[: min(24, len(queries))]
+    filters = [rand_filter() for _ in sub_q]
+    for execution in ("bm25", "wand", "bmw"):
+        rows = reader.search_batch_many(
+            [sub_q], limit=limit, execution=execution,
+            filters=[filters])[0]
+        for q, f, row in zip(sub_q, filters, rows):
+            res = reader.search({"query": q, "limit": limit,
+                                 "filter": f})
+            want = [(h.doc_id, h.score) for h in res.hits]
+            got_ids = [d for d, _ in row]
+            if got_ids != [d for d, _ in want]:
+                return (f"{header}\nfiltered/{execution}: {q!r} "
+                        f"filter {f} -> {row} != single {want}")
+            for (d1, s1), (_d2, s2) in zip(row, want):
+                tol = 1e-4 + (1e-5 if strict else 6e-3) * abs(s2)
+                if abs(s1 - s2) > tol:
+                    return (f"{header}\nfiltered/{execution}: {q!r} "
+                            f"doc {d1} score {s1} != single {s2}")
     return None
 
 
