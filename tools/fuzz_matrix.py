@@ -242,23 +242,41 @@ def run_iteration(it: int, seed: int) -> str | None:
         return None
     sub_q = queries[: min(24, len(queries))]
     filters = [rand_filter() for _ in sub_q]
+    # filtered oracle: the engine's own HOST-side mask evaluation
+    # (query/filters.py, numpy — deterministic, reference-semantics
+    # tested) restricted over the f64 score oracle; the device paths
+    # under test only ever see the mask as data
+    from searchlite_tpu.api.types import Filter
+    from searchlite_tpu.query.filters import compute_filters_mask
+
+    def filtered_oracle(oracle, f):
+        if f is None:
+            return oracle
+        keep: set[str] = set()
+        for seg in reader.segments:
+            mask = compute_filters_mask(seg.fast,
+                                        [Filter.from_json(f)])
+            for d in np.flatnonzero(mask):
+                keep.add(seg.doc_id(int(d)))
+        return {d: s for d, s in oracle.items() if d in keep}
+    f_oracles = [filtered_oracle(o, f)
+                 for o, f in zip(oracles[:len(sub_q)], filters)]
     for execution in ("bm25", "wand", "bmw"):
         rows = reader.search_batch_many(
             [sub_q], limit=limit, execution=execution,
             filters=[filters])[0]
-        for q, f, row in zip(sub_q, filters, rows):
-            res = reader.search({"query": q, "limit": limit,
-                                 "filter": f})
-            want = [(h.doc_id, h.score) for h in res.hits]
-            got_ids = [d for d, _ in row]
-            if got_ids != [d for d, _ in want]:
-                return (f"{header}\nfiltered/{execution}: {q!r} "
-                        f"filter {f} -> {row} != single {want}")
-            for (d1, s1), (_d2, s2) in zip(row, want):
-                tol = 1e-4 + (1e-5 if strict else 6e-3) * abs(s2)
-                if abs(s1 - s2) > tol:
-                    return (f"{header}\nfiltered/{execution}: {q!r} "
-                            f"doc {d1} score {s1} != single {s2}")
+        err = check_topk(sub_q, rows, f_oracles, strict,
+                         f"filtered-batch/{execution}", limit)
+        if err:
+            return f"{header}\nfilters={filters}\n{err}"
+    single_rows = []
+    for q, f in zip(sub_q, filters):
+        res = reader.search({"query": q, "limit": limit, "filter": f})
+        single_rows.append([(h.doc_id, h.score) for h in res.hits])
+    err = check_topk(sub_q, single_rows, f_oracles, strict,
+                     "filtered-single", limit)
+    if err:
+        return f"{header}\nfilters={filters}\n{err}"
     return None
 
 
