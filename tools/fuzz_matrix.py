@@ -213,6 +213,22 @@ def run_iteration(it: int, seed: int) -> str | None:
                          f"arrays/{execution}", limit)
         if err:
             return f"{header}\n{err}"
+    # multi-batch stream: the same queries as 3 batches in ONE
+    # search_batch_many call — exercises the cross-batch fetch
+    # bookkeeping (flat_vals cursor, fallback patch offsets
+    # entry_off[bi] + li) that single-batch calls never touch
+    thirds = [queries[0::3], queries[1::3], queries[2::3]]
+    o_thirds = [oracles[0::3], oracles[1::3], oracles[2::3]]
+    for execution in ("bm25", "wand"):
+        outs = reader.search_batch_many(thirds, limit=limit,
+                                        execution=execution)
+        for b, (qs, rows, os_) in enumerate(zip(thirds, outs,
+                                                o_thirds)):
+            err = check_topk(qs, rows, os_, strict,
+                             f"stream{b}/{execution}", limit)
+            if err:
+                return f"{header}\n{err}"
+
     # per-query path on a subsample
     for q, oracle in list(zip(queries, oracles))[:8]:
         res = reader.search({"query": q, "limit": limit})
