@@ -147,6 +147,24 @@ class FastFieldsWriter:
         self._push(self._col(name, "i64", object_idx is not None),
                    doc, values, object_idx, int)
 
+    def extend_i64(self, name: str, docs, values):
+        """Bulk single-value appends: one entry per (doc, value) pair
+        (ingest hot path — avoids 1 Python call per doc)."""
+        from itertools import repeat
+
+        col = self._col(name, "i64", False)
+        col["docs"].extend(docs)
+        col["objs"].extend(repeat(0, len(col["docs"]) - len(col["objs"])))
+        col["vals"].extend(map(int, values))
+
+    def extend_str(self, name: str, docs, values):
+        from itertools import repeat
+
+        col = self._col(name, "str", False)
+        col["docs"].extend(docs)
+        col["objs"].extend(repeat(0, len(col["docs"]) - len(col["objs"])))
+        col["vals"].extend(map(str, values))
+
     def set_f64(self, name: str, doc: int, values, object_idx: int | None = None):
         self._push(self._col(name, "f64", object_idx is not None),
                    doc, values, object_idx, float)

@@ -263,7 +263,11 @@ def collect_document(schema: Schema, doc: dict,
     collected = CollectedDocument()
     doc_id = doc.get(schema.doc_id_field)
     collected.doc_id = doc_id
-    collected.push_stored(schema.doc_id_field, [doc_id])
+    # the doc id is NOT written into the stored record: doc_ids
+    # already live in the segment meta, and omitting it lets schemas
+    # with no other stored fields hit the docstore's constant-record
+    # fast path (no per-doc json+compress). SegmentReader.get_doc
+    # injects it back, so the read surface is unchanged.
     vector_names = schema.vector_names()
     nested_map = schema.nested_map()
     for field, value in doc.items():
@@ -351,9 +355,8 @@ class _BulkTextBuffer:
         self._bytes = 0
         self.fields: set[str] = set()
 
-    def add_group(self, field: str, doc_ord: int, values: list[str],
-                  use_stopwords: bool, use_stem: bool,
-                  unicode_tok: bool) -> None:
+    def field_id(self, field: str, use_stopwords: bool, use_stem: bool,
+                 unicode_tok: bool) -> int:
         fkey = (field, use_stopwords, use_stem, unicode_tok)
         fid = self._field_ids.get(fkey)
         if fid is None:
@@ -363,6 +366,31 @@ class _BulkTextBuffer:
             self._f_stop.append(1 if use_stopwords else 0)
             self._f_stem.append(1 if use_stem else 0)
             self._f_unicode.append(1 if unicode_tok else 0)
+        return fid
+
+    def add_one(self, fid: int, field: str, doc_ord: int,
+                text: str) -> None:
+        """Single-value group with a pre-resolved field id — the
+        overwhelmingly common shape on the ingest hot loop."""
+        raw = text.encode()
+        texts = self._texts
+        lo = len(texts)
+        texts.append(raw)
+        self._bytes += len(raw)
+        self._doc_ords.append(doc_ord)
+        self._item_fids.append(fid)
+        self._new_group.append(1)
+        self._groups.append((field, doc_ord, lo, lo + 1))
+        self.fields.add(field)
+        if (lo + 1 >= self.MAX_ITEMS
+                or self._bytes >= self.MAX_BYTES):
+            self.flush()
+
+    def add_group(self, field: str, doc_ord: int, values: list[str],
+                  use_stopwords: bool, use_stem: bool,
+                  unicode_tok: bool) -> None:
+        fid = self.field_id(field, use_stopwords, use_stem,
+                            unicode_tok)
         lo = len(self._texts)
         first = 1
         for text in values:
@@ -450,13 +478,49 @@ class SegmentWriter:
             vf.name: [] for vf in self.schema.vector_fields}
 
         bulk = None
+        # bulk-path doc lengths accumulate in plain lists and land in
+        # the fast column in one extend after the loop (the doc-length
+        # column tolerates out-of-order appends: build() stable-sorts)
+        bulk_lengths: dict[str, tuple[list[int], list[int]]] = {}
         if native and not os.environ.get("SEARCHLITE_DISABLE_BULK"):
             def _on_group(field: str, doc_ord: int, count: int) -> None:
-                total_doc_lengths[field] = (
-                    total_doc_lengths.get(field, 0) + count)
-                fast_writer.set_i64(
-                    doc_length_key(field), doc_ord, count)
+                pair = bulk_lengths.get(field)
+                if pair is None:
+                    pair = bulk_lengths[field] = ([], [])
+                pair[0].append(doc_ord)
+                pair[1].append(count)
             bulk = _BulkTextBuffer(postings_builder, _on_group)
+
+        # per-field text plan, resolved once per segment (analyzer
+        # lookup, native-profile checks, and stopword registration are
+        # schema-constant; register_stopwords is first-set-wins per
+        # builder so the first answer holds for the whole segment)
+        field_plans: dict[str, tuple] = {}
+
+        def _text_plan(field: str) -> tuple:
+            meta = resolved.get(field)
+            if meta is not None and not meta.indexed:
+                return ("skip",)
+            analyzer = analyzers.index_analyzer(field)
+            if analyzer is None:
+                raise SchemaError(
+                    f"no analyzer configured for field `{field}`")
+            use_native = False
+            native_flags = (False, False)
+            native_tok = "default"
+            if native and analyzer.native_profile is not None:
+                native_tok, stopwords, stem_flag = \
+                    analyzer.native_profile
+                if stopwords is None:
+                    use_native = True
+                    native_flags = (False, stem_flag)
+                elif postings_builder.register_stopwords(stopwords):
+                    # one stopword set per segment builder; a second
+                    # distinct set falls back to Python
+                    use_native = True
+                    native_flags = (True, stem_flag)
+            return ("text", analyzer, use_native, native_flags,
+                    native_tok)
 
         doc_file = self.storage.open_write(paths.docstore)
         doc_writer = DocStoreWriter(doc_file, self.compress)
@@ -468,32 +532,17 @@ class SegmentWriter:
                 collected = collect_document(self.schema, doc, resolved)
                 doc_key = collected.doc_id
                 doc_ids.append(doc_key)
-                fast_writer.set_str(self.schema.doc_id_field, doc_ord, doc_key)
 
                 for field, values in collected.text.items():
-                    meta = resolved.get(field)
-                    if meta is not None and not meta.indexed:
+                    plan = field_plans.get(field)
+                    if plan is None:
+                        plan = field_plans[field] = _text_plan(field)
+                    if plan[0] == "skip":
                         continue
-                    analyzer = analyzers.index_analyzer(field)
-                    if analyzer is None:
-                        raise SchemaError(
-                            f"no analyzer configured for field `{field}`")
+                    _tag, analyzer, use_native, native_flags, \
+                        native_tok = plan[:5]
                     position_offset = 0
                     doc_len = 0
-                    use_native = False
-                    native_flags = (False, False)
-                    native_tok = "default"
-                    if native and analyzer.native_profile is not None:
-                        native_tok, stopwords, stem_flag = \
-                            analyzer.native_profile
-                        if stopwords is None:
-                            use_native = True
-                            native_flags = (False, stem_flag)
-                        elif postings_builder.register_stopwords(stopwords):
-                            # one stopword set per segment builder; a
-                            # second distinct set falls back to Python
-                            use_native = True
-                            native_flags = (True, stem_flag)
                     if use_native and bulk is not None:
                         # whole-group bulk buffering (one C call per few
                         # thousand values); groups with any non-ASCII
@@ -501,7 +550,20 @@ class SegmentWriter:
                         # inline per-value path below, after flushing
                         # any buffered items of the same field so each
                         # term's postings stay doc-ascending
-                        if native_tok == "unicode" or all(
+                        if len(values) == 1:
+                            text0 = values[0]
+                            if native_tok == "unicode" \
+                                    or text0.isascii():
+                                if len(plan) == 5:
+                                    plan = plan + (bulk.field_id(
+                                        field, native_flags[0],
+                                        native_flags[1],
+                                        native_tok == "unicode"),)
+                                    field_plans[field] = plan
+                                bulk.add_one(plan[5], field, doc_ord,
+                                             text0)
+                                continue
+                        elif native_tok == "unicode" or all(
                                 t.isascii() for t in values):
                             bulk.add_group(
                                 field, doc_ord, values, native_flags[0],
@@ -602,6 +664,16 @@ class SegmentWriter:
 
         if bulk is not None:
             bulk.flush()
+        # deferred fast columns: one bulk extend per column instead of
+        # one Python call per doc (_id + bulk-path doc lengths)
+        if doc_ids:
+            fast_writer.extend_str(self.schema.doc_id_field,
+                                   range(total_docs), doc_ids)
+        for field, (docs_l, counts_l) in bulk_lengths.items():
+            fast_writer.extend_i64(doc_length_key(field), docs_l,
+                                   counts_l)
+            total_doc_lengths[field] = (
+                total_doc_lengths.get(field, 0) + sum(counts_l))
         postings = postings_builder.build()
         self.storage.write_all(paths.terms, write_terms(postings.terms))
         self.storage.write_all(paths.postings, postings.to_bytes())
@@ -643,6 +715,9 @@ class SegmentWriter:
             # older segments wrote a bare true meaning zlib
             "compress": doc_writer.codec or False,
             "enable_positions": self.enable_positions,
+            # get_doc injects the id from doc_ids under this key
+            # (stored records no longer carry it)
+            "doc_id_field": self.schema.doc_id_field,
         }
         seg_file_meta["doc_offsets"] = doc_writer.offsets
         self.storage.write_all(
@@ -704,6 +779,11 @@ class SegmentReader:
 
         seg_file_meta = json.loads(raw["meta"])
         self.doc_ids: list[str] = seg_file_meta["doc_ids"]
+        # segments written before doc_id_field landed carry the id
+        # inside every stored record instead (get_doc's update() then
+        # overwrites the injected value with the identical stored one)
+        self.doc_id_field: str = seg_file_meta.get(
+            "doc_id_field", "_id")
         self.avg_field_lengths: dict[str, float] = dict(
             seg_file_meta.get("avg_field_lengths", {}))
         self.compress = seg_file_meta.get("compress", False)
@@ -745,7 +825,9 @@ class SegmentReader:
         return [i for i in range(self.doc_count) if i not in self.deleted]
 
     def get_doc(self, ordinal: int) -> dict:
-        return self.docstore.get(ordinal)
+        doc = {self.doc_id_field: self.doc_ids[ordinal]}
+        doc.update(self.docstore.get(ordinal))
+        return doc
 
     def doc_id(self, ordinal: int) -> str:
         return self.doc_ids[ordinal]
