@@ -24,6 +24,36 @@ swaps, WAL replay).
 __version__ = "0.1.0"
 
 
+def _tune_numpy_allocator() -> None:
+    """Disable numpy's MADV_HUGEPAGE on large allocations (opt back in
+    with SEARCHLITE_NUMPY_HUGEPAGE=1). On virtualized hosts where
+    hugepage faults are backed lazily by the hypervisor, first-touch
+    of a fresh large array measured 53 s/GB with the madvise vs
+    1.4 s/GB without (this sandbox's microVM); on bare metal the
+    madvise saves a few percent at most. Ingest, segment open, and
+    batch prep all allocate-and-fill large arrays, so the slow path
+    taxes everything."""
+    import os
+    import sys
+
+    if sys.platform != "linux":
+        return
+    if os.environ.get("SEARCHLITE_NUMPY_HUGEPAGE") == "1":
+        return
+    os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")
+    try:
+        try:
+            from numpy._core import multiarray as _ma
+        except ImportError:  # numpy 1.x
+            from numpy.core import multiarray as _ma
+        _ma._set_madvise_hugepage(False)
+    except Exception:  # noqa: BLE001 — tuning only, never fatal
+        pass
+
+
+_tune_numpy_allocator()
+
+
 def __getattr__(name):  # lazy top-level exports to keep import light
     if name in ("IndexOptions", "SearchRequest", "StorageType"):
         from searchlite_tpu.api import types

@@ -55,7 +55,6 @@ class DeviceSegment:
             bt = np.zeros((1, 128), dtype=np.float32)
         else:
             bt = postings.block_tfs
-        bd = np.where(bd < 0, self.n_docs, bd).astype(np.int32)
         # trailing all-sentinel row: pads blk_idx gathers (every entry
         # routes to the scatter dump zone — see build_m_from_blocks)
         self.n_block_rows = bd.shape[0]
@@ -63,8 +62,6 @@ class DeviceSegment:
         # pruned paths (the ones giant corpora route through) never read
         # them, and eagerly uploading ~4 GB at 5M docs starves the
         # pruned waves of HBM (observed RESOURCE_EXHAUSTED on v5e)
-        self.block_docs_np = np.concatenate(
-            [bd, np.full((1, 128), self.n_docs, dtype=np.int32)])
         self._block_docs = None
         # raw tfs stay host-side (nothing on the scoring path reads them
         # from HBM; 1.2 GB at 5M docs) — upload lazily if ever needed
@@ -105,56 +102,117 @@ class DeviceSegment:
         term_df = postings.term_df.astype(np.int64)
         self.posting_base = np.concatenate(
             [[0], np.cumsum(term_df)]).astype(np.int64)
-        flat_mask = postings.block_docs.reshape(-1) >= 0
-        docs_flat = postings.block_docs.reshape(-1)[flat_mask]
-        tfs_flat = postings.block_tfs.reshape(-1)[flat_mask]
         if len(postings.terms):
             term_fields = np.asarray(
                 [self.len_field_ids.get(t.split(":", 1)[0],
                                         n_fields - 1)
                  for t in postings.terms], dtype=np.int32)
-            pf = np.repeat(term_fields, term_df)
         else:
-            pf = np.zeros(0, dtype=np.int32)
+            term_fields = np.zeros(0, dtype=np.int32)
+        docs_flat = impacts = None
+        if postings.block_docs.size:
+            out = self._impacts_native(postings, term_fields, term_df,
+                                       doc_len, avgdl)
+            if out is None:
+                out = self._impacts_numpy(postings, term_fields,
+                                          term_df, doc_len, avgdl)
+            (self.block_docs_np, self.block_impacts_np,
+             self.block_max_impact, docs_flat, impacts) = out
+        else:
+            self.block_docs_np = np.concatenate([
+                np.where(bd < 0, self.n_docs, bd).astype(np.int32),
+                np.full((1, 128), self.n_docs, dtype=np.int32)])
+            self.block_impacts_np = np.zeros((bd.shape[0] + 1, 128),
+                                             dtype=np.float32)
+            self.block_max_impact = np.zeros(0, dtype=np.float32)
+        self._block_impacts = None
+        self._block_impacts_live = None
+        self._sparse_sentinels = None
+        self._sparse_tid_tbl = None
+        if docs_flat is None or len(docs_flat) == 0:
+            docs_flat = np.zeros(1, dtype=np.int32)
+            impacts = np.zeros(1, dtype=np.float32)
+        # host flat CSR (doc-shard builder); device copies are lazy —
+        # only the doc-sharded and multi-chip paths use them
+        self.docs_flat_np = docs_flat.astype(np.int32, copy=False)
+        self.impacts_flat_np = impacts
+        self._docs_flat = None
+        self._impacts_flat = None
+        self._jnp = jnp
+
+    def _impacts_native(self, postings, term_fields, term_df, doc_len,
+                        avgdl):
+        """One C pass (native/slt_ingest.cpp::slt_impacts) computing
+        the padded block-doc/impact arrays, per-block max impacts, and
+        the pad-stripped flat CSR — bit-identical to _impacts_numpy
+        (equivalence-fuzzed in tests/test_native.py) and ~20x faster:
+        the numpy pipeline was 89 s of the 121 s reader open at 1M
+        docs. Returns None when the native library is unavailable."""
+        try:
+            from searchlite_tpu.native import get_lib
+
+            lib = get_lib()
+        except Exception:  # noqa: BLE001
+            lib = None
+        if lib is None or not hasattr(lib, "slt_impacts"):
+            return None
+        bd = np.ascontiguousarray(postings.block_docs, dtype=np.int32)
+        bt = np.ascontiguousarray(postings.block_tfs, dtype=np.float32)
+        n_rows = bd.shape[0]
+        row_field = np.repeat(
+            term_fields, postings.term_block_count.astype(np.int64))
+        row_field = np.ascontiguousarray(row_field, dtype=np.int32)
+        n_post = int(term_df.sum())
+        bd_out = np.empty((n_rows + 1, 128), dtype=np.int32)
+        bi_out = np.empty((n_rows + 1, 128), dtype=np.float32)
+        block_max = np.empty(n_rows, dtype=np.float32)
+        docs_flat = np.empty(max(n_post, 1), dtype=np.int32)
+        impacts = np.empty(max(n_post, 1), dtype=np.float32)
+        n_flat = lib.slt_impacts(
+            bd, n_rows, row_field, bt,
+            np.ascontiguousarray(doc_len), doc_len.shape[1],
+            np.ascontiguousarray(avgdl), self.k1, self.b,
+            np.int32(self.n_docs), bd_out, bi_out, block_max,
+            docs_flat, impacts)
+        if n_flat != n_post:  # pads vs term_df disagree — fall back
+            return None
+        return (bd_out, bi_out, block_max, docs_flat[:n_post],
+                impacts[:n_post])
+
+    def _impacts_numpy(self, postings, term_fields, term_df, doc_len,
+                       avgdl):
+        """Pure-numpy fallback; the behavioral spec for slt_impacts."""
+        bd = postings.block_docs
+        flat_mask = bd.reshape(-1) >= 0
+        docs_flat = bd.reshape(-1)[flat_mask]
+        tfs_flat = postings.block_tfs.reshape(-1)[flat_mask]
+        pf = np.repeat(term_fields, term_df)
         dl = doc_len[pf, docs_flat] if len(docs_flat) else \
             np.zeros(0, dtype=np.float32)
-        avg = avgdl[pf] if len(docs_flat) else np.zeros(0, dtype=np.float32)
+        avg = avgdl[pf] if len(docs_flat) else \
+            np.zeros(0, dtype=np.float32)
         norm = np.where(avg > 0, dl / np.where(avg > 0, avg, 1.0), 1.0)
         denom = np.maximum(
             tfs_flat + self.k1 * (1.0 - self.b + self.b * norm), 1e-6)
         impacts = (tfs_flat * (self.k1 + 1.0) / denom).astype(np.float32)
         # per-block max impact (the sound BMW upper bound: impacts fold
         # tf AND length norm, so block_max_impact * idf bounds any
-        # posting's contribution) — host-side, used for pruning telemetry
-        blocked = np.zeros(postings.block_docs.size, dtype=np.float32)
+        # posting's contribution)
+        blocked = np.zeros(bd.size, dtype=np.float32)
         blocked[flat_mask] = impacts
-        self.block_max_impact = (
-            blocked.reshape(-1, postings.block_docs.shape[1]).max(axis=1)
-            if postings.block_docs.size else np.zeros(0, dtype=np.float32))
-        # 2D impact blocks (pads 0) + sentinel row, mirroring block_docs:
-        # the batch scorer's M build row-gathers these (element gathers
-        # over flat CSR measure ~10 cycles/elem on TPU; 128-wide row
-        # gathers run at memory speed)
-        if postings.block_docs.size:
-            bi = blocked.reshape(-1, 128)
-        else:
-            bi = np.zeros((1, 128), dtype=np.float32)
-        self.block_impacts_np = np.concatenate(
-            [bi, np.zeros((1, 128), dtype=np.float32)])
-        self._block_impacts = None
-        self._block_impacts_live = None
-        self._sparse_sentinels = None
-        self._sparse_tid_tbl = None
-        if len(docs_flat) == 0:
-            docs_flat = np.zeros(1, dtype=np.int32)
-            impacts = np.zeros(1, dtype=np.float32)
-        # host flat CSR (doc-shard builder); device copies are lazy —
-        # only the doc-sharded and multi-chip paths use them
-        self.docs_flat_np = docs_flat.astype(np.int32)
-        self.impacts_flat_np = impacts
-        self._docs_flat = None
-        self._impacts_flat = None
-        self._jnp = jnp
+        block_max = blocked.reshape(-1, bd.shape[1]).max(axis=1)
+        # 2D impact blocks (pads 0) + sentinel row, mirroring
+        # block_docs: the batch scorer's M build row-gathers these
+        # (element gathers over flat CSR measure ~10 cycles/elem on
+        # TPU; 128-wide row gathers run at memory speed)
+        bi_out = np.concatenate(
+            [blocked.reshape(-1, 128),
+             np.zeros((1, 128), dtype=np.float32)])
+        bd_out = np.concatenate(
+            [np.where(bd < 0, self.n_docs, bd).astype(np.int32),
+             np.full((1, 128), self.n_docs, dtype=np.int32)])
+        return (bd_out, bi_out, block_max, docs_flat,
+                impacts)
 
     @property
     def block_tfs(self):

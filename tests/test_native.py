@@ -453,3 +453,68 @@ class TestNativeUnicode:
                                       rb.postings.block_tfs)
         np.testing.assert_array_equal(ra.postings.pos_values,
                                       rb.postings.pos_values)
+
+
+def test_native_impacts_bit_identical_to_numpy():
+    """slt_impacts (device-segment impact precompute in C) must be
+    bit-identical to the numpy spec across corpus shapes, fields,
+    deletes, and empty-avg edge cases."""
+    import random
+
+    import numpy as np
+
+    from searchlite_tpu.api.types import IndexOptions, StorageType
+    from searchlite_tpu.index import Index
+    from searchlite_tpu.index.manifest import Schema
+
+    rng = random.Random(42)
+    nrng = np.random.default_rng(42)
+    for _trial in range(3):
+        idx = Index.create(
+            IndexOptions(path="", create_if_missing=True,
+                         storage=StorageType.IN_MEMORY,
+                         enable_positions=rng.random() < 0.5),
+            Schema.from_json({
+                "text_fields": [
+                    {"name": "body", "analyzer": "default",
+                     "stored": False, "indexed": True},
+                    {"name": "title", "analyzer": "default",
+                     "stored": False, "indexed": True}]}))
+        w = idx.writer()
+        vocab = rng.choice((30, 500))
+        for d in range(rng.choice((50, 800))):
+            doc = {"_id": str(d),
+                   "body": " ".join(
+                       f"w{nrng.integers(vocab)}"
+                       for _ in range(int(nrng.integers(1, 40))))}
+            if rng.random() < 0.5:
+                doc["title"] = f"w{nrng.integers(vocab)}"
+            w.add_document(doc)
+        w.commit()
+        reader = idx.reader()
+        for dseg in reader.device_segments:
+            seg = dseg.reader
+            postings = seg.postings
+            if not postings.block_docs.size:
+                continue
+            term_df = postings.term_df.astype(np.int64)
+            nf = len(dseg.len_field_ids) + 1
+            doc_len = np.asarray(dseg.doc_len)
+            avgdl = np.asarray(dseg.avgdl)
+            tf_ = np.asarray(
+                [dseg.len_field_ids.get(t.split(":", 1)[0], nf - 1)
+                 for t in postings.terms], dtype=np.int32)
+            a = dseg._impacts_native(postings, tf_, term_df, doc_len,
+                                     avgdl)
+            b = dseg._impacts_numpy(postings, tf_, term_df, doc_len,
+                                    avgdl)
+            assert a is not None
+            for x, y, name in zip(a, b,
+                                  ("bd", "bi", "bmax", "df", "imp")):
+                xx, yy = np.asarray(x), np.asarray(y)
+                assert xx.shape == yy.shape, name
+                if xx.dtype == np.float32:
+                    assert np.array_equal(xx.view(np.int32),
+                                          yy.view(np.int32)), name
+                else:
+                    assert np.array_equal(xx, yy), name
