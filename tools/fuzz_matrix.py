@@ -293,6 +293,76 @@ def run_iteration(it: int, seed: int) -> str | None:
                      "filtered-single", limit)
     if err:
         return f"{header}\nfilters={filters}\n{err}"
+
+    # A/B routing check on the FULL single-query surface: the same
+    # aggs + field-sort + filter request under (a) default routing and
+    # (b) this iteration's knobs + a budget that forces the chunked
+    # tile executor. Matched sets are exact across executors, so agg
+    # counts and sort orders must agree exactly; f64 sums to small
+    # tolerance (summation order).
+    req = {"query": queries[0],
+           "filter": filters[0],
+           "limit": 10,
+           "sort": [{"field": "price", "order": "desc"},
+                    {"field": "_score", "order": "desc"}],
+           "aggs": {"cats": {"type": "terms", "field": "cat"},
+                    "ps": {"type": "stats", "field": "price"},
+                    "ph": {"type": "histogram", "field": "price",
+                           "interval": 25.0}}}
+    saved = {k: os.environ.pop(k, None) for k in list(KNOB_SPACE)
+             + ["SEARCHLITE_DEVICE_AGGS"]}
+    res_a = reader.search(dict(req))
+    for k, v in saved.items():
+        if v is not None:
+            os.environ[k] = v
+    os.environ["SEARCHLITE_M_BUDGET_BYTES"] = "150000"
+    os.environ["SEARCHLITE_DEVICE_AGGS"] = rng.choice(("0", "1"))
+    try:
+        res_b = reader.search(dict(req))
+    finally:
+        os.environ.pop("SEARCHLITE_DEVICE_AGGS", None)
+        if saved.get("SEARCHLITE_M_BUDGET_BYTES") is not None:
+            os.environ["SEARCHLITE_M_BUDGET_BYTES"] = \
+                saved["SEARCHLITE_M_BUDGET_BYTES"]
+        else:
+            os.environ.pop("SEARCHLITE_M_BUDGET_BYTES", None)
+    ids_a = [h.doc_id for h in res_a.hits]
+    ids_b = [h.doc_id for h in res_b.hits]
+    if ids_a != ids_b:
+        return (f"{header}\nA/B sort: {req['query']!r} default "
+                f"{ids_a} != knobs {ids_b}")
+    ja = res_a.to_json().get("aggregations", {})
+    jb = res_b.to_json().get("aggregations", {})
+
+    def agg_eq(a, b, path="aggs"):
+        if isinstance(a, dict) != isinstance(b, dict):
+            return f"{path}: shape"
+        if isinstance(a, dict):
+            if set(a) != set(b):
+                return f"{path}: keys {set(a)} != {set(b)}"
+            for k in a:
+                e = agg_eq(a[k], b[k], f"{path}.{k}")
+                if e:
+                    return e
+            return None
+        if isinstance(a, list):
+            if len(a) != len(b):
+                return f"{path}: len {len(a)} != {len(b)}"
+            for i, (x, y) in enumerate(zip(a, b)):
+                e = agg_eq(x, y, f"{path}[{i}]")
+                if e:
+                    return e
+            return None
+        if isinstance(a, float) or isinstance(b, float):
+            aa, bb = float(a), float(b)
+            if abs(aa - bb) > 1e-6 + 1e-6 * abs(bb):
+                return f"{path}: {a} != {b}"
+            return None
+        return None if a == b else f"{path}: {a} != {b}"
+
+    e = agg_eq(ja, jb)
+    if e:
+        return f"{header}\nA/B aggs mismatch ({e})"
     return None
 
 
