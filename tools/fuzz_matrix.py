@@ -117,10 +117,24 @@ def oracle_scores(reader, raw_query: str) -> dict[str, float]:
     return out
 
 
-def check_topk(queries, got_rows, oracles, strict: bool, tag: str,
+def mode_tols(precision: str) -> tuple:
+    """Score tolerance per precision mode. f32_strict is bit-exact
+    (1e-5 covers f32 summation-order ulps between paths, D10);
+    fast-f32 rounds matmul INPUTS to bf16 once (~2^-8 relative);
+    bf16 additionally stores impacts in bf16 — two roundings per
+    term, so multi-term scores can drift past 6e-3 (a fuzz run
+    measured 0.63% on a 5-term query)."""
+    if precision == "f32_strict":
+        return 1e-5, 1e-4
+    if precision == "bf16":
+        return 2e-2, 1e-3
+    return 6e-3, 1e-3
+
+
+def check_topk(queries, got_rows, oracles, strict, tag: str,
                limit: int):
-    rtol = 1e-5 if strict else 6e-3
-    atol = 1e-4 if strict else 1e-3
+    rtol, atol = strict if isinstance(strict, tuple) else (
+        (1e-5, 1e-4) if strict else (6e-3, 1e-3))
     for q, row, oracle in zip(queries, got_rows, oracles):
         want_n = min(limit, len(oracle))
         if len(row) != want_n:
@@ -175,7 +189,7 @@ def run_iteration(it: int, seed: int) -> str | None:
     positions = rng.random() < 0.5
     delete_frac = rng.choice((0.0, 0.0, 0.05))
     limit = rng.choice((1, 3, 10))
-    strict = os.environ.get("SEARCHLITE_PRECISION") == "f32_strict"
+    strict = mode_tols(os.environ.get("SEARCHLITE_PRECISION", ""))
 
     index = build_corpus(rng, n_docs, vocab, positions, n_segments,
                          delete_frac)
