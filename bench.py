@@ -193,8 +193,12 @@ def verify_vs_oracle(reader, queries, results) -> bool:
     oracle's score for that doc to bf16 tolerance, and no non-returned
     doc may beat the returned set by more than that tolerance.
     SEARCHLITE_PRECISION=f32_strict tightens to exact-f32 agreement."""
-    rtol = 1e-6 if os.environ.get(
-        "SEARCHLITE_PRECISION") == "f32_strict" else 6e-3
+    mode = os.environ.get("SEARCHLITE_PRECISION", "")
+    # bf16 stores impacts in bf16 on top of bf16-rounded matmul
+    # inputs — two roundings per term can drift multi-term scores
+    # past the fast-f32 gate (fuzz-measured 0.63% on 5 terms)
+    rtol = 1e-6 if mode == "f32_strict" else \
+        2e-2 if mode == "bf16" else 6e-3
     atol = 1e-4 if rtol < 1e-3 else 1e-3
 
     def tol(s):
