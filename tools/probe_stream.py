@@ -94,6 +94,8 @@ def main():
         # amortizes with wider batches (same total queries)
         ("arrays packed mixed b3072", dict(),
          [sum(mixed, [])] * 8, "arrays"),
+        ("arrays packed mixed b9216", dict(),
+         [sum(mixed * 3, [])] * 4, "arrays"),
     ]
     for name, env, stream, output in scenarios:
         stream = stream[:n]
