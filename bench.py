@@ -305,15 +305,20 @@ def main():
     # batch-width scaling probe: the SAME query stream re-chunked at
     # 4096/batch (per-batch host fixed costs amortize 4x). Detail-only
     # — the headline metric stays at the cross-round 1024 protocol.
-    flat_q = [q for b in stream for q in b]
-    wide = [flat_q[i:i + 4096] for i in range(0, len(flat_q), 4096)]
-    # warm every wide batch once — tier occupancy differs per batch
-    # and a tunnel compile inside the timed region is 10-300s
-    reader.search_batch_many(wide, limit=K, output="arrays")
-    t0 = time.perf_counter()
-    reader.search_batch_many(wide, limit=K, output="arrays")
-    dt = time.perf_counter() - t0
-    RESULT["detail"]["qps_bm25_arrays_b4096"] = round(len(flat_q) / dt, 2)
+    # Skipped on the cpu fallback (device scaling probe; the fallback
+    # budget is better spent finishing the protocol rows).
+    if platform == "device":
+        flat_q = [q for b in stream for q in b]
+        wide = [flat_q[i:i + 4096]
+                for i in range(0, len(flat_q), 4096)]
+        # warm every wide batch once — tier occupancy differs per
+        # batch and a tunnel compile inside the timed region is 10-300s
+        reader.search_batch_many(wide, limit=K, output="arrays")
+        t0 = time.perf_counter()
+        reader.search_batch_many(wide, limit=K, output="arrays")
+        dt = time.perf_counter() - t0
+        RESULT["detail"]["qps_bm25_arrays_b4096"] = round(
+            len(flat_q) / dt, 2)
     best = max(qps_by_exec, key=qps_by_exec.get)
     qps = qps_by_exec[best]
     RESULT["value"] = qps
