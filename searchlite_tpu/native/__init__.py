@@ -134,23 +134,26 @@ def get_lib():
             np.ctypeslib.ndpointer(np.int64),
             np.ctypeslib.ndpointer(np.int32),
         ]
-        lib.slt_impacts.restype = ctypes.c_int64
-        lib.slt_impacts.argtypes = [
-            np.ctypeslib.ndpointer(np.int32),   # block_docs
-            ctypes.c_int64,                     # n_rows
-            np.ctypeslib.ndpointer(np.int32),   # row_field
-            np.ctypeslib.ndpointer(np.float32),  # block_tfs
-            np.ctypeslib.ndpointer(np.float32),  # doc_len [f, n1]
-            ctypes.c_int64,                     # n1
-            np.ctypeslib.ndpointer(np.float32),  # avgdl
-            ctypes.c_double, ctypes.c_double,   # k1, b
-            ctypes.c_int32,                     # n_docs
-            np.ctypeslib.ndpointer(np.int32),   # bd_out
-            np.ctypeslib.ndpointer(np.float32),  # bi_out
-            np.ctypeslib.ndpointer(np.float32),  # block_max
-            np.ctypeslib.ndpointer(np.int32),   # docs_flat
-            np.ctypeslib.ndpointer(np.float32),  # impacts_flat
-        ]
+        if hasattr(lib, "slt_impacts"):
+            # (guarded: a stale cached .so from an older source tree
+            # lacks the symbol; callers hasattr-check and fall back)
+            lib.slt_impacts.restype = ctypes.c_int64
+            lib.slt_impacts.argtypes = [
+                np.ctypeslib.ndpointer(np.int32),    # block_docs
+                ctypes.c_int64,                      # n_rows
+                np.ctypeslib.ndpointer(np.int32),    # row_field
+                np.ctypeslib.ndpointer(np.float32),  # block_tfs
+                np.ctypeslib.ndpointer(np.float32),  # doc_len [f, n1]
+                ctypes.c_int64,                      # n1
+                np.ctypeslib.ndpointer(np.float32),  # avgdl
+                ctypes.c_double, ctypes.c_double,    # k1, b
+                ctypes.c_int32,                      # n_docs
+                np.ctypeslib.ndpointer(np.int32),    # bd_out
+                np.ctypeslib.ndpointer(np.float32),  # bi_out
+                np.ctypeslib.ndpointer(np.float32),  # block_max
+                np.ctypeslib.ndpointer(np.int32),    # docs_flat
+                np.ctypeslib.ndpointer(np.float32),  # impacts_flat
+            ]
         lib.slt_qprep_new.restype = ctypes.c_void_p
         lib.slt_qprep_new.argtypes = [
             ctypes.c_char_p, ctypes.c_int64,
