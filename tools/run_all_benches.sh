@@ -58,4 +58,14 @@ step strategy 2500 python tools/strategy_compare.py 200000 30
 # 9. BASELINE config sweep (quickstart CLI / recipes / video-games)
 step configs 2000 python benches/configs.py
 
+# 10. host-phase attribution of the batched stream (both surfaces,
+#     SEARCHLITE_HOST_PROFILE splits prep/dispatch/fetch/merge)
+step probe_phases 2500 python tools/probe_batch_phases.py
+
+# 11. batch-width + packed/explicit + light/heavy boundary sweep
+step probe_stream 2500 python tools/probe_stream.py
+
+# 12. vector + hybrid scale (exact MXU similarity, in-run exactness)
+step bench_vectors 3600 python tools/bench_vectors.py 500000 128
+
 echo "ALL DONE ($(date -u +%H:%M:%S))" | tee -a "$OUT/summary.log"
