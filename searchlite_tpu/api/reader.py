@@ -1952,7 +1952,8 @@ class IndexReader:
                      fields: Optional[list[str]] = None,
                      execution: str = "bm25",
                      filters: Optional[list] = None,
-                     limits: Optional[list[int]] = None
+                     limits: Optional[list[int]] = None,
+                     mesh=None
                      ) -> list[list[tuple[str, float]]]:
         """Score a batch of query strings in one device launch per
         segment (the data-parallel axis of the engine; BASELINE.json
@@ -1979,7 +1980,8 @@ class IndexReader:
         return self.search_batch_many(
             [queries], limit=limit, fields=fields, execution=execution,
             filters=None if filters is None else [filters],
-            limits=None if limits is None else [limits])[0]
+            limits=None if limits is None else [limits],
+            mesh=mesh)[0]
 
     def _analyze_batches(self, batches, fields):
         """Parse + analyze query strings into per-query (field, token)
@@ -2106,7 +2108,8 @@ class IndexReader:
                           execution: str = "bm25",
                           filters: Optional[list] = None,
                           limits: Optional[list] = None,
-                          output: str = "pairs"
+                          output: str = "pairs",
+                          mesh=None
                           ) -> list:
         """Pipelined form of :meth:`search_batch` for a stream of
         batches: every batch's device work is dispatched asynchronously
@@ -2140,6 +2143,16 @@ class IndexReader:
             fields = [f.name for f in self.schema.text_fields]
         limits = self._check_batch_limits(batches, limit, limits)
         filter_tables = self._batch_filter_tables(batches, filters)
+        if mesh is not None \
+                and not any(f[0] is not None for f in filter_tables):
+            # doc-sharded execution over the mesh: every strategy
+            # returns exact top-k, so wand/bmw ride the same sharded
+            # candidate path (per-chip postings shrink 1/D — MORE rows
+            # prune, not fewer). Filtered batches keep the single-chip
+            # path below (per-query mask rows are doc-axis-global).
+            return self._retry_oom(
+                lambda: self._search_batch_mesh_many(
+                    batches, limit, fields, limits, output, mesh))
         if execution in ("wand", "bmw"):
             # per-query pruning is the default batched pruned path
             # (union waves degrade to a dense scan on Zipf batches);
@@ -2325,6 +2338,169 @@ class IndexReader:
         col = np.arange(scores.shape[1])
         scores[col[None, :] >= np.asarray(limits)[:, None]] = -np.inf
         return scores, ids, seg_arr
+
+    def _mesh_batch_scorer(self, mesh):
+        """Process-wide cache of the jitted sharded batch scorer per
+        mesh — rebuilt wrappers recompile every shape bucket on every
+        call (the round-3 pq-path recompile-pollution lesson)."""
+        from searchlite_tpu.parallel.query import (
+            make_sharded_batch_scorer,
+        )
+
+        key = ("mesh_batch", id(mesh),
+               tuple(sorted(mesh.shape.items())))
+        with _GLOBAL_LOCK:
+            run = _GLOBAL_SCORERS.get(key)
+            if run is None:
+                run = make_sharded_batch_scorer(mesh)
+                _GLOBAL_SCORERS[key] = run
+        return run
+
+    def _launch_batch_mesh_segment(self, mesh, dseg, qb, k: int,
+                                   cap: int):
+        """Dispatch one segment's batched scoring doc-sharded over the
+        mesh. Rows light on their WORST shard (per-shard strip blocks
+        <= ``cap``; per-chip postings shrink ~1/D, so sharding admits
+        MORE rows than the single-chip cap) ride the sharded candidate
+        scorer — one replicated packed-table upload, local strips, ICI
+        top-k merge. The remainder runs the single-chip dense scorers
+        on the default device (doc-sharding the dense remainder over
+        the mesh is the next lever). Returns the async launch record;
+        the caller bulk-fetches."""
+        import jax.numpy as jnp
+
+        from searchlite_tpu.ops.impact import (
+            csr_row_lengths,
+            pow15_bucket,
+            subset_impact_batch,
+        )
+        from searchlite_tpu.ops.sparse import (
+            _emit_packed_rows,
+            _packed_applies,
+        )
+
+        n_shards = mesh.shape["shard"]
+        nq = qb["n_queries"]
+        light_idx = np.zeros(0, dtype=np.int64)
+        heavy_idx = np.arange(nq, dtype=np.int64)
+        light = None
+        if (cap > 0 and k <= 1024 and qb["n_slots"] > 0
+                and _packed_applies(qb)):
+            mt = dseg.mesh_sparse_tables(n_shards)
+            bl2 = mt["blocks"].reshape(n_shards, -1)    # [D, n_terms]
+            ent_tids = qb["slot_tids"][qb["qs_slot"]]
+            counts = csr_row_lengths(qb)
+            row_of = np.repeat(np.arange(nq, dtype=np.int64), counts)
+            per = bl2[:, ent_tids]                       # [D, E]
+            rows = np.zeros(n_shards * nq, dtype=np.int64)
+            if per.size:
+                idx2 = (np.arange(n_shards, dtype=np.int64)[:, None]
+                        * nq + row_of[None, :]).ravel()
+                np.add.at(rows, idx2, per.ravel())
+            row_max = rows.reshape(n_shards, nq).max(axis=0)
+            sel = row_max <= cap
+            light_idx = np.flatnonzero(sel)
+            heavy_idx = np.flatnonzero(~sel)
+            if len(light_idx):
+                g = _emit_packed_rows(qb, light_idx, dseg.idf32,
+                                      bl_min=16)
+                nblk = pow15_bucket(
+                    max(int(row_max[light_idx].max()), -(-k // 128), 1),
+                    minimum=16)
+                run = self._mesh_batch_scorer(mesh)
+                ts, td = run(
+                    mt["block_docs"], mt["block_impacts"],
+                    mt["tid_tbl"], jnp.asarray(g["packed"]),
+                    jnp.asarray(g["ovr"]),
+                    k=k, t_pad=g["t_pad"], nblk=nblk,
+                    log2_run=g["log2_run"], n_ovr=g["n_ovr"],
+                    width=mt["width"], sent_row=mt["bp"] - 1)
+                light = (ts, td)
+        heavy = None
+        if len(heavy_idx):
+            hqb = (qb if len(heavy_idx) == nq
+                   else subset_impact_batch(qb, heavy_idx))
+            hs, hi = self._launch_batch_segment(dseg, hqb, k,
+                                                allow_sparse=False)
+            heavy = (hs, hi)
+        return {"light": light, "light_idx": light_idx,
+                "heavy": heavy, "heavy_idx": heavy_idx,
+                "nq": nq, "k": k}
+
+    def _search_batch_mesh_many(self, batches, limit: int, fields,
+                                limits, output: str, mesh):
+        """Pipelined batch-stream execution doc-sharded over a device
+        mesh (``search_batch_many(mesh=)``): phase 1 dispatches every
+        batch's per-segment mesh + remainder launches asynchronously,
+        phase 2 is ONE bulk fetch, phase 3 stitches rows back into
+        batch order on host and merges segments exactly like the
+        single-chip path (same (score desc, (seg, doc) asc) contract —
+        ``parallel/query.py::make_sharded_batch_scorer`` preserves it
+        across chips). Results match the single-chip batch API."""
+        import jax
+
+        from searchlite_tpu.ops.impact import (
+            build_impact_batch,
+            build_impact_batch_native,
+        )
+
+        cap = int(os.environ.get("SEARCHLITE_SPARSE_MAX_BLOCKS", "32"))
+        analyzed_all = None
+        launches = []          # per batch: list of (seg_ord, entry)
+        for bi, (queries, blimits) in enumerate(zip(batches, limits)):
+            k_batch = int(max(blimits)) if len(blimits) else limit
+            launched = []
+            for dseg in self.device_segments:
+                seg = dseg.reader
+                if seg.doc_count == 0:
+                    continue
+                qb = build_impact_batch_native(
+                    seg, dseg, queries, fields, self.analysis,
+                    self.schema, lazy_tables=True)
+                if qb is None:
+                    if analyzed_all is None:
+                        analyzed_all = self._analyze_batches(
+                            batches, fields)
+                    qb = build_impact_batch(seg, dseg, analyzed_all[bi],
+                                            lazy_tables=True)
+                entry = self._launch_batch_mesh_segment(
+                    mesh, dseg, qb, min(k_batch, dseg.n1), cap)
+                launched.append((dseg.ord, entry))
+            launches.append(launched)
+
+        refs = []
+        for launched in launches:
+            for _ord, e in launched:
+                if e["light"] is not None:
+                    refs.extend(e["light"])
+                if e["heavy"] is not None:
+                    refs.extend(e["heavy"])
+        vals = iter(jax.device_get(tuple(refs)))
+
+        out = []
+        for queries, launched, blimits in zip(batches, launches,
+                                              limits):
+            per_segment = []
+            for seg_ord, e in launched:
+                nq, k = e["nq"], e["k"]
+                scores = np.full((nq, k), -np.inf, dtype=np.float32)
+                ids = np.zeros((nq, k), dtype=np.int32)
+                if e["light"] is not None:
+                    ls = np.asarray(next(vals))
+                    li = np.asarray(next(vals))
+                    n = len(e["light_idx"])
+                    scores[e["light_idx"]] = ls[:n]
+                    ids[e["light_idx"]] = li[:n]
+                if e["heavy"] is not None:
+                    hs = np.asarray(next(vals))
+                    hi = np.asarray(next(vals))
+                    n = len(e["heavy_idx"])
+                    scores[e["heavy_idx"]] = hs[:n]
+                    ids[e["heavy_idx"]] = hi[:n]
+                per_segment.append((seg_ord, scores, ids))
+            out.append(self._merge_batch_output(
+                queries, per_segment, blimits, output, limit))
+        return out
 
     def _check_batch_limits(self, batches, limit: int, limits):
         """Normalize per-query limits: one int array per batch."""

@@ -380,6 +380,7 @@ class DeviceSegment:
         re-block, dense rows, and whole-segment block arrays are pure
         caches the next dense query can re-upload."""
         self._doc_shards = None
+        self._mesh_sparse = None
         self._dense_rows = None
         self._block_tfs = None
         self._block_docs = None
@@ -477,6 +478,86 @@ class DeviceSegment:
             }
         self._dense_rows = (key, out)
         return out
+
+    def mesh_sparse_tables(self, n_shards: int):
+        """Doc-sharded BLOCK layout + per-shard term tables for the
+        multi-chip batched sparse candidate scorer
+        (parallel/query.py::make_sharded_batch_scorer): the round-3
+        single-chip headline path, laid out so every chip gathers its
+        strips from purely local blocks (no collective until the final
+        [B, k] top-k merge over ICI).
+
+        Built from ``doc_shards(n_shards)``'s reordered postings:
+        per-shard 128-wide blocks stacked to a uniform pow-1.5 pad
+        ``bp`` (``block_docs``/``block_impacts`` [D·bp, 128], pad rows
+        hold the per-shard dead doc = ``width`` and zero impacts —
+        tombstoned docs' impacts are ALSO zeroed here, the sparse
+        core's deletion contract), plus a per-shard term table
+        ``tid_tbl`` [D, 3, n_terms_pad] (local block start, block
+        count, f32 idf bit-cast — the shard-local analogue of
+        ``sparse_tid_tbl``). ``blocks`` ([D·n_terms] host int64) feeds
+        the reader's light/heavy partition (a row must be light on its
+        WORST shard so the shard_map stays uniform SPMD)."""
+        cached = getattr(self, "_mesh_sparse", None)
+        if cached is not None and cached["n_shards"] == n_shards:
+            return cached
+        from searchlite_tpu.ops.impact import pow15_bucket  # noqa: PLC0415
+        from searchlite_tpu.ops.precision import (  # noqa: PLC0415
+            impacts_store_dtype,
+        )
+
+        sh = self.doc_shards(n_shards)
+        n_terms = sh["n_terms"]
+        width = sh["shard_width"]
+        counts = sh["counts"]                      # [D*n_terms]
+        base = sh["posting_base"]                  # [D*n_terms + 1]
+        blocks = -(-counts // 128)
+        block_base = np.concatenate([[0], np.cumsum(blocks)])
+        sb_lo = block_base[np.arange(n_shards) * n_terms]
+        sb_hi = block_base[(np.arange(n_shards) + 1) * n_terms]
+        bp = pow15_bucket(int((sb_hi - sb_lo).max()) + 1, minimum=16)
+        bdocs = np.full((n_shards * bp, 128), width, dtype=np.int32)
+        bimps = np.zeros((n_shards * bp, 128), dtype=np.float32)
+        total = int(counts.sum())
+        if total:
+            run_of = np.repeat(np.arange(len(counts), dtype=np.int64),
+                               counts)
+            shard_of = run_of // n_terms
+            offset = np.arange(total, dtype=np.int64) \
+                - base[:-1][run_of]
+            dest = (shard_of * bp
+                    + (block_base[:-1][run_of] - sb_lo[shard_of])) \
+                * 128 + offset
+            docs_sh = sh["docs_sh_np"][:total]
+            imps_sh = sh["imps_sh_np"][:total]
+            if self.live_docs != self.n_docs:
+                glob = shard_of * width + docs_sh.astype(np.int64)
+                imps_sh = np.where(self.deleted_np[glob], np.float32(0),
+                                   imps_sh)
+            bdocs.reshape(-1)[dest] = docs_sh
+            bimps.reshape(-1)[dest] = imps_sh
+        n_pad = pow15_bucket(max(n_terms, 1), minimum=1024)
+        tid_tbl = np.zeros((n_shards, 3, n_pad), dtype=np.int32)
+        local_start = (block_base[:-1].reshape(n_shards, n_terms)
+                       - sb_lo[:, None])
+        tid_tbl[:, 0, :n_terms] = local_start.astype(np.int32)
+        tid_tbl[:, 1, :n_terms] = blocks.reshape(
+            n_shards, n_terms).astype(np.int32)
+        tid_tbl[:, 2, :n_terms] = self.idf32.view(np.int32)[None, :]
+        jnp = self._jnp
+        cached = {
+            "n_shards": n_shards,
+            "width": int(width),
+            "bp": int(bp),
+            "n_terms": n_terms,
+            "blocks": blocks,
+            "block_docs": jnp.asarray(bdocs),
+            "block_impacts": jnp.asarray(
+                bimps.astype(np.dtype(impacts_store_dtype()))),
+            "tid_tbl": jnp.asarray(tid_tbl),
+        }
+        self._mesh_sparse = cached
+        return cached
 
     # -- doc-sharded layout (large corpora) --------------------------------
     # Postings re-sorted by (doc_shard, term, doc): each shard's slice is

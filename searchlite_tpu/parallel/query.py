@@ -148,6 +148,93 @@ def make_sharded_query_executor(mesh, compiled, width: int):
         "k", "p_pad", "has_scored_terms", "need_scores"))
 
 
+def make_sharded_batch_scorer(mesh):
+    """Doc-sharded BATCHED sparse candidate scorer — the round-3
+    single-chip headline path (ops/sparse.py packed candidate strips)
+    over a device mesh. Each chip gathers every query row's candidate
+    strip from its OWN doc range's blocks
+    (``DeviceSegment.mesh_sparse_tables``): strip gather, sort,
+    segmented combine, and local top-k are all collective-free; ICI
+    carries only the [B, D·k'] top-k merge (``all_gather`` + final
+    ``top_k`` — shard-major layout keeps the reference's (score desc,
+    doc asc) tie contract exactly as in ``make_sharded_query_executor``,
+    since shard order IS global doc order). Per-batch transfer is the
+    same ONE packed [B, t_pad] int32 table the single-chip path ships
+    (replicated), plus the rare weight-override COO.
+
+    The reference engine scores a batch by looping queries on one core
+    (`query/wand.rs:459-566`); this is the scale-out analogue the
+    BASELINE "≥10× on a v5e-8" target assumes: per-chip work scales
+    1/D in both postings touched and HBM.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    from searchlite_tpu.ops.sparse import (
+        TID_BITS,
+        TID_LIMIT,
+        _candidate_core,
+    )
+
+    n_shards = mesh.shape["shard"]
+
+    def local_step(block_docs, block_impacts, tid_tbl, packed, ovr, *,
+                   k, t_pad, nblk, log2_run, n_ovr, width, sent_row):
+        tid_tbl = tid_tbl[0]                       # [1,3,T] -> [3,T]
+        tid = packed & (TID_LIMIT - 1)
+        occ = jax.lax.shift_right_logical(packed, TID_BITS)
+        bstart = tid_tbl[0][tid]
+        bcnt = jnp.where(occ > 0, tid_tbl[1][tid], 0)
+        idf = jax.lax.bitcast_convert_type(tid_tbl[2][tid], jnp.float32)
+        w = occ.astype(jnp.float32) * idf
+        if n_ovr:
+            B = packed.shape[0]
+            wf = w.reshape(B * t_pad)
+            wf = wf.at[ovr[0]].set(
+                jax.lax.bitcast_convert_type(ovr[1], jnp.float32),
+                mode="drop")
+            w = wf.reshape(B, t_pad)
+        kk = min(k, nblk * 128)
+        ts, td = _candidate_core(
+            jax, jnp, block_docs, block_impacts, bstart, bcnt, w,
+            sent_row, width, k=kk, t_pad=t_pad, nblk=nblk,
+            log2_run=log2_run, with_counts=False)
+        gd = td + jax.lax.axis_index("shard") * width
+        all_s = jax.lax.all_gather(ts, "shard", axis=1, tiled=True)
+        all_d = jax.lax.all_gather(gd, "shard", axis=1, tiled=True)
+        fs, pos = jax.lax.top_k(all_s, min(k, all_s.shape[1]))
+        fd = jnp.take_along_axis(all_d, pos, axis=1)
+        if fs.shape[1] < k:                        # tiny strips: pad
+            pad = k - fs.shape[1]
+            fs = jnp.pad(fs, ((0, 0), (0, pad)),
+                         constant_values=-jnp.inf)
+            fd = jnp.pad(fd, ((0, 0), (0, pad)))
+        return fs, fd
+
+    def run(block_docs, block_impacts, tid_tbl, packed, ovr, *,
+            k: int, t_pad: int, nblk: int, log2_run: int, n_ovr: int,
+            width: int, sent_row: int):
+        fn = _shard_map()(
+            partial(local_step, k=k, t_pad=t_pad, nblk=nblk,
+                    log2_run=log2_run, n_ovr=n_ovr, width=width,
+                    sent_row=sent_row),
+            mesh=mesh,
+            in_specs=(P("shard", None), P("shard", None),
+                      P("shard", None, None),
+                      P(None, None), P(None, None)),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+        return fn(block_docs, block_impacts, tid_tbl, packed, ovr)
+
+    import jax
+
+    return jax.jit(run, static_argnames=(
+        "k", "t_pad", "nblk", "log2_run", "n_ovr", "width",
+        "sent_row"))
+
+
 def make_sharded_vector_topk(mesh):
     """Vector similarity over the mesh: vector rows (docs) shard over
     chips, each chip runs the exact MXU similarity + local top-k on its
