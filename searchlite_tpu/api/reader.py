@@ -2363,10 +2363,10 @@ class IndexReader:
         <= ``cap``; per-chip postings shrink ~1/D, so sharding admits
         MORE rows than the single-chip cap) ride the sharded candidate
         scorer — one replicated packed-table upload, local strips, ICI
-        top-k merge. The remainder runs the single-chip dense scorers
-        on the default device (doc-sharding the dense remainder over
-        the mesh is the next lever). Returns the async launch record;
-        the caller bulk-fetches."""
+        top-k merge. The remainder runs doc-sharded dense scoring
+        (per-chip M, ``_launch_heavy_mesh``), falling back to the
+        single-chip dense scorers when that path's guards reject it.
+        Returns the async launch record; the caller bulk-fetches."""
         import jax.numpy as jnp
 
         from searchlite_tpu.ops.impact import (
@@ -2420,12 +2420,80 @@ class IndexReader:
         if len(heavy_idx):
             hqb = (qb if len(heavy_idx) == nq
                    else subset_impact_batch(qb, heavy_idx))
-            hs, hi = self._launch_batch_segment(dseg, hqb, k,
-                                                allow_sparse=False)
-            heavy = (hs, hi)
+            heavy = self._launch_heavy_mesh(mesh, dseg, hqb, k)
+            if heavy is None:
+                heavy = self._launch_batch_segment(dseg, hqb, k,
+                                                   allow_sparse=False)
         return {"light": light, "light_idx": light_idx,
                 "heavy": heavy, "heavy_idx": heavy_idx,
                 "nq": nq, "k": k}
+
+    def _launch_heavy_mesh(self, mesh, dseg, hqb, k: int):
+        """Dispatch the heavy (head-term) remainder of a mesh batch
+        doc-sharded: per-shard block tables expanded from the
+        segment's mesh layout feed
+        parallel/query.py::make_sharded_dense_batch_scorer (per-chip
+        M over 1/D of the doc axis + the same W@M matmul). Returns
+        None when the path doesn't apply (caller falls back to the
+        single-chip dense scorers): SEARCHLITE_MESH_DENSE=0, or a
+        per-chip M that would exceed int32 indexing."""
+        import jax.numpy as jnp
+
+        from searchlite_tpu.ops.impact import (
+            ensure_dense_tables,
+            pow2_bucket,
+        )
+
+        if os.environ.get("SEARCHLITE_MESH_DENSE", "1") == "0":
+            return None
+        n_shards = mesh.shape["shard"]
+        mt = dseg.mesh_sparse_tables(n_shards)
+        ensure_dense_tables(hqb)
+        s_pad = hqb["s_pad"]
+        width = mt["width"]
+        if s_pad * (width + 1) >= FLAT_INDEX_LIMIT:
+            return None
+        n_slots = hqb["n_slots"]
+        tids = hqb["slot_tids"][:n_slots]
+        bl2 = mt["blocks"].reshape(n_shards, -1)
+        st2 = mt["local_start_np"]
+        cnt = bl2[:, tids]                       # [D, n_slots]
+        start = st2[:, tids]
+        nb = cnt.sum(axis=1)
+        nb_pad = pow2_bucket(max(int(nb.max()), 1), minimum=64)
+        sent = mt["bp"] - 1
+        blk_idx = np.full((n_shards, nb_pad), sent, dtype=np.int32)
+        slot_row = np.zeros((n_shards, nb_pad), dtype=np.int32)
+        for d in range(n_shards):
+            c = cnt[d]
+            total = int(nb[d])
+            if not total:
+                continue
+            slot_of = np.repeat(
+                np.arange(n_slots, dtype=np.int64), c)
+            begin = np.concatenate([[0], np.cumsum(c)[:-1]])
+            blk = (np.repeat(start[d] - begin, c)
+                   + np.arange(total, dtype=np.int64))
+            blk_idx[d, :total] = blk
+            slot_row[d, :total] = slot_of
+        precision = os.environ.get("SEARCHLITE_PRECISION", "f32")
+        key = ("mesh_dense", id(mesh),
+               tuple(sorted(mesh.shape.items())), precision)
+        with _GLOBAL_LOCK:
+            run = _GLOBAL_SCORERS.get(key)
+            if run is None:
+                from searchlite_tpu.parallel.query import (
+                    make_sharded_dense_batch_scorer,
+                )
+
+                run = make_sharded_dense_batch_scorer(mesh, precision)
+                _GLOBAL_SCORERS[key] = run
+        return run(
+            mt["block_docs"], mt["block_impacts"],
+            jnp.asarray(blk_idx), jnp.asarray(slot_row),
+            jnp.asarray(hqb["w_idx"]), jnp.asarray(hqb["w_val"]),
+            k=k, s_pad=s_pad, n_queries=hqb["n_queries"],
+            width=width)
 
     def _search_batch_mesh_many(self, batches, limit: int, fields,
                                 limits, output: str, mesh):

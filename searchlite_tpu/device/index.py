@@ -551,6 +551,10 @@ class DeviceSegment:
             "bp": int(bp),
             "n_terms": n_terms,
             "blocks": blocks,
+            # host copy of the per-shard local block starts (the
+            # device tid_tbl's row 0) — the dense-remainder path
+            # expands per-shard block tables from it
+            "local_start_np": local_start.astype(np.int64),
             "block_docs": jnp.asarray(bdocs),
             "block_impacts": jnp.asarray(
                 bimps.astype(np.dtype(impacts_store_dtype()))),

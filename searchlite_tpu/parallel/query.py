@@ -235,6 +235,83 @@ def make_sharded_batch_scorer(mesh):
         "sent_row"))
 
 
+def make_sharded_dense_batch_scorer(mesh, precision: str = "f32"):
+    """Doc-sharded DENSE batched scorer — the heavy (head-term)
+    remainder of ``search_batch_many(mesh=)``. Each chip builds the
+    batch's impact matrix M over ITS doc slice only (block-gather +
+    unique scatter over the shard-local block layout,
+    ``DeviceSegment.mesh_sparse_tables`` — per-chip M is
+    [S, width+1], 1/D of the single-chip matrix), runs the same
+    ``W @ M`` MXU matmul, and merges local top-k over ICI exactly like
+    ``make_sharded_batch_scorer``. Tombstoned docs' impacts are zeroed
+    in the shard tables, so the single-chip ``score > 0`` match mask
+    carries over unchanged."""
+    from searchlite_tpu.ops.precision import (
+        apply_matmul_precision,
+        m_store_dtype,
+    )
+
+    apply_matmul_precision()
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    m_dtype = m_store_dtype(precision)
+
+    def local_step(block_docs, block_impacts, blk_idx, slot_row,
+                   w_idx, w_val, *, k, s_pad, n_queries, width):
+        from searchlite_tpu.ops.impact import build_m_from_blocks
+
+        blk_idx = blk_idx[0]                     # [1, nb] -> [nb]
+        slot_row = slot_row[0]
+        m = build_m_from_blocks(jnp, block_docs, block_impacts,
+                                blk_idx, slot_row, width + 1, s_pad,
+                                dtype=m_dtype)
+        w_flat = jnp.zeros(n_queries * s_pad + w_idx.shape[0],
+                           dtype=jnp.float32)
+        w_flat = w_flat.at[w_idx].set(
+            w_val, indices_are_sorted=True, unique_indices=True,
+            mode="promise_in_bounds")
+        w = w_flat[: n_queries * s_pad].reshape(n_queries, s_pad)
+        if m.dtype != w.dtype:
+            w = w.astype(m.dtype)
+        scores = jnp.dot(w, m, preferred_element_type=jnp.float32)
+        masked = jnp.where(scores > 0.0, scores, -jnp.inf)
+        kk = min(k, width + 1)
+        ls, li = jax.lax.top_k(masked, kk)
+        gd = li + jax.lax.axis_index("shard") * width
+        all_s = jax.lax.all_gather(ls, "shard", axis=1, tiled=True)
+        all_d = jax.lax.all_gather(gd, "shard", axis=1, tiled=True)
+        fs, pos = jax.lax.top_k(all_s, min(k, all_s.shape[1]))
+        fd = jnp.take_along_axis(all_d, pos, axis=1)
+        if fs.shape[1] < k:
+            pad = k - fs.shape[1]
+            fs = jnp.pad(fs, ((0, 0), (0, pad)),
+                         constant_values=-jnp.inf)
+            fd = jnp.pad(fd, ((0, 0), (0, pad)))
+        return fs, fd
+
+    def run(block_docs, block_impacts, blk_idx, slot_row, w_idx,
+            w_val, *, k: int, s_pad: int, n_queries: int, width: int):
+        fn = _shard_map()(
+            partial(local_step, k=k, s_pad=s_pad,
+                    n_queries=n_queries, width=width),
+            mesh=mesh,
+            in_specs=(P("shard", None), P("shard", None),
+                      P("shard", None), P("shard", None),
+                      P(None), P(None)),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+        return fn(block_docs, block_impacts, blk_idx, slot_row,
+                  w_idx, w_val)
+
+    import jax
+
+    return jax.jit(run, static_argnames=(
+        "k", "s_pad", "n_queries", "width"))
+
+
 def make_sharded_vector_topk(mesh):
     """Vector similarity over the mesh: vector rows (docs) shard over
     chips, each chip runs the exact MXU similarity + local top-k on its

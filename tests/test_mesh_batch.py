@@ -113,6 +113,22 @@ def test_mesh_batch_stream(index, mesh, monkeypatch):
         assert_same(s_batch, m_batch)
 
 
+def test_mesh_dense_remainder_matches_fallback(index, mesh,
+                                               monkeypatch):
+    """Heavy rows run doc-sharded dense scoring (per-chip M +
+    all_gather merge); forcing the single-chip fallback
+    (SEARCHLITE_MESH_DENSE=0) must give the same results."""
+    reader = index.reader()
+    queries = ["w0", "w0 w1", "w1 w2 w3"] + make_queries(
+        random.Random(10), 13)
+    monkeypatch.setenv("SEARCHLITE_SPARSE_MAX_BLOCKS", "1")
+    monkeypatch.setenv("SEARCHLITE_MESH_DENSE", "0")
+    fallback = reader.search_batch(queries, limit=9, mesh=mesh)
+    monkeypatch.setenv("SEARCHLITE_MESH_DENSE", "1")
+    sharded = reader.search_batch(queries, limit=9, mesh=mesh)
+    assert_same(fallback, sharded)
+
+
 def test_mesh_smaller_than_eight(index, monkeypatch):
     reader = index.reader()
     queries = make_queries(random.Random(8), 10)
