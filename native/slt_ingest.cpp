@@ -58,22 +58,27 @@ struct TermPostings {
       docs.push_back(doc);
       tfs.push_back(1.0f);
       if (with_positions) {
+        // positions-off builders never touch pos_lens/pos_data: the
+        // exporter treats a short pos_lens as all-zero lengths, so
+        // skipping the per-posting push saves a third of the insert's
+        // vector traffic on the (default) positions-off hot path
         pos_data.push_back(pos);
         pos_lens.push_back(1);
-      } else {
-        pos_lens.push_back(0);
       }
     }
   }
 };
 
-inline uint64_t fnv1a(const char* p, size_t n) {
-  uint64_t h = 1469598103934665603ull;
+inline uint64_t fnv1a_cont(uint64_t h, const char* p, size_t n) {
   for (size_t i = 0; i < n; ++i) {
     h ^= static_cast<unsigned char>(p[i]);
     h *= 1099511628211ull;
   }
   return h;
+}
+
+inline uint64_t fnv1a(const char* p, size_t n) {
+  return fnv1a_cont(1469598103934665603ull, p, n);
 }
 
 struct Shard {
@@ -163,10 +168,12 @@ inline bool is_ascii_alnum(unsigned char c) {
 }
 
 // Tokenize one text value through either analyzer chain, emitting
-// (key, position) for every surviving token. Returns the surviving
-// token count; *max_pos_out = last surviving position (0xFFFFFFFF when
-// none). Shared by the sequential and the threaded bulk paths so their
-// token streams are identical by construction.
+// (key, key_hash, position) for every surviving token — the hash is
+// fnv1a over the full key, folded as prefix-hash + token bytes so the
+// prefix is hashed once per item, not once per token. Returns the
+// surviving token count; *max_pos_out = last surviving position
+// (0xFFFFFFFF when none). Shared by the sequential and the threaded
+// bulk paths so their token streams are identical by construction.
 template <typename Emit>
 long long analyze_item(const std::unordered_set<std::string>& stopwords,
                        const char* text, long long tlen, const char* pfx,
@@ -177,6 +184,7 @@ long long analyze_item(const std::unordered_set<std::string>& stopwords,
   uint32_t position = 0;
   uint32_t max_pos = 0xFFFFFFFFu;
   std::string key;
+  const uint64_t pfx_h = fnv1a(pfx, plen);
   if (use_unicode) {
     std::vector<std::string> tokens;
     sltu::unicode_analyze(text, tlen, tokens);
@@ -184,13 +192,14 @@ long long analyze_item(const std::unordered_set<std::string>& stopwords,
       if (use_stop && stopwords.count(tok)) continue;
       key.assign(pfx, plen);
       key += tok;
-      emit(key, position);
+      emit(key, fnv1a_cont(pfx_h, tok.data(), tok.size()), position);
       max_pos = position;
       ++position;
       ++count;
     }
   } else {
     std::string token;
+    key.assign(pfx, plen);
     for (long long i = 0; i <= tlen; ++i) {
       const bool alnum =
           i < tlen && is_ascii_alnum(static_cast<unsigned char>(text[i]));
@@ -204,9 +213,10 @@ long long analyze_item(const std::unordered_set<std::string>& stopwords,
           continue;
         }
         if (use_stem) token = slt_porter2::stem(std::move(token));
-        key.assign(pfx, plen);
+        key.resize(plen);  // keep the prefix bytes, drop the old token
         key += token;
-        emit(key, position);
+        emit(key, fnv1a_cont(pfx_h, token.data(), token.size()),
+             position);
         max_pos = position;
         ++position;
         ++count;
@@ -300,8 +310,11 @@ long long slt_add_text(void* handle, const char* field_prefix, int prefix_len,
   long long count = analyze_item(
       b->stopwords, text, text_len, field_prefix,
       static_cast<size_t>(prefix_len), use_stopwords != 0, use_stem != 0,
-      false, out_max_pos, [&](const std::string& key, uint32_t pos) {
-        b->term(key).add(doc, position_offset + pos, b->enable_positions);
+      false, out_max_pos,
+      [&](const std::string& key, uint64_t h, uint32_t pos) {
+        b->shards[h % static_cast<uint64_t>(b->n_shards)]
+            .term_h(h, key.data(), key.size())
+            .add(doc, position_offset + pos, b->enable_positions);
       });
   return count;
 }
@@ -322,8 +335,11 @@ long long slt_add_text_unicode(void* handle, const char* field_prefix,
   long long count = analyze_item(
       b->stopwords, text, text_len, field_prefix,
       static_cast<size_t>(prefix_len), use_stopwords != 0, false, true,
-      out_max_pos, [&](const std::string& key, uint32_t pos) {
-        b->term(key).add(doc, position_offset + pos, b->enable_positions);
+      out_max_pos,
+      [&](const std::string& key, uint64_t h, uint32_t pos) {
+        b->shards[h % static_cast<uint64_t>(b->n_shards)]
+            .term_h(h, key.data(), key.size())
+            .add(doc, position_offset + pos, b->enable_positions);
       });
   return count;
 }
@@ -363,9 +379,10 @@ void slt_add_texts(void* handle, const char* texts, const int64_t* text_off,
           text_off[it + 1] - text_off[it], prefixes + prefix_off[f],
           static_cast<size_t>(prefix_off[f + 1] - prefix_off[f]),
           f_stop[f] != 0, f_stem[f] != 0, f_unicode[f] != 0, &max_pos,
-          [&](const std::string& key, uint32_t pos) {
-            b->shards[0].term(key).add(doc_ords[it], offset + pos,
-                                       b->enable_positions);
+          [&](const std::string& key, uint64_t h, uint32_t pos) {
+            b->shards[0]
+                .term_h(h, key.data(), key.size())
+                .add(doc_ords[it], offset + pos, b->enable_positions);
           });
       offset += (max_pos == 0xFFFFFFFFu) ? 1u : (max_pos + 1u);
     }
@@ -398,9 +415,9 @@ void slt_add_texts(void* handle, const char* texts, const int64_t* text_off,
           text_off[it + 1] - text_off[it], prefixes + prefix_off[f],
           static_cast<size_t>(prefix_off[f + 1] - prefix_off[f]),
           f_stop[f] != 0, f_stem[f] != 0, f_unicode[f] != 0, &max_pos,
-          [&](const std::string& key, uint32_t pos) {
+          [&](const std::string& key, uint64_t h, uint32_t pos) {
             out.toks.push_back(
-                {fnv1a(key.data(), key.size()), doc_ords[it], offset + pos,
+                {h, doc_ords[it], offset + pos,
                  static_cast<uint32_t>(out.arena.size()),
                  static_cast<uint32_t>(key.size())});
             out.arena.append(key);
@@ -684,7 +701,7 @@ int64_t slt_qprep_batch(void* h, const char* qblob, const int64_t* q_off,
       uint32_t max_pos = 0;
       analyze_item(qp->stopwords, piece, plen_piece, pfx, plen,
                    use_stop, use_stem, use_unicode, &max_pos,
-                   [&](const std::string& k, uint32_t) {
+                   [&](const std::string& k, uint64_t, uint32_t) {
                      const int64_t tid = qprep_lookup(*qp, k);
                      if (tid < 0) return;
                      auto it = slot_of.find(tid);
