@@ -108,7 +108,13 @@ struct Shard {
     slot_id1.swap(ni);
   }
 
-  TermPostings& term_h(uint64_t h, const char* key, size_t klen) {
+  // flat insert log (positions-off mode): (term_id << 32) | doc per
+  // TOKEN, appended sequentially — the cache-hostile per-term vector
+  // pushes move to materialize(), whose counting-sort cursors and
+  // counts stay cache-resident
+  std::vector<uint64_t> recs;
+
+  uint32_t term_id_h(uint64_t h, const char* key, size_t klen) {
     if (slot_hash.empty()) rehash(4096);
     const size_t mask = slot_hash.size() - 1;
     size_t i = static_cast<size_t>(h) & mask;
@@ -118,7 +124,7 @@ struct Shard {
       if (slot_hash[i] == h) {
         const std::string& k = term_keys[id1 - 1];
         if (k.size() == klen && std::memcmp(k.data(), key, klen) == 0)
-          return terms[id1 - 1];
+          return id1 - 1;
       }
       i = (i + 1) & mask;
     }
@@ -129,11 +135,50 @@ struct Shard {
     slot_id1[i] = id + 1;
     if (++n_used * 10 >= slot_hash.size() * 7)
       rehash(slot_hash.size() * 2);
-    return terms.back();
+    return id;
+  }
+
+  TermPostings& term_h(uint64_t h, const char* key, size_t klen) {
+    return terms[term_id_h(h, key, klen)];
   }
 
   TermPostings& term(const std::string& key) {
     return term_h(fnv1a(key.data(), key.size()), key.data(), key.size());
+  }
+
+  // Replay the flat log into per-term (docs, tfs): stable counting
+  // sort by term id (preserves the log's doc-ascending order within a
+  // term), then combine equal-doc runs with the SAME back()==doc /
+  // tfs += 1.0f accumulation TermPostings::add performs — the output
+  // is bit-identical to the eager path.
+  void materialize() {
+    if (recs.empty()) return;
+    const size_t nt = terms.size();
+    std::vector<uint64_t> bounds(nt + 1, 0);
+    for (uint64_t r : recs) ++bounds[(r >> 32) + 1];
+    for (size_t t = 1; t <= nt; ++t) bounds[t] += bounds[t - 1];
+    std::vector<uint32_t> docs_flat(recs.size());
+    std::vector<uint64_t> cursor(bounds.begin(), bounds.end() - 1);
+    for (uint64_t r : recs)
+      docs_flat[cursor[r >> 32]++] = static_cast<uint32_t>(r);
+    for (size_t t = 0; t < nt; ++t) {
+      TermPostings& tp = terms[t];
+      const uint64_t lo = bounds[t], hi = bounds[t + 1];
+      if (lo == hi) continue;
+      tp.docs.reserve(tp.docs.size() + (hi - lo));
+      tp.tfs.reserve(tp.tfs.size() + (hi - lo));
+      for (uint64_t p = lo; p < hi; ++p) {
+        const uint32_t d = docs_flat[p];
+        if (!tp.docs.empty() && tp.docs.back() == d) {
+          tp.tfs.back() += 1.0f;
+        } else {
+          tp.docs.push_back(d);
+          tp.tfs.push_back(1.0f);
+        }
+      }
+    }
+    recs.clear();
+    recs.shrink_to_fit();
   }
 };
 
@@ -159,6 +204,26 @@ struct Builder {
     const uint64_t h = fnv1a(key.data(), key.size());
     return shards[h % static_cast<uint64_t>(n_shards)].term_h(
         h, key.data(), key.size());
+  }
+
+  // one insert per surviving token: flat log when positions are off
+  // (replayed at finish — Shard::materialize), eager TermPostings
+  // push when positions are on (the per-token position must ride
+  // along)
+  void insert(Shard& s, uint64_t h, const char* key, size_t klen,
+              uint32_t doc, uint32_t pos, bool with_pos) {
+    const uint32_t id = s.term_id_h(h, key, klen);
+    if (enable_positions) {
+      s.terms[id].add(doc, pos, with_pos);
+    } else {
+      s.recs.push_back((static_cast<uint64_t>(id) << 32) | doc);
+    }
+  }
+
+  void insert(uint64_t h, const char* key, size_t klen, uint32_t doc,
+              uint32_t pos, bool with_pos) {
+    insert(shards[h % static_cast<uint64_t>(n_shards)], h, key, klen,
+           doc, pos, with_pos);
   }
 };
 
@@ -269,7 +334,9 @@ void slt_add_token(void* handle, const char* key, int key_len, uint32_t doc,
                    uint32_t pos, int with_positions) {
   auto* b = static_cast<Builder*>(handle);
   std::string k(key, static_cast<size_t>(key_len));
-  b->term(k).add(doc, pos, b->enable_positions && with_positions != 0);
+  const uint64_t h = fnv1a(k.data(), k.size());
+  b->insert(h, k.data(), k.size(), doc, pos,
+            b->enable_positions && with_positions != 0);
 }
 
 // Register a stopword for the builder's English filter profile.
@@ -312,9 +379,8 @@ long long slt_add_text(void* handle, const char* field_prefix, int prefix_len,
       static_cast<size_t>(prefix_len), use_stopwords != 0, use_stem != 0,
       false, out_max_pos,
       [&](const std::string& key, uint64_t h, uint32_t pos) {
-        b->shards[h % static_cast<uint64_t>(b->n_shards)]
-            .term_h(h, key.data(), key.size())
-            .add(doc, position_offset + pos, b->enable_positions);
+        b->insert(h, key.data(), key.size(), doc, position_offset + pos,
+                  b->enable_positions);
       });
   return count;
 }
@@ -337,9 +403,8 @@ long long slt_add_text_unicode(void* handle, const char* field_prefix,
       static_cast<size_t>(prefix_len), use_stopwords != 0, false, true,
       out_max_pos,
       [&](const std::string& key, uint64_t h, uint32_t pos) {
-        b->shards[h % static_cast<uint64_t>(b->n_shards)]
-            .term_h(h, key.data(), key.size())
-            .add(doc, position_offset + pos, b->enable_positions);
+        b->insert(h, key.data(), key.size(), doc, position_offset + pos,
+                  b->enable_positions);
       });
   return count;
 }
@@ -380,9 +445,8 @@ void slt_add_texts(void* handle, const char* texts, const int64_t* text_off,
           static_cast<size_t>(prefix_off[f + 1] - prefix_off[f]),
           f_stop[f] != 0, f_stem[f] != 0, f_unicode[f] != 0, &max_pos,
           [&](const std::string& key, uint64_t h, uint32_t pos) {
-            b->shards[0]
-                .term_h(h, key.data(), key.size())
-                .add(doc_ords[it], offset + pos, b->enable_positions);
+            b->insert(b->shards[0], h, key.data(), key.size(),
+                      doc_ords[it], offset + pos, b->enable_positions);
           });
       offset += (max_pos == 0xFFFFFFFFu) ? 1u : (max_pos + 1u);
     }
@@ -440,8 +504,8 @@ void slt_add_texts(void* handle, const char* texts, const int64_t* text_off,
     for (const auto& st : streams) {
       for (const auto& tk : st.toks) {
         if (tk.hash % mod != shard_id) continue;
-        s.term_h(tk.hash, st.arena.data() + tk.key_off, tk.key_len)
-            .add(tk.doc, tk.pos, b->enable_positions);
+        b->insert(s, tk.hash, st.arena.data() + tk.key_off,
+                  tk.key_len, tk.doc, tk.pos, b->enable_positions);
       }
     }
   };
@@ -457,6 +521,17 @@ void slt_add_texts(void* handle, const char* texts, const int64_t* text_off,
 // Sort terms globally, compute export sizes.
 void slt_finish(void* handle) {
   auto* b = static_cast<Builder*>(handle);
+  // positions-off builders replay their flat insert logs here (one
+  // thread per shard; a no-op for positions-on builders / empty logs)
+  if (b->n_shards == 1) {
+    b->shards[0].materialize();
+  } else {
+    std::vector<std::thread> workers;
+    workers.reserve(b->shards.size());
+    for (auto& s : b->shards)
+      workers.emplace_back([&s] { s.materialize(); });
+    for (auto& w : workers) w.join();
+  }
   b->sorted_order.clear();
   for (uint32_t s = 0; s < b->shards.size(); ++s) {
     const size_t n = b->shards[s].terms.size();
