@@ -145,11 +145,26 @@ def build_search_request(args) -> dict:
     return req
 
 
+def _cli_mesh(spec):
+    """--mesh auto|N -> a ("query","shard") device mesh, or None when
+    unset / only one device is visible."""
+    if not spec or spec in ("off", "none", "0"):
+        return None
+    import jax
+
+    from searchlite_tpu.parallel.mesh import make_mesh
+
+    n = None if spec == "auto" else int(spec)
+    if (n or len(jax.devices())) <= 1:
+        return None
+    return make_mesh(n)
+
+
 def cmd_search(args) -> int:
     index = Index.open(options(args.index, False))
     reader = index.reader()
     request = SearchRequest.from_json(build_search_request(args))
-    result = reader.search(request)
+    result = reader.search(request, mesh=_cli_mesh(args.mesh))
     print(json.dumps(result.to_json(), indent=2, ensure_ascii=False))
     return 0
 
@@ -189,7 +204,7 @@ def cmd_search_batch(args) -> int:
         queries, limit=max(limits, default=args.limit),
         execution=args.execution,
         filters=filters if any(f is not None for f in filters) else None,
-        limits=limits)
+        limits=limits, mesh=_cli_mesh(args.mesh))
     print(json.dumps({"results": [
         [{"doc_id": d, "score": s} for d, s in row] for row in rows
     ]}, indent=2, ensure_ascii=False))
@@ -213,7 +228,8 @@ def cmd_http(args) -> int:
     from searchlite_tpu.http_server import run_server
 
     run_server(index_path=args.index, bind=args.bind,
-               require_existing_index=args.require_existing_index)
+               require_existing_index=args.require_existing_index,
+               mesh=args.mesh)
     return 0
 
 
@@ -269,6 +285,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--vector-candidates", type=int, default=None)
     p.add_argument("--aggs")
     p.add_argument("--aggs-file")
+    p.add_argument("--mesh", default=None, help='doc-shard query execution over a device mesh: "auto" = all local devices, N = that many (single-device hosts ignore it)')
     p.set_defaults(fn=cmd_search)
 
     p = sub.add_parser(
@@ -285,12 +302,14 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["bm25", "wand", "bmw"])
     p.add_argument("--filter",
                    help="shared filter JSON applied to every query")
+    p.add_argument("--mesh", default=None, help='doc-shard query execution over a device mesh: "auto" = all local devices, N = that many (single-device hosts ignore it)')
     p.set_defaults(fn=cmd_search_batch)
 
     p = sub.add_parser("http", help="Start the HTTP server for one index")
     p.add_argument("index")
     p.add_argument("--bind", default="127.0.0.1:7700")
     p.add_argument("--require-existing-index", action="store_true")
+    p.add_argument("--mesh", default=None, help='doc-shard query execution over a device mesh: "auto" = all local devices, N = that many (single-device hosts ignore it)')
     p.set_defaults(fn=cmd_http)
 
     p = sub.add_parser("inspect", help="Inspect manifest and segments")

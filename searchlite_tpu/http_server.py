@@ -47,8 +47,15 @@ class AppState:
     def __init__(self, index_path: str, require_existing_index: bool = False,
                  refresh_on_commit: bool = True,
                  max_body_bytes: int = DEFAULT_MAX_BODY,
-                 max_concurrency: int = 64):
+                 max_concurrency: int = 64,
+                 mesh: str | int | None = None):
         self.index_path = index_path
+        # doc-sharded multi-chip execution: "auto" = all local devices,
+        # an int = that many; search/search_batch run over the mesh
+        # (parallel/query.py). Built lazily on the first search so
+        # server startup never touches the accelerator runtime.
+        self.mesh_spec = mesh
+        self._mesh = None
         self.refresh_on_commit = refresh_on_commit
         self.max_body_bytes = max_body_bytes
         # concurrency cap, parity with the reference's tower layer
@@ -95,6 +102,24 @@ class AppState:
         index.reload_manifest()
         with self._index_lock:
             self._reader = index.reader()
+
+    @property
+    def mesh(self):
+        spec = self.mesh_spec
+        if spec in (None, "", "off", "none", "0", 0):
+            return None
+        if self._mesh is None:
+            import jax
+
+            from searchlite_tpu.parallel.mesh import make_mesh
+
+            n = None if spec == "auto" else int(spec)
+            if (n or len(jax.devices())) <= 1:
+                # one device: the mesh buys nothing, skip it for good
+                self.mesh_spec = None
+                return None
+            self._mesh = make_mesh(n)
+        return self._mesh
 
 
 def _error_payload(err_type: str, reason: str) -> bytes:
@@ -316,7 +341,7 @@ class Handler(BaseHTTPRequestHandler):
         body = self._json_body()
         try:
             request = SearchRequest.from_json(body)
-            result = reader.search(request)
+            result = reader.search(request, mesh=self.state.mesh)
         except (QueryError, CursorError, SchemaError) as e:
             raise HttpError(400, "search_failed", str(e)) from e
         self._send_json(200, result.to_json())
@@ -378,7 +403,7 @@ class Handler(BaseHTTPRequestHandler):
                 fields=fields, execution=execution,
                 filters=(q_filters if any(f is not None
                                           for f in q_filters) else None),
-                limits=q_limits)
+                limits=q_limits, mesh=self.state.mesh)
         except (QueryError, CursorError, SchemaError) as e:
             raise HttpError(400, "search_failed", str(e)) from e
         self._send_json(200, {"results": [
@@ -398,7 +423,8 @@ class Handler(BaseHTTPRequestHandler):
 
 def make_server(index_path: str, bind: str = "127.0.0.1:7700",
                 require_existing_index: bool = False,
-                refresh_on_commit: bool = True) -> ThreadingHTTPServer:
+                refresh_on_commit: bool = True,
+                mesh: str | int | None = None) -> ThreadingHTTPServer:
     host, _, port = bind.rpartition(":")
     state = AppState(
         index_path,
@@ -409,6 +435,8 @@ def make_server(index_path: str, bind: str = "127.0.0.1:7700",
                                           DEFAULT_MAX_BODY)),
         max_concurrency=int(os.environ.get("SEARCHLITE_MAX_CONCURRENCY",
                                            64)),
+        mesh=mesh if mesh is not None
+        else os.environ.get("SEARCHLITE_MESH") or None,
     )
 
     handler = type("BoundHandler", (Handler,), {
@@ -420,8 +448,10 @@ def make_server(index_path: str, bind: str = "127.0.0.1:7700",
 
 
 def run_server(index_path: str, bind: str = "127.0.0.1:7700",
-               require_existing_index: bool = False) -> None:
-    server = make_server(index_path, bind, require_existing_index)
+               require_existing_index: bool = False,
+               mesh: str | int | None = None) -> None:
+    server = make_server(index_path, bind, require_existing_index,
+                         mesh=mesh)
     print(f"searchlite-tpu http listening on {server.server_address}")
     try:
         server.serve_forever()

@@ -376,3 +376,75 @@ class TestStructuredBatch:
         out = json.loads(capsys.readouterr().out)
         assert len(out["results"][0]) == 2
         assert [h["doc_id"] for h in out["results"][1]] == ["doc-1"]
+
+
+class TestMeshSurfaces:
+    """--mesh / SEARCHLITE_MESH: the CLI and HTTP surfaces run
+    doc-sharded over a device mesh (tests force 8 virtual CPU devices
+    via conftest) and must return exactly the single-chip results."""
+
+    def _build(self, index_dir):
+        idx = index_dir / "idx"
+        assert cli_main(["init", str(idx),
+                         str(index_dir / "schema.json")]) == 0
+        assert cli_main(["add", str(idx),
+                         str(index_dir / "docs.jsonl")]) == 0
+        assert cli_main(["commit", str(idx)]) == 0
+        return idx
+
+    def test_cli_search_mesh(self, index_dir, capsys):
+        idx = self._build(index_dir)
+        outs = []
+        for extra in ([], ["--mesh", "auto"], ["--mesh", "4"]):
+            capsys.readouterr()
+            assert cli_main(["search", str(idx), "-q", "is",
+                             "--limit", "5", *extra]) == 0
+            outs.append(json.loads(capsys.readouterr().out))
+        assert outs[0] == outs[1] == outs[2]
+        assert len(outs[0]["hits"]) == 2
+
+    def test_cli_search_batch_mesh(self, index_dir, capsys):
+        idx = self._build(index_dir)
+        outs = []
+        for extra in ([], ["--mesh", "auto"]):
+            capsys.readouterr()
+            assert cli_main(["search-batch", str(idx), "-q", "is",
+                             "-q", "database", "--limit", "3",
+                             *extra]) == 0
+            outs.append(json.loads(capsys.readouterr().out))
+        assert outs[0] == outs[1]
+        assert [h["doc_id"] for h in outs[0]["results"][1]] == ["doc-2"]
+
+    def test_http_mesh(self, tmp_path, index_dir):
+        import urllib.request as _u
+
+        from searchlite_tpu.http_server import make_server
+
+        idx = self._build(index_dir)
+        server = make_server(str(idx), bind="127.0.0.1:0", mesh="auto")
+        threading.Thread(target=server.serve_forever,
+                         daemon=True).start()
+        host, port = server.server_address
+        base = f"http://{host}:{port}"
+        try:
+            req = _u.Request(
+                f"{base}/search",
+                data=json.dumps({"query": "is", "limit": 5}).encode(),
+                method="POST",
+                headers={"content-type": "application/json"})
+            with _u.urlopen(req) as resp:
+                body = json.loads(resp.read())
+            assert [h["doc_id"] for h in body["hits"]] == \
+                ["doc-1", "doc-2"]
+            req = _u.Request(
+                f"{base}/search_batch",
+                data=json.dumps({"queries": ["is", "tpus"],
+                                 "limit": 3}).encode(),
+                method="POST",
+                headers={"content-type": "application/json"})
+            with _u.urlopen(req) as resp:
+                body = json.loads(resp.read())
+            assert len(body["results"][0]) == 2
+            assert body["results"][1][0]["doc_id"] == "doc-3"
+        finally:
+            server.shutdown()
