@@ -2379,11 +2379,13 @@ class IndexReader:
             _packed_applies,
         )
 
+        from searchlite_tpu.ops.sparse import tier_bounds
+
         n_shards = mesh.shape["shard"]
         nq = qb["n_queries"]
         light_idx = np.zeros(0, dtype=np.int64)
         heavy_idx = np.arange(nq, dtype=np.int64)
-        light = None
+        tiers = []          # (row ordinals into batch order, ts, td)
         if (cap > 0 and k <= 1024 and qb["n_slots"] > 0
                 and _packed_applies(qb)):
             mt = dseg.mesh_sparse_tables(n_shards)
@@ -2401,13 +2403,26 @@ class IndexReader:
             sel = row_max <= cap
             light_idx = np.flatnonzero(sel)
             heavy_idx = np.flatnonzero(~sel)
-            if len(light_idx):
-                g = _emit_packed_rows(qb, light_idx, dseg.idf32,
+            # pow-4 tiers by WORST-shard strip width (one launch per
+            # occupied tier), so a single wide row can't inflate every
+            # other row's candidate strip — the mesh twin of
+            # partition_sparse_batch_tiered
+            run = self._mesh_batch_scorer(mesh) if len(light_idx) \
+                else None
+            nblk_min = -(-k // 128)
+            prev = -1
+            for bound in tier_bounds(cap):
+                t_sel = ((row_max[light_idx] > prev)
+                         & (row_max[light_idx] <= bound))
+                prev = bound
+                if not t_sel.any():
+                    continue
+                t_rows = light_idx[t_sel]
+                g = _emit_packed_rows(qb, t_rows, dseg.idf32,
                                       bl_min=16)
                 nblk = pow15_bucket(
-                    max(int(row_max[light_idx].max()), -(-k // 128), 1),
+                    max(int(row_max[t_rows].max()), nblk_min, 1),
                     minimum=16)
-                run = self._mesh_batch_scorer(mesh)
                 ts, td = run(
                     mt["block_docs"], mt["block_impacts"],
                     mt["tid_tbl"], jnp.asarray(g["packed"]),
@@ -2415,7 +2430,7 @@ class IndexReader:
                     k=k, t_pad=g["t_pad"], nblk=nblk,
                     log2_run=g["log2_run"], n_ovr=g["n_ovr"],
                     width=mt["width"], sent_row=mt["bp"] - 1)
-                light = (ts, td)
+                tiers.append((t_rows, ts, td))
         heavy = None
         if len(heavy_idx):
             hqb = (qb if len(heavy_idx) == nq
@@ -2424,9 +2439,8 @@ class IndexReader:
             if heavy is None:
                 heavy = self._launch_batch_segment(dseg, hqb, k,
                                                    allow_sparse=False)
-        return {"light": light, "light_idx": light_idx,
-                "heavy": heavy, "heavy_idx": heavy_idx,
-                "nq": nq, "k": k}
+        return {"tiers": tiers, "heavy": heavy,
+                "heavy_idx": heavy_idx, "nq": nq, "k": k}
 
     def _launch_heavy_mesh(self, mesh, dseg, hqb, k: int):
         """Dispatch the heavy (head-term) remainder of a mesh batch
@@ -2539,8 +2553,8 @@ class IndexReader:
         refs = []
         for launched in launches:
             for _ord, e in launched:
-                if e["light"] is not None:
-                    refs.extend(e["light"])
+                for _rows, ts, td in e["tiers"]:
+                    refs.extend((ts, td))
                 if e["heavy"] is not None:
                     refs.extend(e["heavy"])
         vals = iter(jax.device_get(tuple(refs)))
@@ -2553,12 +2567,12 @@ class IndexReader:
                 nq, k = e["nq"], e["k"]
                 scores = np.full((nq, k), -np.inf, dtype=np.float32)
                 ids = np.zeros((nq, k), dtype=np.int32)
-                if e["light"] is not None:
+                for rows, _ts, _td in e["tiers"]:
                     ls = np.asarray(next(vals))
                     li = np.asarray(next(vals))
-                    n = len(e["light_idx"])
-                    scores[e["light_idx"]] = ls[:n]
-                    ids[e["light_idx"]] = li[:n]
+                    n = len(rows)
+                    scores[rows] = ls[:n]
+                    ids[rows] = li[:n]
                 if e["heavy"] is not None:
                     hs = np.asarray(next(vals))
                     hi = np.asarray(next(vals))

@@ -50,12 +50,13 @@ class Wal:
         the whole batch, byte-identical entries (hot at ingest — on FS
         storage a per-doc append costs an open+close each)."""
         buf = bytearray()
+        type_crc = crc32(bytes([ADD_DOC]))
         for doc in docs:
             payload = json.dumps({"fields": doc}, sort_keys=True).encode()
             buf += varint.encode_u64(len(payload))
             buf.append(ADD_DOC)
             buf += payload
-            checksum = crc32(bytes([ADD_DOC]) + payload)
+            checksum = crc32(payload, type_crc)
             buf += checksum.to_bytes(4, "little")
         if buf:
             self._storage.append_all(self._path, bytes(buf))

@@ -6,5 +6,8 @@ from __future__ import annotations
 import zlib
 
 
-def crc32(data: bytes) -> int:
-    return zlib.crc32(data) & 0xFFFFFFFF
+def crc32(data: bytes, value: int = 0) -> int:
+    """crc32 of ``data``, optionally continuing from a prior ``value``
+    — crc32(b + p) == crc32(p, crc32(b)), so framed formats can skip
+    concatenating header bytes with large payloads."""
+    return zlib.crc32(data, value) & 0xFFFFFFFF
