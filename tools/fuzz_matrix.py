@@ -160,6 +160,8 @@ def check_topk(queries, got_rows, oracles, strict, tag: str,
     return None
 
 
+_MESHES: dict = {}
+
 KNOB_SPACE = {
     "SEARCHLITE_SPARSE_PACKED": ("0", "1"),
     "SEARCHLITE_TERM_SPLIT": ("0", "1"),
@@ -240,6 +242,29 @@ def run_iteration(it: int, seed: int) -> str | None:
                                                 o_thirds)):
             err = check_topk(qs, rows, os_, strict,
                              f"stream{b}/{execution}", limit)
+            if err:
+                return f"{header}\n{err}"
+
+    # mesh execution: the doc-sharded batched path (per-chip candidate
+    # strips + per-chip dense remainder, ICI top-k merge) must match
+    # the same oracle. Needs >1 local device — run the campaign with
+    # XLA_FLAGS=--xla_force_host_platform_device_count=8. Meshes are
+    # cached process-wide: the sharded scorers key their jit caches by
+    # mesh identity, so a fresh mesh per iteration would recompile.
+    import jax
+    if len(jax.devices()) > 1 and rng.random() < 0.5:
+        n_dev = rng.choice((2, 4, len(jax.devices())))
+        mesh = _MESHES.get(n_dev)
+        if mesh is None:
+            from searchlite_tpu.parallel.mesh import make_mesh
+
+            mesh = _MESHES[n_dev] = make_mesh(n_dev)
+        for execution in ("bm25", "wand"):
+            rows = reader.search_batch_many(
+                [queries], limit=limit, execution=execution,
+                mesh=mesh)[0]
+            err = check_topk(queries, rows, oracles, strict,
+                             f"mesh{n_dev}/{execution}", limit)
             if err:
                 return f"{header}\n{err}"
 
