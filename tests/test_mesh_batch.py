@@ -137,3 +137,21 @@ def test_mesh_smaller_than_eight(index, monkeypatch):
         single, sharded = run_mesh_vs_single(
             reader, queries, 10, mesh_n, monkeypatch)
         assert_same(single, sharded)
+
+
+def test_mesh_empty_index(mesh):
+    from searchlite_tpu.api.types import IndexOptions, StorageType
+    from searchlite_tpu.index import Index
+    from searchlite_tpu.index.manifest import Schema
+
+    idx = Index.create(
+        IndexOptions(path="", create_if_missing=True,
+                     storage=StorageType.IN_MEMORY),
+        Schema.from_json({
+            "text_fields": [{"name": "body", "analyzer": "default",
+                             "stored": False, "indexed": True}]}))
+    reader = idx.reader()
+    assert reader.search_batch(["a b"], limit=5, mesh=mesh) == [[]]
+    (s, d, g), = reader.search_batch_many(
+        [["a", "b c"]], limit=3, output="arrays", mesh=mesh)
+    assert s.shape == (2, 3) and (s == -np.inf).all()
