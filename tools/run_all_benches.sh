@@ -68,4 +68,7 @@ step probe_stream 2500 python tools/probe_stream.py
 # 12. vector + hybrid scale (exact MXU similarity, in-run exactness)
 step bench_vectors 3600 python tools/bench_vectors.py 500000 128
 
+# 13. engine-side ingest throughput (host-only; needs an idle host)
+step bench_ingest 900 python tools/bench_ingest.py 500000
+
 echo "ALL DONE ($(date -u +%H:%M:%S))" | tee -a "$OUT/summary.log"
