@@ -47,6 +47,13 @@ struct TermPostings {
   std::vector<uint32_t> pos_data;
   std::vector<uint32_t> pos_lens;
 
+  // Eager insert — the positions-ON path (positions-off inserts ride
+  // the flat log + materialize() below, which never touches
+  // pos_lens/pos_data; the exporter treats a short pos_lens as
+  // all-zero lengths). pos_lens stays aligned one-entry-per-posting
+  // even for with_positions=false adds (keyword terms on a
+  // positions-on builder), so a term mixing both flags can never
+  // misattribute positions or hit pos_lens.back() on an empty vector.
   void add(uint32_t doc, uint32_t pos, bool with_positions) {
     if (!docs.empty() && docs.back() == doc) {
       tfs.back() += 1.0f;
@@ -58,12 +65,10 @@ struct TermPostings {
       docs.push_back(doc);
       tfs.push_back(1.0f);
       if (with_positions) {
-        // positions-off builders never touch pos_lens/pos_data: the
-        // exporter treats a short pos_lens as all-zero lengths, so
-        // skipping the per-posting push saves a third of the insert's
-        // vector traffic on the (default) positions-off hot path
         pos_data.push_back(pos);
         pos_lens.push_back(1);
+      } else {
+        pos_lens.push_back(0);
       }
     }
   }

@@ -2426,10 +2426,9 @@ class IndexReader:
                 ts, td = run(
                     mt["block_docs"], mt["block_impacts"],
                     mt["tid_tbl"], jnp.asarray(g["packed"]),
-                    jnp.asarray(g["ovr"]),
+                    jnp.asarray(g["ovr"]), mt["sent"],
                     k=k, t_pad=g["t_pad"], nblk=nblk,
-                    log2_run=g["log2_run"], n_ovr=g["n_ovr"],
-                    width=mt["width"], sent_row=mt["bp"] - 1)
+                    log2_run=g["log2_run"], n_ovr=g["n_ovr"])
                 tiers.append((t_rows, ts, td))
         heavy = None
         if len(heavy_idx):
@@ -2437,8 +2436,20 @@ class IndexReader:
                    else subset_impact_batch(qb, heavy_idx))
             heavy = self._launch_heavy_mesh(mesh, dseg, hqb, k)
             if heavy is None:
-                heavy = self._launch_batch_segment(dseg, hqb, k,
-                                                   allow_sparse=False)
+                # single-chip fallback with the SAME size routing the
+                # non-mesh caller performs: oversized segments loop
+                # host doc shards instead of building one giant M
+                budget = int(os.environ.get(
+                    "SEARCHLITE_M_BUDGET_BYTES", 2 * 1024**3))
+                est_h = (hqb["s_pad"] + hqb["n_queries"]) \
+                    * dseg.n1 * 4
+                if (est_h <= budget
+                        and hqb["flat_extent"] < FLAT_INDEX_LIMIT):
+                    heavy = self._launch_batch_segment(
+                        dseg, hqb, k, allow_sparse=False)
+                else:
+                    heavy = self._search_batch_sharded(
+                        dseg, None, hqb, k, est_h, budget)
         return {"tiers": tiers, "heavy": heavy,
                 "heavy_idx": heavy_idx, "nq": nq, "k": k}
 
@@ -2521,13 +2532,8 @@ class IndexReader:
         across chips). Results match the single-chip batch API."""
         import jax
 
-        from searchlite_tpu.ops.impact import (
-            build_impact_batch,
-            build_impact_batch_native,
-        )
-
         cap = int(os.environ.get("SEARCHLITE_SPARSE_MAX_BLOCKS", "32"))
-        analyzed_all = None
+        analyzed_box = [None]
         launches = []          # per batch: list of (seg_ord, entry)
         for bi, (queries, blimits) in enumerate(zip(batches, limits)):
             k_batch = int(max(blimits)) if len(blimits) else limit
@@ -2536,15 +2542,8 @@ class IndexReader:
                 seg = dseg.reader
                 if seg.doc_count == 0:
                     continue
-                qb = build_impact_batch_native(
-                    seg, dseg, queries, fields, self.analysis,
-                    self.schema, lazy_tables=True)
-                if qb is None:
-                    if analyzed_all is None:
-                        analyzed_all = self._analyze_batches(
-                            batches, fields)
-                    qb = build_impact_batch(seg, dseg, analyzed_all[bi],
-                                            lazy_tables=True)
+                qb = self._qb_lazy_native(seg, dseg, batches, bi,
+                                          fields, analyzed_box)
                 entry = self._launch_batch_mesh_segment(
                     mesh, dseg, qb, min(k_batch, dseg.n1), cap)
                 launched.append((dseg.ord, entry))

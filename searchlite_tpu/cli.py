@@ -147,17 +147,16 @@ def build_search_request(args) -> dict:
 
 def _cli_mesh(spec):
     """--mesh auto|N -> a ("query","shard") device mesh, or None when
-    unset / only one device is visible."""
-    if not spec or spec in ("off", "none", "0"):
-        return None
-    import jax
+    unset / only one device is visible (parallel/mesh.py holds the
+    shared spec parser); bad specs exit as a CLI error, not a
+    traceback."""
+    from searchlite_tpu.parallel.mesh import parse_mesh_spec
 
-    from searchlite_tpu.parallel.mesh import make_mesh
-
-    n = None if spec == "auto" else int(spec)
-    if (n or len(jax.devices())) <= 1:
-        return None
-    return make_mesh(n)
+    try:
+        return parse_mesh_spec(spec)
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
+        raise SystemExit(2) from None
 
 
 def cmd_search(args) -> int:

@@ -559,6 +559,11 @@ class DeviceSegment:
             "block_impacts": jnp.asarray(
                 bimps.astype(np.dtype(impacts_store_dtype()))),
             "tid_tbl": jnp.asarray(tid_tbl),
+            # (sentinel block row, per-shard width) as a traced device
+            # pair so one strip-scorer compile serves every segment of
+            # the same bucket shape
+            "sent": jnp.asarray(
+                np.array([bp - 1, width], dtype=np.int32)),
         }
         self._mesh_sparse = cached
         return cached

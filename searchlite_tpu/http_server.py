@@ -105,21 +105,25 @@ class AppState:
 
     @property
     def mesh(self):
-        spec = self.mesh_spec
-        if spec in (None, "", "off", "none", "0", 0):
+        if self.mesh_spec in (None, "", "off", "none", "0", 0):
             return None
-        if self._mesh is None:
-            import jax
-
-            from searchlite_tpu.parallel.mesh import make_mesh
-
-            n = None if spec == "auto" else int(spec)
-            if (n or len(jax.devices())) <= 1:
-                # one device: the mesh buys nothing, skip it for good
-                self.mesh_spec = None
+        # under ThreadingHTTPServer concurrent first requests must not
+        # build two meshes — the sharded scorers cache per mesh
+        # identity, so a duplicate mesh would compile everything twice
+        with self._index_lock:
+            spec = self.mesh_spec
+            if spec is None:
                 return None
-            self._mesh = make_mesh(n)
-        return self._mesh
+            if self._mesh is None:
+                from searchlite_tpu.parallel.mesh import (
+                    parse_mesh_spec,
+                )
+
+                self._mesh = parse_mesh_spec(spec)
+                if self._mesh is None:
+                    # one device: the mesh buys nothing, skip for good
+                    self.mesh_spec = None
+            return self._mesh
 
 
 def _error_payload(err_type: str, reason: str) -> bytes:

@@ -27,6 +27,30 @@ from functools import partial
 import numpy as np
 
 
+def parse_mesh_spec(spec):
+    """``--mesh`` / ``SEARCHLITE_MESH`` value -> a ("query", "shard")
+    mesh, or None when unset/disabled or only one device would
+    participate. Accepts "auto" (all local devices), an integer count,
+    and the off sentinels ""/"off"/"none"/"0". Shared by the CLI and
+    the HTTP server so the two surfaces can't drift."""
+    if spec in (None, "", "off", "none", "0", 0):
+        return None
+    import jax
+
+    if spec == "auto":
+        n = None
+    else:
+        try:
+            n = int(spec)
+        except (TypeError, ValueError):
+            raise ValueError(
+                f"invalid mesh spec {spec!r}: expected `auto` or a "
+                "device count") from None
+    if (n or len(jax.devices())) <= 1:
+        return None
+    return make_mesh(n)
+
+
 def make_mesh(n_devices: int | None = None, query_axis: int = 1):
     """Create a ("query", "shard") mesh over the available devices."""
     import jax

@@ -179,9 +179,16 @@ def make_sharded_batch_scorer(mesh):
 
     n_shards = mesh.shape["shard"]
 
-    def local_step(block_docs, block_impacts, tid_tbl, packed, ovr, *,
-                   k, t_pad, nblk, log2_run, n_ovr, width, sent_row):
+    def local_step(block_docs, block_impacts, tid_tbl, packed, ovr,
+                   sent, *, k, t_pad, nblk, log2_run, n_ovr):
         tid_tbl = tid_tbl[0]                       # [1,3,T] -> [3,T]
+        # (sentinel block row, per-shard width) ride as TRACED scalars
+        # — neither affects a shape, and per-segment values as statics
+        # would recompile every (k, t_pad, nblk) bucket per segment
+        # (the round-3 recompile-pollution lesson; the single-chip
+        # scorer's sent[2] contract, ops/sparse.py)
+        sent_row = sent[0]
+        width = sent[1]
         tid = packed & (TID_LIMIT - 1)
         occ = jax.lax.shift_right_logical(packed, TID_BITS)
         bstart = tid_tbl[0][tid]
@@ -212,27 +219,25 @@ def make_sharded_batch_scorer(mesh):
             fd = jnp.pad(fd, ((0, 0), (0, pad)))
         return fs, fd
 
-    def run(block_docs, block_impacts, tid_tbl, packed, ovr, *,
-            k: int, t_pad: int, nblk: int, log2_run: int, n_ovr: int,
-            width: int, sent_row: int):
+    def run(block_docs, block_impacts, tid_tbl, packed, ovr, sent, *,
+            k: int, t_pad: int, nblk: int, log2_run: int, n_ovr: int):
         fn = _shard_map()(
             partial(local_step, k=k, t_pad=t_pad, nblk=nblk,
-                    log2_run=log2_run, n_ovr=n_ovr, width=width,
-                    sent_row=sent_row),
+                    log2_run=log2_run, n_ovr=n_ovr),
             mesh=mesh,
             in_specs=(P("shard", None), P("shard", None),
                       P("shard", None, None),
-                      P(None, None), P(None, None)),
+                      P(None, None), P(None, None), P(None)),
             out_specs=(P(), P()),
             check_vma=False,
         )
-        return fn(block_docs, block_impacts, tid_tbl, packed, ovr)
+        return fn(block_docs, block_impacts, tid_tbl, packed, ovr,
+                  sent)
 
     import jax
 
     return jax.jit(run, static_argnames=(
-        "k", "t_pad", "nblk", "log2_run", "n_ovr", "width",
-        "sent_row"))
+        "k", "t_pad", "nblk", "log2_run", "n_ovr"))
 
 
 def make_sharded_dense_batch_scorer(mesh, precision: str = "f32"):

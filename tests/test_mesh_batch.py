@@ -87,6 +87,16 @@ def test_mesh_per_query_limits_and_wand(index, mesh, monkeypatch):
         assert_same(single, sharded)
 
 
+def _arrays_to_rows(reader, s, d, g):
+    rows = []
+    for qi in range(s.shape[0]):
+        n = int((s[qi] != -np.inf).sum())
+        rows.append([
+            (reader.segments[int(g[qi, j])].doc_id(int(d[qi, j])),
+             float(s[qi, j])) for j in range(n)])
+    return rows
+
+
 def test_mesh_arrays_output(index, mesh):
     reader = index.reader()
     queries = make_queries(random.Random(6), 16)
@@ -95,10 +105,10 @@ def test_mesh_arrays_output(index, mesh):
     (s2, d2, g2), = reader.search_batch_many([queries], limit=10,
                                              output="arrays", mesh=mesh)
     assert s1.shape == s2.shape
-    assert np.allclose(s1, s2, rtol=1e-5, atol=1e-5)
-    same = (d1 == d2) & (g1 == g2)
-    # disagreements are only legal between float near-ties
-    assert np.allclose(s1[~same], s2[~same], rtol=1e-5, atol=1e-5)
+    # per-position doc identity with the tie-aware comparator — a
+    # different doc is only legal where the two scores genuinely tie
+    assert_same(_arrays_to_rows(reader, s1, d1, g1),
+                _arrays_to_rows(reader, s2, d2, g2))
 
 
 def test_mesh_batch_stream(index, mesh, monkeypatch):
