@@ -1816,18 +1816,29 @@ class IndexReader:
         counts = shards["counts"]
         base = shards["posting_base"]
 
-        # per-chip posting slices (uniform pow-4 bucket)
+        # per-chip posting slices (uniform pow-4 bucket) — segment-
+        # static, so built + uploaded ONCE per (segment, n_shards)
+        # and cached on the shards dict (rebuilding them per query
+        # copies the segment's whole posting set on the host)
         shard_lo = base[np.arange(n_shards) * n_terms]
         shard_hi = base[(np.arange(n_shards) + 1) * n_terms]
         per = pow4_bucket(int((shard_hi - shard_lo).max()), minimum=1024)
-        docs_local = np.zeros(n_shards * per, dtype=np.int32)
-        imps_local = np.zeros(n_shards * per, dtype=np.float32)
-        for d in range(n_shards):
-            lo, hi = int(shard_lo[d]), int(shard_hi[d])
-            docs_local[d * per: d * per + hi - lo] = \
-                shards["docs_sh_np"][lo:hi]
-            imps_local[d * per: d * per + hi - lo] = \
-                shards["imps_sh_np"][lo:hi]
+        cached_local = shards.get("padded_local")
+        if cached_local is None or cached_local[0] != per:
+            docs_local = np.zeros(n_shards * per, dtype=np.int32)
+            imps_local = np.zeros(n_shards * per, dtype=np.float32)
+            for d in range(n_shards):
+                lo, hi = int(shard_lo[d]), int(shard_hi[d])
+                docs_local[d * per: d * per + hi - lo] = \
+                    shards["docs_sh_np"][lo:hi]
+                imps_local[d * per: d * per + hi - lo] = \
+                    shards["imps_sh_np"][lo:hi]
+            import jax.numpy as _jnp
+
+            cached_local = (per, _jnp.asarray(docs_local),
+                            _jnp.asarray(imps_local))
+            shards["padded_local"] = cached_local
+        docs_local, imps_local = cached_local[1], cached_local[2]
 
         # per-chip slot tables for this query's slots
         n_slots = qargs["n_slots"]
