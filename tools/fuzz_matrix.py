@@ -172,6 +172,7 @@ KNOB_SPACE = {
     "SEARCHLITE_SINGLE_SPARSE_MIN_DOCS": ("", "1000"),
     "SEARCHLITE_WAND_SPARSE_BLOCKS": ("", "8"),
     "SEARCHLITE_HEAVY_TERM_BLOCKS": ("", "4"),
+    "SEARCHLITE_MESH_DENSE": ("", "0"),
 }
 
 
