@@ -48,14 +48,20 @@ class IndexWriter:
         self.wal.append_add_doc(doc)
         self._ops.append(("add", doc))
 
-    def add_documents(self, docs: list[dict]) -> None:
+    def add_documents(self, docs: list[dict],
+                      raws: list[bytes | None] | None = None) -> None:
         """Bulk add: validates EVERY document before any WAL append
         (all-or-nothing on validation errors; the per-doc form appends
         each doc as it validates), then writes the WAL entries in one
-        storage append."""
+        storage append.
+
+        ``raws`` (optional): per-doc raw JSON bytes from an NDJSON
+        surface; passed through to the WAL so entries splice the
+        client's bytes instead of re-serializing (see
+        ``Wal.append_add_docs``)."""
         for doc in docs:
             self.index.schema.validate_document(doc)
-        self.wal.append_add_docs(docs)
+        self.wal.append_add_docs(docs, raws=raws)
         self._ops.extend(("add", doc) for doc in docs)
 
     def delete_document(self, doc_id: str) -> None:

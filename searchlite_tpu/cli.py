@@ -48,9 +48,27 @@ def cmd_add(args) -> int:
     index = Index.open(options(args.index, False))
     writer = index.writer()
     count = 0
-    for doc in _read_jsonl(args.doc):
-        writer.add_document(doc)
-        count += 1
+    # batched adds: one WAL append per chunk, with the file's raw line
+    # bytes spliced through as the WAL payloads (no re-serialization)
+    source = sys.stdin if args.doc == "-" else open(args.doc)
+    try:
+        docs, raws = [], []
+        for line in source:
+            line = line.strip()
+            if not line:
+                continue
+            docs.append(json.loads(line))
+            raws.append(line.encode())
+            if len(docs) >= 10_000:
+                writer.add_documents(docs, raws=raws)
+                count += len(docs)
+                docs, raws = [], []
+        if docs:
+            writer.add_documents(docs, raws=raws)
+            count += len(docs)
+    finally:
+        if source is not sys.stdin:
+            source.close()
     print(f"buffered {count} documents (run `commit` to persist)")
     return 0
 

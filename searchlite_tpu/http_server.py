@@ -266,6 +266,7 @@ class Handler(BaseHTTPRequestHandler):
     def handle_add(self):
         index = self.state.require_index()
         docs = []
+        raws = []
         for line_number, line in self._iter_ndjson_lines():
             try:
                 docs.append(json.loads(line))
@@ -274,14 +275,16 @@ class Handler(BaseHTTPRequestHandler):
                     400, "invalid_document",
                     f"invalid JSON document on NDJSON line {line_number}: "
                     f"{e}") from e
+            raws.append(line)
         if not docs:
             self._send_json(200, {"queued": 0})
             return
         with self.state.writer_lock:
             writer = index.writer()
             try:
-                for doc in docs:
-                    writer.add_document(doc)
+                # one bulk WAL append; the client's raw line bytes ride
+                # through as the WAL payloads (no re-serialization)
+                writer.add_documents(docs, raws=raws)
             except SchemaError as e:
                 writer.rollback()
                 raise HttpError(400, "add_failed", str(e)) from e
@@ -297,8 +300,7 @@ class Handler(BaseHTTPRequestHandler):
         with self.state.writer_lock:
             writer = index.writer()
             try:
-                for doc in docs:
-                    writer.add_document(doc)
+                writer.add_documents(docs)
             except SchemaError as e:
                 writer.rollback()
                 raise HttpError(400, "add_failed", str(e)) from e

@@ -45,14 +45,30 @@ class Wal:
             ADD_DOC,
             json.dumps({"fields": doc}, sort_keys=True).encode())
 
-    def append_add_docs(self, docs: list[dict]) -> None:
+    def append_add_docs(self, docs: list[dict],
+                        raws: list[bytes | None] | None = None) -> None:
         """Bulk form of :meth:`append_add_doc`: one storage append for
         the whole batch, byte-identical entries (hot at ingest — on FS
-        storage a per-doc append costs an open+close each)."""
+        storage a per-doc append costs an open+close each).
+
+        ``raws`` (optional, aligned with ``docs``): the client's raw
+        JSON bytes for a doc, as received on an NDJSON surface. When
+        given, the entry payload is spliced as ``{"fields":<raw>}``
+        instead of re-serializing the parsed dict — replay semantics
+        are identical (:meth:`replay` json-decodes the payload), and
+        skipping ``json.dumps`` is the dominant WAL cost at bulk
+        ingest. Callers must guarantee ``json.loads(raws[i]) ==
+        docs[i]`` (true by construction when the doc came from that
+        line)."""
         buf = bytearray()
         type_crc = crc32(bytes([ADD_DOC]))
-        for doc in docs:
-            payload = json.dumps({"fields": doc}, sort_keys=True).encode()
+        for i, doc in enumerate(docs):
+            raw = raws[i] if raws is not None else None
+            if raw is not None:
+                payload = b'{"fields":' + raw + b"}"
+            else:
+                payload = json.dumps(
+                    {"fields": doc}, sort_keys=True).encode()
             buf += varint.encode_u64(len(payload))
             buf.append(ADD_DOC)
             buf += payload

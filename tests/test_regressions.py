@@ -52,6 +52,41 @@ class TestFileFormatStability:
     def test_varint_format(self):
         assert varint.encode_u64(300) == b"\xac\x02"
 
+    def test_wal_raw_passthrough_replays_identically(self):
+        """NDJSON surfaces splice the client's raw line bytes into the
+        WAL payload (no re-serialization); replay must decode the same
+        documents as the dumps path, and framing/crc must hold."""
+        docs = [
+            {"_id": "a", "body": "alpha été", "tag": "t",
+             "n": 1.5},
+            {"_id": "b", "body": "beta", "tag": "u", "n": -3},
+        ]
+        raws = [json.dumps(d).encode() for d in docs]
+
+        s_raw, s_dump = InMemoryStorage(), InMemoryStorage()
+        Wal(s_raw).append_add_docs(docs, raws=raws)
+        Wal(s_dump).append_add_docs(docs)
+        assert Wal.replay(s_raw) == Wal.replay(s_dump)
+        assert [d for _t, d in Wal.replay(s_raw)] == docs
+
+        # mixed raws (None falls back to dumps per entry)
+        s_mix = InMemoryStorage()
+        Wal(s_mix).append_add_docs(docs, raws=[raws[0], None])
+        assert [d for _t, d in Wal.replay(s_mix)] == docs
+
+    def test_wal_raw_passthrough_truncation_stops_replay(self):
+        """A torn raw-spliced entry is detected exactly like a dumps
+        entry: replay returns only the intact prefix."""
+        docs = [{"_id": "a", "body": "x", "tag": "t"},
+                {"_id": "b", "body": "y", "tag": "t"}]
+        raws = [json.dumps(d).encode() for d in docs]
+        storage = InMemoryStorage()
+        Wal(storage).append_add_docs(docs, raws=raws)
+        data = storage.read_to_end("wal.log")
+        storage.write_all("wal.log", data[:-3])  # tear the second crc
+        replayed = Wal.replay(storage)
+        assert [d for _t, d in replayed] == docs[:1]
+
 
 def test_in_memory_storage_keeps_disk_clean(tmp_path):
     """StorageType.IN_MEMORY with a path configured must never touch
