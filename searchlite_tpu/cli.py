@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 from searchlite_tpu.api.types import IndexOptions, SearchRequest
@@ -348,6 +349,15 @@ def main(argv=None) -> int:
     except SearchliteError as e:
         print(f"error: {e}", file=sys.stderr)
         return 1
+    except BrokenPipeError:
+        # downstream pager/head closed the pipe: exit quietly, the
+        # POSIX convention (re-opening devnull avoids a second
+        # BrokenPipeError from the interpreter's stdout flush at exit)
+        try:
+            os.dup2(os.open(os.devnull, os.O_WRONLY), sys.stdout.fileno())
+        except OSError:
+            pass
+        return 0
 
 
 if __name__ == "__main__":
