@@ -248,6 +248,14 @@ def main():
     jax.devices()
     RESULT["detail"] = {"platform": platform,
                         "jax_backend": jax.default_backend()}
+    if platform == "cpu-fallback":
+        # the XLA CPU backend is ~50-100x off the TPU on this workload;
+        # point the reader at the last real-device record so a
+        # tunnel-outage run is never mistaken for an engine regression
+        RESULT["detail"]["last_device_record"] = {
+            "value_qps": 18390, "measured": "2026-08-17",
+            "source": "BENCH_r02.json / BENCH_NOTES.md (v5e, "
+                      "verified_vs_oracle)"}
 
     from searchlite_tpu.api.types import IndexOptions, StorageType
     from searchlite_tpu.index import Index
