@@ -2692,7 +2692,8 @@ class IndexReader:
         space: its top-C tiles by upper bound, scored in a compacted
         [Q·tpq, C·T] matrix built from per-(query, term, tile) posting
         runs (TileIndex.run_tables_per_query — ~1 MB of run tables per
-        wave where the union path shipped ~64 MB), then survivor
+        wave, one packed [3, r_pad] upload, where the union path
+        shipped ~64 MB), then survivor
         rounds until no tile with UB ≥ that query's threshold remains
         unprocessed. Per-query exactness argument is tiles.py's,
         applied per query row; fuzzed in tests/test_pruning.py.
@@ -2870,12 +2871,10 @@ class IndexReader:
                     it.dseg.docs_flat, it.dseg.impacts_flat,
                     it.tl.deleted_tiles,
                     jnp.asarray(q_tiles.astype(np.int32)), it.w_b,
-                    jnp.asarray(runs["run_start"]),
-                    jnp.asarray(runs["run_len"]),
-                    jnp.asarray(runs["run_slot"]),
-                    jnp.asarray(runs["run_off"]),
+                    jnp.asarray(runs["packed"]),
                     k=it.k, n_cols=n_cols, p_pad=runs["p_pad"],
-                    tpq_pad=it.tpq_pad, t=it.tl.T)
+                    tpq_pad=it.tpq_pad, t=it.tl.T,
+                    fmt=runs["packed_fmt"])
                 if top.shape[1] < it.k:  # n_cols < k: pad to k wide
                     pad = it.k - top.shape[1]
                     top = jnp.pad(top, ((0, 0), (0, pad)),

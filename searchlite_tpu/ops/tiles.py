@@ -256,7 +256,15 @@ class TileIndex:
         query q, term slot ti, tile rank r is r·T + (d − tile·T), and
         run_slot = q·tpq_pad + ti — flat indices sorted + unique by
         construction ((q, ti, tile) emission order, docs ascending in
-        a run)."""
+        a run).
+
+        The four run arrays ship as ONE device upload ``packed``
+        (each eager transfer costs a tunnel dispatch): ``[3, r_pad]``
+        int32 with rows (start, off, slot<<16 | len) when len fits 16
+        bits and slot fits 15 (always, for tile widths < 65536 and
+        wave widths < 32768 rows), else the explicit ``[4, r_pad]``
+        (start, off, len, slot). ``packed_fmt`` says which; the pq
+        scorer unpacks on device (make_pq_run_scorer)."""
         Q, C = q_tiles.shape
         tids_flat = q_tids.reshape(-1)
         valid_t = tids_flat >= 0
@@ -266,11 +274,8 @@ class TileIndex:
                           self.entry_base[safe_tids + 1] - lo, 0)
         total = int(counts.sum())
         if total == 0 or C == 0:
-            z = np.zeros(0, dtype=np.int64)
-            return {"run_start": _pad_i32(z, 64),
-                    "run_len": _pad_i32(z, 64),
-                    "run_slot": _pad_i32(z, 64),
-                    "run_off": _pad_i32(z, 64),
+            return {"packed": np.zeros((3, 64), dtype=np.int32),
+                    "packed_fmt": 3,
                     "p_pad": 1024, "n_cols": C * self.T, "postings": 0}
         bases = np.concatenate([[0], np.cumsum(counts)[:-1]])
         e_idx = (np.repeat(lo - bases, counts)
@@ -299,11 +304,24 @@ class TileIndex:
         total_p = int(run_len.sum())
         r_pad = next_pow2(max(len(run_start), 64))
         p_pad = pow2_bucket(max(total_p, 1), minimum=1024)
+        n_runs = len(run_start)
+        if (n_runs == 0 or (run_len.max(initial=0) < (1 << 16)
+                            and row_hit.max(initial=0) < (1 << 15))):
+            packed = np.zeros((3, r_pad), dtype=np.int32)
+            packed[0, :n_runs] = run_start
+            packed[1, :n_runs] = run_off
+            packed[2, :n_runs] = (row_hit << 16) | run_len
+            fmt = 3
+        else:
+            packed = np.zeros((4, r_pad), dtype=np.int32)
+            packed[0, :n_runs] = run_start
+            packed[1, :n_runs] = run_off
+            packed[2, :n_runs] = run_len
+            packed[3, :n_runs] = row_hit
+            fmt = 4
         return {
-            "run_start": _pad_i32(run_start, r_pad),
-            "run_len": _pad_i32(run_len, r_pad),
-            "run_slot": _pad_i32(row_hit, r_pad),
-            "run_off": _pad_i32(run_off, r_pad),
+            "packed": packed,
+            "packed_fmt": fmt,
             "p_pad": p_pad,
             "n_cols": C * self.T,
             "postings": total_p,
@@ -500,11 +518,19 @@ def make_pq_run_scorer():
                                            "f32"))
 
     @partial(jax.jit,
-             static_argnames=("k", "n_cols", "p_pad", "tpq_pad", "t"))
+             static_argnames=("k", "n_cols", "p_pad", "tpq_pad", "t",
+                              "fmt"))
     def scorer(docs_flat, impacts_flat, deleted_tiles, tiles_b, w_b,
-               run_start, run_len, run_slot, run_off,
-               *, k: int, n_cols: int, p_pad: int, tpq_pad: int,
-               t: int):
+               runs, *, k: int, n_cols: int, p_pad: int, tpq_pad: int,
+               t: int, fmt: int = 3):
+        # one [fmt, r_pad] upload per wave (run_tables_per_query):
+        # fmt 3 packs slot<<16 | len into the third row
+        run_start, run_off = runs[0], runs[1]
+        if fmt == 3:
+            run_len = runs[2] & 0xFFFF
+            run_slot = jax.lax.shift_right_logical(runs[2], 16)
+        else:
+            run_len, run_slot = runs[2], runs[3]
         q = tiles_b.shape[0]
         m = build_m_from_runs(jnp, docs_flat, impacts_flat, run_start,
                               run_len, run_slot, run_off, n_cols,

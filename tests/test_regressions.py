@@ -74,6 +74,38 @@ class TestFileFormatStability:
         Wal(s_mix).append_add_docs(docs, raws=[raws[0], None])
         assert [d for _t, d in Wal.replay(s_mix)] == docs
 
+    def test_wal_raw_passthrough_fuzz_client_formatting(self):
+        """Raw WAL splice must replay exactly json.loads(raw) no matter
+        how the client formatted the line: odd spacing, unicode
+        escapes vs literals, floats, nested values, duplicate keys
+        (last wins at parse time, both at add and at replay)."""
+        import random
+
+        rng = random.Random(1234)
+        lines = [
+            '{"_id":"a","body":"caf\\u00e9 crème","n":1e-3}',
+            '{ "_id" : "b" ,\t"body" : "tabs\\tand\\nnewlines" }',
+            '{"_id":"c","n":123456789012345678,"f":0.1,"l":[1,2.5,"x"]}',
+            '{"_id":"d","dup":1,"dup":2}',
+            '{"_id":"e","deep":{"a":[{"b":"\\ud83d\\ude00"}]},"s":"😀"}',
+            '{"_id":"f","neg":-0.0,"big":1e308,"tiny":5e-324}',
+        ]
+        for _ in range(40):
+            doc = {"_id": f"r{rng.randrange(10**6)}",
+                   "body": "".join(chr(rng.randrange(32, 0x2FA0))
+                                   for _ in range(rng.randrange(0, 40))),
+                   "n": rng.choice([rng.random() * 10**rng.randrange(-9, 9),
+                                    rng.randrange(-2**53, 2**53)])}
+            sep = rng.choice([(", ", ": "), (",", ":"), (" , ", " : ")])
+            lines.append(json.dumps(doc, separators=sep,
+                                    ensure_ascii=rng.random() < 0.5))
+        docs = [json.loads(ln) for ln in lines]
+        storage = InMemoryStorage()
+        Wal(storage).append_add_docs(docs, raws=[ln.encode()
+                                                 for ln in lines])
+        replayed = [d for _t, d in Wal.replay(storage)]
+        assert replayed == docs
+
     def test_wal_raw_passthrough_truncation_stops_replay(self):
         """A torn raw-spliced entry is detected exactly like a dumps
         entry: replay returns only the intact prefix."""
