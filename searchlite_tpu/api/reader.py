@@ -1680,10 +1680,7 @@ class IndexReader:
                     dseg.docs_flat, dseg.impacts_flat,
                     tl.deleted_tiles,
                     jnp.asarray(chunk.astype(np.int32)),
-                    jnp.asarray(runs["run_start"]),
-                    jnp.asarray(runs["run_len"]),
-                    jnp.asarray(runs["run_slot"]),
-                    jnp.asarray(runs["run_off"]),
+                    jnp.asarray(runs["packed"]),
                     jnp.asarray(qargs["w_leaf"]),
                     jnp.asarray(qargs["leaf_ind"]),
                     jnp.asarray(qargs["group_ind"]),
@@ -1695,7 +1692,7 @@ class IndexReader:
                     jnp.asarray(tl.gather_cols(col_has, chunk, False)),
                     jnp.asarray(tl.gather_cols(root_mask, chunk, False)),
                     k=min(k, n_cols), s_pad=s_pad, n_cols=n_cols,
-                    p_pad=runs["p_pad"],
+                    p_pad=runs["p_pad"], fmt=runs["packed_fmt"],
                     has_scored_terms=has_scored, need_scores=need_scores)
                 return (chunk, refs, runs["postings"])
 
@@ -1928,16 +1925,14 @@ class IndexReader:
             refs = run_exec(
                 dseg.docs_flat, dseg.impacts_flat, tl.deleted_tiles,
                 jnp.asarray(tiles.astype(np.int32)),
-                jnp.asarray(runs["run_start"]),
-                jnp.asarray(runs["run_len"]),
-                jnp.asarray(runs["run_slot"]),
-                jnp.asarray(runs["run_off"]),
+                jnp.asarray(runs["packed"]),
                 jnp.asarray(qargs["w_leaf"]),
                 jnp.asarray(qargs["leaf_ind"]),
                 jnp.asarray(qargs["group_ind"]),
                 jnp.asarray(ph2), jnp.asarray(fl2),
                 jnp.asarray(cv2), jnp.asarray(ch2), jnp.asarray(rm2),
                 s_pad=s_pad, n_cols=n_cols, p_pad=runs["p_pad"],
+                fmt=runs["packed_fmt"],
                 has_scored_terms=has_scored, need_scores=need_scores)
             launches.append((start * tl.T, n_cols, refs))
 
@@ -3237,13 +3232,12 @@ class IndexReader:
         scores, ids = run_scorer(
             dseg.docs_flat, dseg.impacts_flat,
             tl.deleted_tiles, jnp.asarray(tiles.astype(np.int32)),
-            jnp.asarray(runs["run_start"]), jnp.asarray(runs["run_len"]),
-            jnp.asarray(runs["run_slot"]), jnp.asarray(runs["run_off"]),
+            jnp.asarray(runs["packed"]),
             jnp.asarray(qb["w_idx"]), jnp.asarray(qb["w_val"]),
             filter_rows, fidx_dev,
             k=min(limit, n_cols), n_cols=n_cols, p_pad=runs["p_pad"],
             s_pad=s_pad, n_queries=qb["n_queries"],
-            use_filters=use_filters)
+            use_filters=use_filters, fmt=runs["packed_fmt"])
         return (scores, ids, tiles, runs["postings"])
 
     def _ub_scorer(self):

@@ -481,15 +481,20 @@ class CompiledQuery:
         jnp = self._jnp
         jax = self._jax
 
-        def run(docs_flat, impacts_flat, deleted_tiles, tiles,
-                run_start, run_len, run_slot, run_off,
+        def run(docs_flat, impacts_flat, deleted_tiles, tiles, runs,
                 w_leaf, leaf_ind, group_ind,
                 phrase_masks, filter_masks, col_vals, col_has,
                 root_mask,
                 *, k: int, s_pad: int, n_cols: int, p_pad: int,
-                has_scored_terms: bool, need_scores: bool):
-            from searchlite_tpu.ops.tiles import build_m_from_runs
+                has_scored_terms: bool, need_scores: bool,
+                fmt: int = 3):
+            from searchlite_tpu.ops.tiles import (
+                build_m_from_runs,
+                unpack_runs,
+            )
 
+            run_start, run_len, run_slot, run_off = unpack_runs(
+                jax, runs, fmt)
             m = build_m_from_runs(jnp, docs_flat, impacts_flat,
                                   run_start, run_len, run_slot, run_off,
                                   n_cols, s_pad, p_pad)
@@ -508,7 +513,7 @@ class CompiledQuery:
 
         return jax.jit(run, static_argnames=(
             "k", "s_pad", "n_cols", "p_pad", "has_scored_terms",
-            "need_scores"))
+            "need_scores", "fmt"))
 
     def _build_tile_mask_executor(self):
         """Chunked full-width execution: same tile-column core but
@@ -520,15 +525,20 @@ class CompiledQuery:
         jnp = self._jnp
         jax = self._jax
 
-        def run(docs_flat, impacts_flat, deleted_tiles, tiles,
-                run_start, run_len, run_slot, run_off,
+        def run(docs_flat, impacts_flat, deleted_tiles, tiles, runs,
                 w_leaf, leaf_ind, group_ind,
                 phrase_masks, filter_masks, col_vals, col_has,
                 root_mask,
                 *, s_pad: int, n_cols: int, p_pad: int,
-                has_scored_terms: bool, need_scores: bool):
-            from searchlite_tpu.ops.tiles import build_m_from_runs
+                has_scored_terms: bool, need_scores: bool,
+                fmt: int = 3):
+            from searchlite_tpu.ops.tiles import (
+                build_m_from_runs,
+                unpack_runs,
+            )
 
+            run_start, run_len, run_slot, run_off = unpack_runs(
+                jax, runs, fmt)
             m = build_m_from_runs(jnp, docs_flat, impacts_flat,
                                   run_start, run_len, run_slot, run_off,
                                   n_cols, s_pad, p_pad)
@@ -542,7 +552,7 @@ class CompiledQuery:
 
         return jax.jit(run, static_argnames=(
             "s_pad", "n_cols", "p_pad", "has_scored_terms",
-            "need_scores"))
+            "need_scores", "fmt"))
 
     def executor(self):
         if "run" not in self._jit_cache:

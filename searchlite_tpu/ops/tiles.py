@@ -165,12 +165,13 @@ class TileIndex:
     def run_tables(self, slot_tids, tiles: np.ndarray):
         """Posting runs restricted to the selected (sorted) tiles.
 
-        Returns dict with run_start/run_len/run_slot/run_off (int32/f32
-        numpy, padded to a pow-4 bucket) + p_pad + n_cols. Destination
-        column of doc d in a run for tile τ at rank r: d − τ·T + r·T,
-        i.e. run_off = (r − τ)·T. Runs are emitted slot-major with
-        tiles ascending, and docs ascend within a run, so the scatter's
-        flat indices are sorted + unique."""
+        Returns dict with ``packed``/``packed_fmt`` (pack_runs: the
+        start/off/len/slot arrays as ONE [3 or 4, r_pad] int32 upload,
+        pow-4 bucketed) + p_pad + n_cols. Destination column of doc d
+        in a run for tile τ at rank r: d − τ·T + r·T, i.e.
+        run_off = (r − τ)·T. Runs are emitted slot-major with tiles
+        ascending, and docs ascend within a run, so the scatter's flat
+        indices are sorted + unique."""
         n_sel = len(tiles)
         e_hit, pos_hit, slot_hit = self._entry_hits(slot_tids, tiles)
         if len(e_hit):
@@ -187,16 +188,15 @@ class TileIndex:
         total = int(run_len.sum())
         r_pad = pow4_bucket(max(len(run_start), 1), minimum=64)
         p_pad = pow4_bucket(max(total, 1), minimum=1024)
-        out = {
-            "run_start": _pad_i32(run_start, r_pad),
-            "run_len": _pad_i32(run_len, r_pad),
-            "run_slot": _pad_i32(run_slot, r_pad),
-            "run_off": _pad_i32(run_off, r_pad),
+        packed, fmt = pack_runs(run_start, run_off, run_len, run_slot,
+                                r_pad)
+        return {
+            "packed": packed,
+            "packed_fmt": fmt,
             "p_pad": p_pad,
             "n_cols": n_sel * self.T,
             "postings": total,
         }
-        return out
 
     def pad_tiles(self, tiles: np.ndarray) -> np.ndarray:
         """Pad a sorted tile selection to a pow2 count with sentinel
@@ -304,21 +304,8 @@ class TileIndex:
         total_p = int(run_len.sum())
         r_pad = next_pow2(max(len(run_start), 64))
         p_pad = pow2_bucket(max(total_p, 1), minimum=1024)
-        n_runs = len(run_start)
-        if (n_runs == 0 or (run_len.max(initial=0) < (1 << 16)
-                            and row_hit.max(initial=0) < (1 << 15))):
-            packed = np.zeros((3, r_pad), dtype=np.int32)
-            packed[0, :n_runs] = run_start
-            packed[1, :n_runs] = run_off
-            packed[2, :n_runs] = (row_hit << 16) | run_len
-            fmt = 3
-        else:
-            packed = np.zeros((4, r_pad), dtype=np.int32)
-            packed[0, :n_runs] = run_start
-            packed[1, :n_runs] = run_off
-            packed[2, :n_runs] = run_len
-            packed[3, :n_runs] = row_hit
-            fmt = 4
+        packed, fmt = pack_runs(run_start, run_off, run_len, row_hit,
+                                r_pad)
         return {
             "packed": packed,
             "packed_fmt": fmt,
@@ -379,6 +366,42 @@ def _pad_i32(arr, width):
     out = np.zeros(width, dtype=np.int32)
     out[:len(arr)] = arr
     return out
+
+
+def pack_runs(run_start, run_off, run_len, run_slot, r_pad: int):
+    """Pack the four run arrays into one [3, r_pad] int32 upload
+    (start, off, slot<<16 | len) when len fits 16 bits and slot 15,
+    else the explicit [4, r_pad]. Returns (packed, fmt)."""
+    n_runs = len(run_start)
+    if (n_runs == 0 or (run_len.max(initial=0) < (1 << 16)
+                        and run_slot.max(initial=0) < (1 << 15))):
+        packed = np.zeros((3, r_pad), dtype=np.int32)
+        packed[0, :n_runs] = run_start
+        packed[1, :n_runs] = run_off
+        packed[2, :n_runs] = (np.asarray(run_slot) << 16) | run_len
+        return packed, 3
+    packed = np.zeros((4, r_pad), dtype=np.int32)
+    packed[0, :n_runs] = run_start
+    packed[1, :n_runs] = run_off
+    packed[2, :n_runs] = run_len
+    packed[3, :n_runs] = run_slot
+    return packed, 4
+
+
+def unpack_runs(jax, runs, fmt: int):
+    """Device-side inverse of pack_runs: (start, len, slot, off)."""
+    if fmt == 3:
+        return (runs[0], runs[2] & 0xFFFF,
+                jax.lax.shift_right_logical(runs[2], 16), runs[1])
+    return runs[0], runs[2], runs[3], runs[1]
+
+
+def unpack_runs_np(packed: np.ndarray, fmt: int):
+    """Host (numpy) inverse of pack_runs — tests/debugging."""
+    if fmt == 3:
+        return (packed[0], packed[2] & 0xFFFF,
+                (packed[2] >> 16) & 0x7FFF, packed[1])
+    return packed[0], packed[2], packed[3], packed[1]
 
 
 def get_tile_index(dseg, tile_width: int | None = None) -> TileIndex:
@@ -523,14 +546,9 @@ def make_pq_run_scorer():
     def scorer(docs_flat, impacts_flat, deleted_tiles, tiles_b, w_b,
                runs, *, k: int, n_cols: int, p_pad: int, tpq_pad: int,
                t: int, fmt: int = 3):
-        # one [fmt, r_pad] upload per wave (run_tables_per_query):
-        # fmt 3 packs slot<<16 | len into the third row
-        run_start, run_off = runs[0], runs[1]
-        if fmt == 3:
-            run_len = runs[2] & 0xFFFF
-            run_slot = jax.lax.shift_right_logical(runs[2], 16)
-        else:
-            run_len, run_slot = runs[2], runs[3]
+        # one [fmt, r_pad] upload per wave (run_tables_per_query)
+        run_start, run_len, run_slot, run_off = unpack_runs(
+            jax, runs, fmt)
         q = tiles_b.shape[0]
         m = build_m_from_runs(jnp, docs_flat, impacts_flat, run_start,
                               run_len, run_slot, run_off, n_cols,
@@ -598,12 +616,14 @@ def make_run_batch_scorer():
 
     @partial(jax.jit,
              static_argnames=("k", "n_cols", "p_pad", "s_pad",
-                              "n_queries", "use_filters"))
+                              "n_queries", "use_filters", "fmt"))
     def scorer(docs_flat, impacts_flat, deleted_tiles, tiles,
-               run_start, run_len, run_slot, run_off, w_idx, w_val,
-               filter_rows, fidx,
+               runs, w_idx, w_val, filter_rows, fidx,
                *, k: int, n_cols: int, p_pad: int, s_pad: int,
-               n_queries: int, use_filters: bool = False):
+               n_queries: int, use_filters: bool = False,
+               fmt: int = 3):
+        run_start, run_len, run_slot, run_off = unpack_runs(
+            jax, runs, fmt)
         m = build_m_from_runs(jnp, docs_flat, impacts_flat, run_start,
                               run_len, run_slot, run_off, n_cols, s_pad,
                               p_pad)

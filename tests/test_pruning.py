@@ -298,14 +298,18 @@ def test_tile_index_tables_match_bruteforce():
     sel_tiles = np.unique(np.asarray(
         rng.sample(range(tl.n_tiles), k=max(1, tl.n_tiles // 3))))
     runs = tl.run_tables(tids, sel_tiles)
+    from searchlite_tpu.ops.tiles import unpack_runs_np
+
+    run_start, run_len, run_slot, run_off = unpack_runs_np(
+        runs["packed"], runs["packed_fmt"])
     covered = 0
-    for i in range(len(runs["run_start"])):
-        ln = int(runs["run_len"][i])
+    for i in range(len(run_start)):
+        ln = int(run_len[i])
         if ln == 0:
             continue
-        start = int(runs["run_start"][i])
-        s = int(runs["run_slot"][i])
-        off = int(runs["run_off"][i])
+        start = int(run_start[i])
+        s = int(run_slot[i])
+        off = int(run_off[i])
         rdocs = docs[start:start + ln]
         tile = rdocs[0] // 128
         assert tile in sel_tiles
@@ -467,3 +471,40 @@ def test_per_query_light_heavy_split(monkeypatch):
             assert [d for d, _ in a] == [d for d, _ in b], (cap, query)
             for (_, sa), (_, sb) in zip(a, b):
                 assert sa == pytest.approx(sb, abs=1e-5), (cap, query)
+
+
+def test_pack_runs_roundtrip():
+    """pack_runs/unpack_runs_np: exact roundtrip in both formats; the
+    [3, r_pad] packing engages iff len fits 16 bits and slot 15."""
+    import numpy as np
+
+    from searchlite_tpu.ops.tiles import pack_runs, unpack_runs_np
+
+    rng = np.random.default_rng(3)
+    n = 37
+    start = rng.integers(0, 2**30, size=n)
+    off = rng.integers(-(2**25), 2**25, size=n)
+    ln = rng.integers(0, 2**16, size=n)
+    slot = rng.integers(0, 2**15, size=n)
+    packed, fmt = pack_runs(start, off, ln, slot, 64)
+    assert fmt == 3 and packed.shape == (3, 64)
+    s2, l2, sl2, o2 = unpack_runs_np(packed, fmt)
+    np.testing.assert_array_equal(s2[:n], start)
+    np.testing.assert_array_equal(l2[:n], ln)
+    np.testing.assert_array_equal(sl2[:n], slot)
+    np.testing.assert_array_equal(o2[:n], off)
+
+    # oversized slot forces the explicit fallback
+    slot_big = slot.copy()
+    slot_big[5] = 2**15
+    packed4, fmt4 = pack_runs(start, off, ln, slot_big, 64)
+    assert fmt4 == 4 and packed4.shape == (4, 64)
+    s2, l2, sl2, o2 = unpack_runs_np(packed4, fmt4)
+    np.testing.assert_array_equal(sl2[:n], slot_big)
+    np.testing.assert_array_equal(l2[:n], ln)
+
+    # empty
+    z = np.zeros(0, dtype=np.int64)
+    packed0, fmt0 = pack_runs(z, z, z, z, 64)
+    assert fmt0 == 3 and packed0.shape == (3, 64)
+    assert not packed0.any()
