@@ -371,10 +371,17 @@ def _pad_i32(arr, width):
 def pack_runs(run_start, run_off, run_len, run_slot, r_pad: int):
     """Pack the four run arrays into one [3, r_pad] int32 upload
     (start, off, slot<<16 | len) when len fits 16 bits and slot 15,
-    else the explicit [4, r_pad]. Returns (packed, fmt)."""
+    else the explicit [4, r_pad]. Returns (packed, fmt).
+    SEARCHLITE_RUNS_FMT=4 forces the explicit format (tests exercise
+    the fallback end-to-end; it only engages naturally at >=2^15-row
+    waves)."""
+    import os  # noqa: PLC0415
+
     n_runs = len(run_start)
-    if (n_runs == 0 or (run_len.max(initial=0) < (1 << 16)
-                        and run_slot.max(initial=0) < (1 << 15))):
+    if os.environ.get("SEARCHLITE_RUNS_FMT") == "4":
+        pass  # fall through to the explicit format
+    elif (n_runs == 0 or (run_len.max(initial=0) < (1 << 16)
+                          and run_slot.max(initial=0) < (1 << 15))):
         packed = np.zeros((3, r_pad), dtype=np.int32)
         packed[0, :n_runs] = run_start
         packed[1, :n_runs] = run_off

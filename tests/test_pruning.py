@@ -508,3 +508,30 @@ def test_pack_runs_roundtrip():
     packed0, fmt0 = pack_runs(z, z, z, z, 64)
     assert fmt0 == 3 and packed0.shape == (3, 64)
     assert not packed0.any()
+
+
+def test_pruned_execution_with_explicit_runs_format(monkeypatch):
+    """SEARCHLITE_RUNS_FMT=4 forces the explicit [4, r_pad] run upload
+    through every pruned path; results must match the packed default
+    and the dense oracle (the fallback only engages naturally at
+    >=2^15-row waves, so this is its end-to-end coverage)."""
+    monkeypatch.setenv("SEARCHLITE_TILE_WIDTH", "128")
+    idx, vocab, rng = _build_index(17, segments=2, docs_per_segment=300)
+    reader = idx.reader()
+    queries = [" ".join(rng.sample(vocab, k=rng.randint(1, 4)))
+               for _ in range(12)]
+    dense = reader.search_batch(queries, limit=10)
+    monkeypatch.setenv("SEARCHLITE_RUNS_FMT", "4")
+    for strategy in ("wand", "bmw"):
+        pruned = reader.search_batch(queries, limit=10,
+                                     execution=strategy)
+        for query, a, b in zip(queries, dense, pruned):
+            assert [d for d, _ in a] == [d for d, _ in b], \
+                (strategy, query)
+            for (_, sa), (_, sb) in zip(a, b):
+                assert sa == pytest.approx(sb, abs=1e-5)
+    single = reader.search({"query": queries[0], "limit": 10,
+                            "execution": "bmw"})
+    base = reader.search({"query": queries[0], "limit": 10})
+    assert [h.doc_id for h in single.hits] == \
+        [h.doc_id for h in base.hits]
