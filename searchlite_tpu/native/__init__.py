@@ -30,22 +30,38 @@ def _source_path() -> str:
     return os.path.join(here, "native", "slt_ingest.cpp")
 
 
-def _build_lib() -> str | None:
-    src = _source_path()
-    if not os.path.exists(src):
-        return None
+def _hashed_cache_path(stem: str) -> str:
+    """Shared-cache output path keyed by the CONTENT hash of every
+    native source file. The previous fixed-name + mtime scheme was
+    poisonable: a second checkout (worktree/bisect) of OLDER source
+    gets fresh file mtimes and overwrites the cache with a .so the
+    main tree then trusts as current (observed 2026-08-18: slt_impacts
+    silently fell back to numpy after a bisect). Content hashes make
+    checkouts coexist."""
+    import hashlib  # noqa: PLC0415
+
+    src_dir = os.path.dirname(_source_path())
+    h = hashlib.sha1()
+    for f in sorted(os.listdir(src_dir)):
+        if f.endswith((".cpp", ".h", ".c")):
+            with open(os.path.join(src_dir, f), "rb") as fh:
+                h.update(f.encode())
+                h.update(fh.read())
     cache_dir = os.path.join(
         os.environ.get("XDG_CACHE_HOME",
                        os.path.expanduser("~/.cache")),
         "searchlite_tpu")
     os.makedirs(cache_dir, exist_ok=True)
-    out = os.path.join(cache_dir, "slt_ingest.so")
-    src_dir = os.path.dirname(src)
-    newest = max(
-        (os.path.getmtime(os.path.join(src_dir, f))
-         for f in os.listdir(src_dir)
-         if f.endswith((".cpp", ".h"))), default=0)
-    if os.path.exists(out) and os.path.getmtime(out) >= newest:
+    return os.path.join(cache_dir,
+                        f"{stem}-{h.hexdigest()[:12]}.so")
+
+
+def _build_lib() -> str | None:
+    src = _source_path()
+    if not os.path.exists(src):
+        return None
+    out = _hashed_cache_path("slt_ingest")
+    if os.path.exists(out):
         return out
     tmp = out + f".tmp{os.getpid()}"
     cmd = ["g++", "-O3", "-shared", "-fPIC", "-pthread", "-std=c++17",
@@ -198,15 +214,9 @@ def get_results_mod():
         if not os.path.exists(src):
             _RESULTS_FAILED = True
             return None
-        cache_dir = os.path.join(
-            os.environ.get("XDG_CACHE_HOME",
-                           os.path.expanduser("~/.cache")),
-            "searchlite_tpu")
-        os.makedirs(cache_dir, exist_ok=True)
-        out = os.path.join(cache_dir, "slt_results.so")
+        out = _hashed_cache_path("slt_results")
         try:
-            if (not os.path.exists(out)
-                    or os.path.getmtime(out) < os.path.getmtime(src)):
+            if not os.path.exists(out):
                 import sysconfig
                 tmp = out + f".tmp{os.getpid()}"
                 cmd = ["gcc", "-O2", "-shared", "-fPIC",
@@ -305,16 +315,8 @@ def build_ffi_lib() -> str | None:
     src = os.path.join(here, "slt_ffi.cpp")
     if not os.path.exists(src):
         return None
-    cache_dir = os.path.join(
-        os.environ.get("XDG_CACHE_HOME",
-                       os.path.expanduser("~/.cache")),
-        "searchlite_tpu")
-    os.makedirs(cache_dir, exist_ok=True)
-    out = os.path.join(cache_dir, "libsearchlite_tpu.so")
-    hdr = os.path.join(here, "searchlite_tpu.h")
-    newest = max(os.path.getmtime(src),
-                 os.path.getmtime(hdr) if os.path.exists(hdr) else 0)
-    if os.path.exists(out) and os.path.getmtime(out) >= newest:
+    out = _hashed_cache_path("libsearchlite_tpu")
+    if os.path.exists(out):
         return out
     import sysconfig
     include = sysconfig.get_path("include")
@@ -345,14 +347,8 @@ def build_cpu_engine_lib() -> str | None:
     src = os.path.join(here, "slt_cpu_engine.cpp")
     if not os.path.exists(src):
         return None
-    cache_dir = os.path.join(
-        os.environ.get("XDG_CACHE_HOME",
-                       os.path.expanduser("~/.cache")),
-        "searchlite_tpu")
-    os.makedirs(cache_dir, exist_ok=True)
-    out = os.path.join(cache_dir, "slt_cpu_engine.so")
-    if os.path.exists(out) and \
-            os.path.getmtime(out) >= os.path.getmtime(src):
+    out = _hashed_cache_path("slt_cpu_engine")
+    if os.path.exists(out):
         return out
     tmp = out + f".tmp{os.getpid()}"
     cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
