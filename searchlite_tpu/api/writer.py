@@ -69,8 +69,8 @@ class IndexWriter:
         self._ops.append(("delete", doc_id))
 
     def delete_documents(self, doc_ids: list[str]) -> None:
-        for doc_id in doc_ids:
-            self.delete_document(doc_id)
+        self.wal.append_delete_doc_ids(doc_ids)
+        self._ops.extend(("delete", doc_id) for doc_id in doc_ids)
 
     def rollback(self) -> None:
         self._ops.clear()

@@ -86,6 +86,19 @@ class Wal:
     def append_delete_doc_id(self, doc_id: str) -> None:
         self._append_entry(DELETE_DOC_ID, doc_id.encode())
 
+    def append_delete_doc_ids(self, doc_ids: list[str]) -> None:
+        """Bulk deletes: one storage append, byte-identical entries."""
+        buf = bytearray()
+        type_crc = crc32(bytes([DELETE_DOC_ID]))
+        for doc_id in doc_ids:
+            payload = doc_id.encode()
+            buf += varint.encode_u64(len(payload))
+            buf.append(DELETE_DOC_ID)
+            buf += payload
+            buf += crc32(payload, type_crc).to_bytes(4, "little")
+        if buf:
+            self._storage.append_all(self._path, bytes(buf))
+
     def truncate(self) -> None:
         self._storage.write_all(self._path, b"")
 

@@ -339,3 +339,16 @@ class TestConcurrentReadWrite:
         assert not errors, errors[:1]
         final = index.reader().search({"query": "common", "limit": 50})
         assert final.total_hits_estimate == 16
+
+
+def test_bulk_delete_wal_bytes_match_per_doc():
+    """append_delete_doc_ids writes byte-identical entries to the
+    per-doc form, in one storage append."""
+    ids = ["a", "doc-β", "z" * 100]
+    s_bulk, s_one = InMemoryStorage(), InMemoryStorage()
+    Wal(s_bulk).append_delete_doc_ids(ids)
+    w = Wal(s_one)
+    for i in ids:
+        w.append_delete_doc_id(i)
+    assert s_bulk.read_to_end("wal.log") == s_one.read_to_end("wal.log")
+    assert [d for _t, d in Wal.replay(s_bulk)] == ids
