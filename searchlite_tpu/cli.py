@@ -77,14 +77,10 @@ def cmd_add(args) -> int:
 def cmd_delete(args) -> int:
     index = Index.open(options(args.index, False))
     writer = index.writer()
-    count = 0
     with open(args.ids) as f:
-        for line in f:
-            doc_id = line.strip()
-            if doc_id:
-                writer.delete_document(doc_id)
-                count += 1
-    print(f"buffered {count} deletes (run `commit` to persist)")
+        ids = [line.strip() for line in f if line.strip()]
+    writer.delete_documents(ids)
+    print(f"buffered {len(ids)} deletes (run `commit` to persist)")
     return 0
 
 
