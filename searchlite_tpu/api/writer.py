@@ -100,22 +100,35 @@ class IndexWriter:
                     tombstones.add(payload)
                     pending_new.pop(payload, None)
 
-            # Locate prior versions of upserted/deleted ids across segments.
+            # Locate prior versions of upserted/deleted ids across
+            # segments. Every add is an upsert candidate, so this runs
+            # on every commit against existing segments — vectorized
+            # (sorted-ids searchsorted) instead of a per-doc Python
+            # set lookup, which was O(corpus) per commit.
             ids_to_remove = set(pending_new) | tombstones
             new_deleted: dict[str, set[int]] = {}
-            if ids_to_remove:
+            if ids_to_remove and manifest.segments:
+                import numpy as np
+
                 from searchlite_tpu.index.segment import SegmentReader
 
+                ids_sorted = np.sort(np.asarray(list(ids_to_remove)))
                 for seg_meta in manifest.segments:
                     reader = SegmentReader(
                         seg_meta, self.index.storage, verify_checksums=False)
+                    docs_arr = np.asarray(reader.doc_ids)
+                    if not docs_arr.size:
+                        continue
+                    pos = np.searchsorted(ids_sorted, docs_arr)
+                    pos = np.minimum(pos, len(ids_sorted) - 1)
+                    ords = np.nonzero(ids_sorted[pos] == docs_arr)[0]
+                    if not ords.size:
+                        continue
                     existing = set(seg_meta.deleted_docs)
-                    for ordinal, doc_id in enumerate(reader.doc_ids):
-                        if ordinal in existing:
-                            continue
-                        if doc_id in ids_to_remove:
-                            new_deleted.setdefault(
-                                seg_meta.id, set()).add(ordinal)
+                    hit = {int(o) for o in ords} - existing
+                    if hit:
+                        new_deleted.setdefault(
+                            seg_meta.id, set()).update(hit)
 
             new_segment = None
             if pending_new:
