@@ -173,6 +173,7 @@ KNOB_SPACE = {
     "SEARCHLITE_WAND_SPARSE_BLOCKS": ("", "8"),
     "SEARCHLITE_HEAVY_TERM_BLOCKS": ("", "4"),
     "SEARCHLITE_MESH_DENSE": ("", "0"),
+    "SEARCHLITE_RUNS_FMT": ("", "4"),
 }
 
 
