@@ -54,14 +54,12 @@ TID_LIMIT = 1 << TID_BITS
 OCC_MAX = 31
 
 
-def _strip_gather_scan(jax, jnp, block_docs, block_impacts, bstart,
-                       bcnt, w, sentinel_row, sentinel_doc, *,
-                       t_pad: int, nblk: int, log2_run: int):
-    """Gather each row's posting blocks into a candidate strip, sort
-    by doc, and combine duplicate-doc runs. Operands bstart/bcnt/w are
-    [B, t_pad] (block start, block count — 0 for unused slots — and
-    f32 weight per slot). Returns (d, v, ok): sorted candidate docs,
-    run-total values, and the run-end match mask."""
+def _strip_gather(jax, jnp, block_docs, block_impacts, bstart, bcnt,
+                  w, sentinel_row, *, t_pad: int, nblk: int):
+    """Gather each row's posting blocks into an UNSORTED candidate
+    strip: (d, v, t_slot) [B, nblk·128] — docs, weighted
+    contributions, and each position's owning term slot (slot
+    segments are contiguous; docs ascend within a segment)."""
     B = bstart.shape[0]
     cum = jnp.cumsum(bcnt, axis=1)                       # [B, T]
     total = cum[:, -1]
@@ -82,6 +80,23 @@ def _strip_gather_scan(jax, jnp, block_docs, block_impacts, bstart,
     if imps.dtype != jnp.float32:  # bf16 device storage (D8)
         imps = imps.astype(jnp.float32)
     v = (imps * w_blk[:, :, None]).reshape(B, nblk * 128)
+    t_slot = jnp.broadcast_to(
+        t_safe[:, :, None], (B, nblk, 128)).reshape(B, nblk * 128)
+    return d, v, t_slot
+
+
+def _strip_gather_scan(jax, jnp, block_docs, block_impacts, bstart,
+                       bcnt, w, sentinel_row, sentinel_doc, *,
+                       t_pad: int, nblk: int, log2_run: int):
+    """Gather each row's posting blocks into a candidate strip, sort
+    by doc, and combine duplicate-doc runs. Operands bstart/bcnt/w are
+    [B, t_pad] (block start, block count — 0 for unused slots — and
+    f32 weight per slot). Returns (d, v, ok): sorted candidate docs,
+    run-total values, and the run-end match mask."""
+    B = bstart.shape[0]
+    d, v, _t_slot = _strip_gather(
+        jax, jnp, block_docs, block_impacts, bstart, bcnt, w,
+        sentinel_row, t_pad=t_pad, nblk=nblk)
     d, v = jax.lax.sort((d, v), num_keys=1, dimension=1)
     # segmented inclusive scan: runs (equal doc) are <= 2^log2_run
     # long (a doc appears at most once per term slot)
@@ -98,6 +113,151 @@ def _strip_gather_scan(jax, jnp, block_docs, block_impacts, bstart,
         axis=1)
     ok = run_end & (d != sentinel_doc) & (v > 0.0)
     return d, v, ok
+
+
+def _strip_prune_core(jax, jnp, d, v, t_of, sentinel_doc, *,
+                      k: int, c: int, t_pad: int, chunk: int = 512):
+    """SORT-FREE strip combine — RECORDED NEGATIVE RESULT, not wired
+    into any production path. The kernel is exact on certified rows
+    and 2-3x cheaper than the sort at small C, but its exactness
+    certificate passes ~0% of rows on strips gathered from the real
+    headline corpus (BM25 impacts are nearly flat, so the missed-doc
+    bound lands on θ — WAND's classic flat-impact weakness). Kept
+    with tools/probe_strip_prune.py as the documented experiment; see
+    docs/architecture.md "Why the strip sort stays". Mechanism:
+
+    1. overselect the row's top-``c`` single contributions
+       (``lax.top_k(v, c)`` — O(L·log c) vs the sort's O(L·log²L));
+    2. combine ONLY those candidates' docs by an equality contraction
+       against the whole strip, scanned in VMEM-sized chunks
+       (``combined[b,i] = Σ_l v[b,l]·[d[b,l] = dc[b,i]]`` — dense VPU
+       work, no random access: TPU element gathers cost ~10 cyc/elem,
+       which kills any binary-search formulation);
+    3. rank candidates by (score desc, doc asc) with a tiny [B, c]
+       two-pass stable argsort;
+    4. EXACTNESS CERTIFICATE per row, per-slot: every missed doc's
+       combined score is ≤ ``bound = Σ_t m_t`` where ``m_t`` is the
+       largest UNSELECTED contribution in slot t (a slot whose
+       postings were all selected contributes 0 — tail terms usually
+       vanish from the bound entirely, which is what makes it tight
+       on Zipf queries). If ``bound < θ_k`` (strict — a tie could
+       still displace on doc order), or ``bound ≤ 0`` (non-candidates
+       can't score positive at all), the top-k is provably the
+       full-sort result. Rows failing the certificate return
+       ``ok=False`` and must be re-scored by the sort path (exactness
+       is structural, the certificate only decides WHICH path
+       answered).
+
+    ``t_of`` [B, L] int32 is each strip position's owning slot (free
+    from the gather). Summation order differs from the sort path's
+    shifted-add tree (D10-class f32 ulps). Returns (ts [B,k],
+    td [B,k] int32, ok [B] bool)."""
+    B, L = d.shape
+    c = min(max(c, k), L)
+    s_c, p_c = jax.lax.top_k(v, c)
+    dc = jnp.take_along_axis(d, p_c, axis=1)                # [B, c]
+
+    # selected-position mask (unique indices per row: top_k positions)
+    sel = jnp.zeros((B, L), dtype=bool)
+    sel = sel.at[jnp.arange(B)[:, None], p_c].set(
+        True, unique_indices=True)
+
+    n_chunks = -(-L // chunk)
+    pad = n_chunks * chunk - L
+    if pad:
+        d = jnp.pad(d, ((0, 0), (0, pad)),
+                    constant_values=sentinel_doc)
+        v = jnp.pad(v, ((0, 0), (0, pad)))
+        sel = jnp.pad(sel, ((0, 0), (0, pad)),
+                      constant_values=True)
+        t_of = jnp.pad(t_of, ((0, 0), (0, pad)))
+    d3 = d.reshape(B, n_chunks, chunk).transpose(1, 0, 2)
+    v3 = v.reshape(B, n_chunks, chunk).transpose(1, 0, 2)
+    s3 = sel.reshape(B, n_chunks, chunk).transpose(1, 0, 2)
+    t3 = t_of.reshape(B, n_chunks, chunk).transpose(1, 0, 2)
+    slot_ids = jnp.arange(t_pad, dtype=jnp.int32)
+
+    def body(carry, xs):
+        acc, m = carry
+        cd, cv, cs, ct = xs
+        eq = cd[:, None, :] == dc[:, :, None]               # [B,c,ch]
+        acc = acc + jnp.where(eq, cv[:, None, :], 0.0).sum(-1)
+        # per-slot max of UNSELECTED contributions (certificate)
+        v_un = jnp.where(cs, 0.0, cv)                       # [B, ch]
+        eqt = ct[:, None, :] == slot_ids[None, :, None]     # [B,T,ch]
+        m = jnp.maximum(
+            m, jnp.where(eqt, v_un[:, None, :], 0.0).max(-1))
+        return (acc, m), None
+
+    (combined, m_slot), _ = jax.lax.scan(
+        body,
+        (jnp.zeros((B, c), dtype=jnp.float32),
+         jnp.zeros((B, t_pad), dtype=jnp.float32)),
+        (d3, v3, s3, t3))
+    bound = m_slot.sum(axis=1)                              # [B]
+
+    # one representative per doc: drop candidates whose doc already
+    # appears at an earlier-selected strip position
+    dup_earlier = ((dc[:, :, None] == dc[:, None, :])
+                   & (p_c[:, None, :] < p_c[:, :, None])).any(-1)
+    valid = (~dup_earlier) & (combined > 0.0) & (dc != sentinel_doc)
+    scores = jnp.where(valid, combined, -jnp.inf)
+
+    # (score desc, doc asc): stable argsort by doc, then by -score
+    o1 = jnp.argsort(dc, axis=1, stable=True)
+    s1 = jnp.take_along_axis(scores, o1, axis=1)
+    d1 = jnp.take_along_axis(dc, o1, axis=1)
+    o2 = jnp.argsort(-s1, axis=1, stable=True)
+    ts_full = jnp.take_along_axis(s1, o2, axis=1)
+    td_full = jnp.take_along_axis(d1, o2, axis=1)
+    ts = ts_full[:, :k]
+    td = jnp.where(ts > -jnp.inf, td_full[:, :k], 0).astype(jnp.int32)
+
+    theta = ts_full[:, k - 1] if c >= k else jnp.full(
+        (B,), -jnp.inf, dtype=jnp.float32)
+    ok = (bound <= 0.0) | (bound < theta)
+    return ts, td, ok
+
+
+def make_strip_prune_probe():
+    """Jit wrappers over raw (d, v) strips for A/B-probing the prune
+    core against the sort core (tools/probe_strip_prune.py). Not the
+    production entry point — reader integration comes only if the
+    probe wins on hardware."""
+    import jax
+    import jax.numpy as jnp
+
+    @partial(jax.jit, static_argnames=("k", "c", "t_pad", "log2_run"))
+    def prune(d, v, t_of, sent, *, k: int, c: int, t_pad: int,
+              log2_run: int = 3):
+        del log2_run
+        return _strip_prune_core(jax, jnp, d, v, t_of, sent,
+                                 k=k, c=c, t_pad=t_pad)
+
+    @partial(jax.jit, static_argnames=("k", "c", "t_pad", "log2_run"))
+    def sort_core(d, v, t_of, sent, *, k: int, c: int, t_pad: int,
+                  log2_run: int = 3):
+        del t_of, c, t_pad
+        B = d.shape[0]
+        d2, v2 = jax.lax.sort((d, v), num_keys=1, dimension=1)
+        off = 1
+        for _ in range(log2_run):
+            same = d2[:, off:] == d2[:, :-off]
+            v2 = jnp.concatenate(
+                [v2[:, :off],
+                 v2[:, off:] + jnp.where(same, v2[:, :-off], 0.0)],
+                axis=1)
+            off *= 2
+        run_end = jnp.concatenate(
+            [d2[:, 1:] != d2[:, :-1], jnp.ones((B, 1), dtype=bool)],
+            axis=1)
+        okm = run_end & (d2 != sent) & (v2 > 0.0)
+        score = jnp.where(okm, v2, -jnp.inf)
+        tsv, tp = jax.lax.top_k(score, k)
+        tdv = jnp.take_along_axis(d2, tp, axis=1)
+        return tsv, tdv, jnp.ones((B,), dtype=bool)
+
+    return prune, sort_core
 
 
 def _candidate_core(jax, jnp, block_docs, block_impacts, bstart, bcnt,

@@ -195,3 +195,39 @@ def test_partition_and_subset_shapes():
         assert hqb["n_queries"] >= len(part["heavy_idx"])
         assert hqb["n_slots"] <= qb["n_slots"]
         assert hqb["n1"] == qb["n1"]
+
+
+def test_strip_prune_core_certified_rows_exact():
+    """The recorded sort-free combine experiment (_strip_prune_core,
+    docs/architecture.md "Why the strip sort stays") must stay exact
+    on every row its certificate accepts, across synthetic strips —
+    the documented claim the probe measured."""
+    import numpy as np
+
+    from searchlite_tpu.ops.sparse import make_strip_prune_probe
+    from tools.probe_strip_prune import build_strips, oracle_topk
+
+    prune, sort_core = make_strip_prune_probe()
+    k = 10
+    for seed in (1, 9):
+        d, v, t_of, sent = build_strips(24, 8, 4, 5001, seed)
+        o_s, o_d = oracle_topk(d, v, sent, k)
+        import jax
+        import jax.numpy as jnp
+
+        for c in (16, 64):
+            ts, td, ok = jax.device_get(prune(
+                jnp.asarray(d), jnp.asarray(v), jnp.asarray(t_of),
+                sent, k=k, c=c, t_pad=4))
+            for b in range(24):
+                if not ok[b]:
+                    continue
+                assert list(td[b][: len(o_d[b])]) == o_d[b], (seed, c, b)
+                np.testing.assert_allclose(
+                    ts[b][: len(o_s[b])], o_s[b], rtol=2e-5, atol=1e-5)
+        # the sort core must agree with the oracle on every row
+        ts, td, _ = jax.device_get(sort_core(
+            jnp.asarray(d), jnp.asarray(v), jnp.asarray(t_of),
+            sent, k=k, c=16, t_pad=4))
+        for b in range(24):
+            assert list(td[b][: len(o_d[b])]) == o_d[b], (seed, b)
