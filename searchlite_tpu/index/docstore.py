@@ -102,6 +102,27 @@ class DocStoreWriter:
         if len(buf) >= self._BUF_FLUSH:
             self.flush()
 
+    def add_empty_documents(self, n: int) -> None:
+        """Bulk form for schemas with no stored fields: n constant
+        empty records, offsets computed arithmetically, one buffered
+        write path (the columnar ingest fast path)."""
+        if n <= 0:
+            return
+        record = self._empty_record()
+        blob = len(record).to_bytes(4, "little") + record
+        step = len(blob)
+        start = self._pos
+        self._offsets.extend(range(start, start + n * step, step))
+        self._pos += n * step
+        self.flush()  # keep byte order with any per-doc records
+        per = max(1, self._BUF_FLUSH // step)
+        full, rem = divmod(n, per)
+        chunk = blob * per
+        for _ in range(full):
+            self._file.write(chunk)
+        if rem:
+            self._file.write(blob * rem)
+
     def flush(self) -> None:
         """Write buffered records; MUST be called before the backing
         file is closed."""

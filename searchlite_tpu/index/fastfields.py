@@ -165,6 +165,14 @@ class FastFieldsWriter:
         col["objs"].extend(repeat(0, len(col["docs"]) - len(col["objs"])))
         col["vals"].extend(map(str, values))
 
+    def extend_f64(self, name: str, docs, values):
+        from itertools import repeat
+
+        col = self._col(name, "f64", False)
+        col["docs"].extend(docs)
+        col["objs"].extend(repeat(0, len(col["docs"]) - len(col["objs"])))
+        col["vals"].extend(map(float, values))
+
     def set_f64(self, name: str, doc: int, values, object_idx: int | None = None):
         self._push(self._col(name, "f64", object_idx is not None),
                    doc, values, object_idx, float)

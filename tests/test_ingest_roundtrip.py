@@ -186,3 +186,121 @@ def test_compact_refuses_unstored_fast_field(corpus):
 
     with pytest.raises(SchemaError):
         idx.compact()
+
+
+class TestColumnarEquivalence:
+    """The field-major columnar ingest fast path must produce
+    BYTE-identical segments to the per-doc loop, across pure and
+    impure columns (missing values, lists, non-ASCII under the
+    default tokenizer, empty strings, stopword analyzers)."""
+
+    FLAT_SCHEMA = {
+        "analyzers": [
+            {"name": "en", "tokenizer": "default",
+             "filters": ["lowercase",
+                         {"type": "stopwords", "stopwords": "en"},
+                         {"type": "stemmer", "stemmer": "english"}]}],
+        "text_fields": [
+            {"name": "body", "analyzer": "default", "stored": False,
+             "indexed": True},
+            {"name": "title", "analyzer": "en", "stored": False,
+             "indexed": True}],
+        "keyword_fields": [
+            {"name": "tag", "stored": False, "indexed": True,
+             "fast": True},
+            {"name": "cat", "stored": False, "indexed": False,
+             "fast": True}],
+        "numeric_fields": [
+            {"name": "price", "i64": False, "stored": False,
+             "fast": True},
+            {"name": "year", "i64": True, "stored": False,
+             "fast": True}],
+    }
+
+    def _gen_docs(self, seed, n=400, impure=False):
+        rng = random.Random(seed)
+        docs = []
+        for i in range(n):
+            doc = {"_id": str(i),
+                   "body": " ".join(
+                       f"w{rng.randrange(60)}"
+                       for _ in range(rng.randrange(0, 25))),
+                   "title": f"the running w{rng.randrange(20)}",
+                   "tag": rng.choice(["A", "b", "", "Mixed"]),
+                   "cat": f"c{i % 7}",
+                   "price": rng.random() * 100,
+                   "year": rng.randrange(1990, 2030)}
+            if impure:
+                r = rng.random()
+                if r < 0.1:
+                    doc.pop("body")
+                elif r < 0.2:
+                    doc["body"] = ["multi", "value body"]
+                elif r < 0.3:
+                    doc["body"] = "café non-ascii crème"
+                if rng.random() < 0.15:
+                    doc["tag"] = ["x", "X", "y"]
+                if rng.random() < 0.15:
+                    doc.pop("price")
+                if rng.random() < 0.15:
+                    doc["year"] = [2001, 2002]
+            docs.append(doc)
+        return docs
+
+    @pytest.mark.parametrize("positions", [False, True])
+    @pytest.mark.parametrize("impure", [False, True])
+    def test_segments_byte_identical(self, positions, impure,
+                                     monkeypatch):
+        payloads = []
+        for off in (False, True):
+            if off:
+                monkeypatch.setenv("SEARCHLITE_COLUMNAR_OFF", "1")
+            else:
+                monkeypatch.delenv("SEARCHLITE_COLUMNAR_OFF",
+                                   raising=False)
+            idx = Index.create(
+                IndexOptions(path="", create_if_missing=True,
+                             storage=StorageType.IN_MEMORY,
+                             enable_positions=positions),
+                Schema.from_json(self.FLAT_SCHEMA))
+            w = idx.writer()
+            w.add_documents(self._gen_docs(99, impure=impure))
+            w.commit()
+            storage = idx.storage
+            by_kind = {}
+            for path in sorted(storage.list_files()):
+                if not path.startswith("seg_"):
+                    continue
+                kind = path.rsplit(".", 1)[-1]
+                data = storage.read_to_end(path)
+                by_kind.setdefault(kind, []).append(data)
+            payloads.append(by_kind)
+        a, b = payloads
+        assert set(a) == set(b)
+        assert {"post", "terms", "fast", "docs", "meta"} <= set(a)
+        for kind in a:
+            assert a[kind] == b[kind], f"{kind} differs"
+
+    def test_columnar_path_engages(self, monkeypatch):
+        """Sanity: the fast path actually runs for the flat schema
+        (guards against silent gate regressions)."""
+        from searchlite_tpu.index import segment as seg_mod
+
+        calls = []
+        orig = seg_mod.SegmentWriter._ingest_columnar
+
+        def spy(self, *a, **kw):
+            out = orig(self, *a, **kw)
+            calls.append(out)
+            return out
+
+        monkeypatch.setattr(seg_mod.SegmentWriter,
+                            "_ingest_columnar", spy)
+        idx = Index.create(
+            IndexOptions(path="", create_if_missing=True,
+                         storage=StorageType.IN_MEMORY),
+            Schema.from_json(self.FLAT_SCHEMA))
+        w = idx.writer()
+        w.add_documents(self._gen_docs(5, n=50))
+        w.commit()
+        assert calls == [True]
