@@ -59,8 +59,7 @@ class IndexWriter:
         surface; passed through to the WAL so entries splice the
         client's bytes instead of re-serializing (see
         ``Wal.append_add_docs``)."""
-        for doc in docs:
-            self.index.schema.validate_document(doc)
+        self.index.schema.validate_documents(docs)
         self.wal.append_add_docs(docs, raws=raws)
         self._ops.extend(("add", doc) for doc in docs)
 

@@ -546,6 +546,58 @@ class Schema:
             field_map[path] = (index_name, search_name)
         return SchemaAnalyzers(registry, field_map)
 
+    def validate_documents(self, docs: list) -> None:
+        """Bulk validation with columnar fast checks (the per-doc loop
+        costs ~2 µs/doc of dict traversal — measurable at bulk ingest).
+        Columns whose every value passes a STRICT subset of the
+        per-doc accept set are cleared wholesale; anything else —
+        nested/vector schemas, non-dict docs, subclasses, unusual
+        values — falls back to the per-doc loop, which raises the
+        exact same first error it always did."""
+        if (self.nested_fields or self.vector_fields
+                or not isinstance(docs, list)
+                or any(type(d) is not dict for d in docs)):
+            for d in docs:
+                self.validate_document(d)
+            return
+        _MISSING = object()
+        ids = [d.get(self.doc_id_field) for d in docs]
+        if not all(type(x) is str and x.strip() for x in ids):
+            for d in docs:
+                self.validate_document(d)
+            return
+        for meta in self.resolved_fields():
+            if meta.path == self.doc_id_field:
+                continue
+            col = [d.get(meta.path, _MISSING) for d in docs]
+            if meta.kind in ("text", "keyword"):
+                def ok(x):
+                    return (type(x) is str
+                            or (type(x) is list
+                                and all(type(v) is str for v in x)))
+            elif meta.kind == "numeric":
+                if meta.numeric_i64:
+                    def ok(x):
+                        return (type(x) is int
+                                or (type(x) is list
+                                    and all(type(v) is int
+                                            for v in x)))
+                else:
+                    def ok(x):
+                        return (type(x) in (int, float)
+                                or (type(x) is list
+                                    and all(type(v) in (int, float)
+                                            for v in x)))
+            else:  # pragma: no cover — unknown kind: be conservative
+                def ok(x):
+                    return False
+            nullable = meta.nullable
+            if not all(x is _MISSING or (x is None and nullable)
+                       or ok(x) for x in col):
+                for d in docs:
+                    self.validate_document(d)
+                return
+
     def validate_document(self, doc: dict) -> None:
         doc_id = doc.get(self.doc_id_field)
         if not (isinstance(doc_id, str) and doc_id.strip()):

@@ -304,3 +304,61 @@ class TestColumnarEquivalence:
         w.add_documents(self._gen_docs(5, n=50))
         w.commit()
         assert calls == [True]
+
+
+class TestBulkValidateEquivalence:
+    """Schema.validate_documents must accept exactly what the per-doc
+    validator accepts and raise its exact errors otherwise."""
+
+    SCHEMA = TestColumnarEquivalence.FLAT_SCHEMA
+
+    def _schema(self):
+        return Schema.from_json(self.SCHEMA)
+
+    def test_pure_batch_passes(self):
+        docs = [{"_id": str(i), "body": "a b", "tag": "t",
+                 "price": 1.5, "year": 2000} for i in range(50)]
+        self._schema().validate_documents(docs)  # no raise
+
+    @pytest.mark.parametrize("bad,pos", [
+        ({"_id": "", "body": "x"}, 0),
+        ({"_id": "x", "body": 3}, 7),
+        ({"_id": "x", "price": "not-a-number"}, 3),
+        ({"_id": "x", "year": 1.5}, 9),
+        ({"_id": "x", "year": True}, 5),
+        ({"_id": "x", "tag": [1, 2]}, 2),
+        ({"body": "missing id"}, 4),
+    ])
+    def test_bad_doc_raises_same_error(self, bad, pos):
+        from searchlite_tpu.errors import SchemaError
+
+        schema = self._schema()
+        docs = [{"_id": f"g{i}", "body": "ok", "year": 2001}
+                for i in range(10)]
+        docs[pos] = bad
+        with pytest.raises(SchemaError) as e_bulk:
+            schema.validate_documents(docs)
+        # per-doc reference error: first failing doc in order
+        msg = None
+        for d in docs:
+            try:
+                schema.validate_document(d)
+            except SchemaError as e:
+                msg = str(e)
+                break
+        assert msg is not None and str(e_bulk.value) == msg
+
+    def test_nullable_and_none(self):
+        from searchlite_tpu.errors import SchemaError
+
+        schema = Schema.from_json({
+            "text_fields": [{"name": "body", "analyzer": "default",
+                             "stored": False, "indexed": True,
+                             "nullable": True}],
+            "keyword_fields": [{"name": "tag", "stored": False,
+                                "indexed": True, "fast": False}]})
+        schema.validate_documents(
+            [{"_id": "1", "body": None}, {"_id": "2"}])
+        with pytest.raises(SchemaError):
+            schema.validate_documents(
+                [{"_id": "1", "tag": None}])  # tag not nullable

@@ -9,7 +9,11 @@ docs). The reference ingests through the same WAL-first pipeline
 (`api/writer.rs:74-239`); this host is single-core, so the number is
 a single-core rate.
 
-Usage: python tools/bench_ingest.py [n_docs] [--positions]
+Usage: python tools/bench_ingest.py [n_docs] [--positions] [--raw]
+
+--raw measures the NDJSON serving path: documents arrive as raw JSON
+line bytes (what HTTP /add and CLI add receive); parsing counts as
+engine time, the WAL splices the raw bytes (no re-serialization).
 
 Prints one JSON line:
   {"bench": "ingest_engine_docs_per_s", "value": N, "n_docs": ...,
@@ -44,6 +48,7 @@ def main() -> None:
     n_docs = int(args[0]) if args and not args[0].startswith("-") \
         else 500_000
     positions = "--positions" in args
+    raw_mode = "--raw" in args
 
     rng = np.random.default_rng(7)
     ranks = np.arange(1, VOCAB + 1, dtype=np.float64)
@@ -79,9 +84,17 @@ def main() -> None:
                                           for t in toks[c:c + ln]),
                          "cat": f"c{d % 37}", "price": float(d % 997)})
             c += ln
-        t0 = time.perf_counter()
-        writer.add_documents(docs)
-        buffer_s += time.perf_counter() - t0
+        if raw_mode:
+            lines = [json.dumps(d, separators=(",", ":")).encode()
+                     for d in docs]
+            t0 = time.perf_counter()
+            parsed = [json.loads(ln) for ln in lines]
+            writer.add_documents(parsed, raws=lines)
+            buffer_s += time.perf_counter() - t0
+        else:
+            t0 = time.perf_counter()
+            writer.add_documents(docs)
+            buffer_s += time.perf_counter() - t0
         done += n
     t0 = time.perf_counter()
     writer.commit()
@@ -95,6 +108,7 @@ def main() -> None:
         "buffer_s": round(buffer_s, 1),
         "commit_s": round(commit_s, 1),
         "positions": positions,
+        "raw_ndjson": raw_mode,
     }), flush=True)
 
 
