@@ -76,14 +76,19 @@ def probe_device(attempts: int = 3, timeout_s: int = 240,
         "import jax, numpy as np, jax.numpy as jnp\n"
         "x = jnp.ones((8, 8), jnp.float32)\n"
         "v = np.asarray(jax.device_get(x @ x))\n"
-        "print('probe-ok', float(v[0, 0]))\n"
+        "print('probe-ok', jax.default_backend(), float(v[0, 0]))\n"
     )
     for attempt in range(attempts):
         try:
             r = subprocess.run([sys.executable, "-c", code],
                                timeout=timeout_s, capture_output=True,
                                text=True)
-            if r.returncode == 0 and "probe-ok" in r.stdout:
+            # an accelerator must answer: since the package widens
+            # JAX_PLATFORMS to "axon,cpu" (host tier), a dead axon
+            # plugin degrades to a WORKING cpu backend — that must
+            # classify as cpu-fallback, never as a device run
+            if r.returncode == 0 and "probe-ok" in r.stdout \
+                    and "probe-ok cpu" not in r.stdout:
                 return True
         except subprocess.TimeoutExpired:
             pass

@@ -54,6 +54,27 @@ def _tune_numpy_allocator() -> None:
 _tune_numpy_allocator()
 
 
+def _enable_host_tier_backend() -> None:
+    """Widen ``JAX_PLATFORMS=axon`` to ``axon,cpu`` so the host tier
+    (api/reader.py::_host_tier_device — small fresh segments served
+    from host RAM) can reach the cpu backend next to the accelerator.
+    Platform priority keeps axon the default backend; the env edit is
+    a no-op once jax backends have initialized, and the tier degrades
+    to disabled if the cpu backend still isn't reachable. Explicit
+    single-platform pins other than plain "axon" (tests pin "cpu",
+    tools pin via jax.config) are left alone. A broken accelerator
+    plugin now falls back to cpu instead of raising at init —
+    bench.py guards against misreading that (its device probe
+    requires a non-cpu default backend)."""
+    import os
+
+    if os.environ.get("JAX_PLATFORMS") == "axon":
+        os.environ["JAX_PLATFORMS"] = "axon,cpu"
+
+
+_enable_host_tier_backend()
+
+
 def __getattr__(name):  # lazy top-level exports to keep import light
     if name in ("IndexOptions", "SearchRequest", "StorageType"):
         from searchlite_tpu.api import types

@@ -283,20 +283,55 @@ def decode_cursor(raw: str, generation: int, sort_plan: SortPlan,
 # Reader
 # ---------------------------------------------------------------------------
 
+def _host_tier_device(doc_count: int):
+    """The cpu ``jax.Device`` a segment this size should live on, or
+    None for normal HBM residency. Segments under
+    ``SEARCHLITE_HOST_TIER_DOCS`` docs (default 16384; 0 disables)
+    serve from host RAM: a fresh commit's small segments are
+    searchable immediately with no accelerator upload and no remote
+    compile, and graduate to HBM once compaction folds them past the
+    threshold. Active only when an accelerator is the default backend
+    (on a cpu-default process everything already runs on host);
+    requires the cpu backend registered alongside it
+    (searchlite_tpu/__init__ widens ``JAX_PLATFORMS=axon`` to
+    ``axon,cpu``) and quietly disables otherwise.
+    ``SEARCHLITE_HOST_TIER=force`` makes a cpu-default process place
+    on its LAST cpu device instead of disabling — the tests drive the
+    real placement/scoping/routing machinery that way (committed
+    arrays on a non-default device) without accelerator hardware."""
+    thr = int(os.environ.get("SEARCHLITE_HOST_TIER_DOCS", 16384))
+    if thr <= 0 or doc_count >= thr:
+        return None
+    try:
+        import jax
+
+        devs = jax.local_devices(backend="cpu")
+        if jax.default_backend() != "cpu":
+            return devs[0]
+        if os.environ.get("SEARCHLITE_HOST_TIER") == "force" \
+                and len(devs) > 1:
+            return devs[-1]
+        return None
+    except Exception:  # cpu backend not in jax_platforms
+        return None
+
+
 def _cached_segment(storage, meta, ordinal: int, k1: float, b: float):
     """(SegmentReader, DeviceSegment) for an immutable segment, shared
-    process-wide. Keyed by segment uuid + tombstone state + BM25 params:
-    commits that only ADD segments reuse every existing upload; merging
-    tombstones into a segment changes its key and rebuilds it. Segment
-    ordinals are stable for a given id (the manifest list is
-    append-only; compaction mints a new id)."""
-    key = (meta.id, tuple(meta.deleted_docs), float(k1), float(b))
+    process-wide. Keyed by segment uuid + tombstone state + BM25 params
+    + tier placement: commits that only ADD segments reuse every
+    existing upload; merging tombstones into a segment changes its key
+    and rebuilds it. Segment ordinals are stable for a given id (the
+    manifest list is append-only; compaction mints a new id)."""
+    device = _host_tier_device(meta.doc_count)
+    key = (meta.id, tuple(meta.deleted_docs), float(k1), float(b),
+           device is None)
     with _GLOBAL_LOCK:
         hit = _GLOBAL_SEGMENTS.get(key)
     if hit is not None and hit[1].ord == ordinal:
         return hit
     seg = SegmentReader(meta, storage)
-    dseg = DeviceSegment(seg, ordinal, k1=k1, b=b)
+    dseg = DeviceSegment(seg, ordinal, k1=k1, b=b, device=device)
     with _GLOBAL_LOCK:
         _GLOBAL_SEGMENTS[key] = (seg, dseg)
         while len(_GLOBAL_SEGMENTS) > _MAX_CACHED_SEGMENTS:
@@ -869,6 +904,14 @@ class IndexReader:
         def launch_dense(dseg, qargs, phrase_masks, filter_masks,
                          col_vals, col_has, root_mask, cs, eq_mode,
                          cdoc, k):
+            with dseg.exec_scope():
+                return launch_dense_inner(
+                    dseg, qargs, phrase_masks, filter_masks, col_vals,
+                    col_has, root_mask, cs, eq_mode, cdoc, k)
+
+        def launch_dense_inner(dseg, qargs, phrase_masks, filter_masks,
+                               col_vals, col_has, root_mask, cs,
+                               eq_mode, cdoc, k):
             run = compiled.executor()
             (top_scores, top_idx, match_count, final_mask, adjusted,
              cursor_seen, text_mask) = run(
@@ -962,6 +1005,7 @@ class IndexReader:
             oversize = (qargs["overflow"]
                         or qargs["s_pad"] * dseg.n1 * 4 > m_budget)
             if pruning_ok and qargs["n_slots"] > 0 \
+                    and dseg.device is None \
                     and (oversize
                          or qargs["postings_touched"] >= prune_min):
                 # deferred: pruned segments run wave-pipelined together
@@ -1433,9 +1477,10 @@ class IndexReader:
                         vdata, base_mask, query, search_k,
                         clause.metric, mesh, quantization=quant)
                 else:
-                    scores, ids = vector_topk(
-                        vdata, base_mask, query, search_k,
-                        clause.metric, quantization=quant)
+                    with dseg.exec_scope():
+                        scores, ids = vector_topk(
+                            vdata, base_mask, query, search_k,
+                            clause.metric, quantization=quant)
                 for score, doc in zip(scores[0].tolist(), ids[0].tolist()):
                     if score == -np.inf:
                         continue
@@ -1885,10 +1930,14 @@ class IndexReader:
                 np.array(fm)[:n1], np.array(adj)[:n1],
                 np.array(tm)[:n1])
 
-    def _run_segment_chunked(self, dseg, compiled, qargs, phrase_masks,
-                             filter_masks, col_vals, col_has, root_mask,
-                             has_scored: bool, need_scores: bool,
-                             need_text_mask: bool):
+    def _run_segment_chunked(self, dseg, *args, **kwargs):
+        with dseg.exec_scope():
+            return self._run_segment_chunked_inner(dseg, *args, **kwargs)
+
+    def _run_segment_chunked_inner(self, dseg, compiled, qargs, phrase_masks,
+                                   filter_masks, col_vals, col_has, root_mask,
+                                   has_scored: bool, need_scores: bool,
+                                   need_text_mask: bool):
         """Exact full execution in tile-column chunks for segments whose
         dense [S, n1] impact matrix would exceed int32 indexing or the
         HBM budget. Every tile is scored (no pruning); the per-column
@@ -3205,8 +3254,12 @@ class IndexReader:
         return (self._launch_chunk_retrying(chunk[:mid], launch_one)
                 + self._launch_chunk_retrying(chunk[mid:], launch_one))
 
-    def _launch_tile_runs_one(self, dseg, tl, qb, tiles, limit: int,
-                              run_scorer, filter_table=(None, None)):
+    def _launch_tile_runs_one(self, dseg, *args, **kwargs):
+        with dseg.exec_scope():
+            return self._launch_tile_runs_one_inner(dseg, *args, **kwargs)
+
+    def _launch_tile_runs_one_inner(self, dseg, tl, qb, tiles, limit: int,
+                                    run_scorer, filter_table=(None, None)):
         import jax.numpy as jnp
 
         # pow2 tile count → compile-cache bucketed wave shapes
@@ -3511,9 +3564,13 @@ class IndexReader:
             flat_vals[pos] = sc
             flat_vals[pos + 1] = ids
 
-    def _launch_batch_segment(self, dseg, qb, k: int, fidx=None,
-                              distinct=None, allow_sparse: bool = True,
-                              pending=None):
+    def _launch_batch_segment(self, dseg, *args, **kwargs):
+        with dseg.exec_scope():
+            return self._launch_batch_segment_inner(dseg, *args, **kwargs)
+
+    def _launch_batch_segment_inner(self, dseg, qb, k: int, fidx=None,
+                                    distinct=None, allow_sparse: bool = True,
+                                    pending=None):
         """Dispatch one segment's batched scoring. Unfiltered batches
         route through the sparse candidate scorer first (ops/sparse.py:
         top-k over each query's own gathered postings — no doc-axis
@@ -3823,6 +3880,10 @@ class IndexReader:
                            [light_map, heavy_map])), n_rows=nq)
 
     def _try_sparse_single(self, dseg, qargs, k: int):
+        with dseg.exec_scope():
+            return self._try_sparse_single_inner(dseg, qargs, k)
+
+    def _try_sparse_single_inner(self, dseg, qargs, k: int):
         """One plain OR query through the sparse candidate scorer
         (ops/sparse.py): a [1, t_pad] table of the query's posting
         block ranges and summed leaf weights, scored over its own

@@ -38,9 +38,17 @@ from searchlite_tpu.index.segment import SegmentReader
 
 class DeviceSegment:
     def __init__(self, reader: SegmentReader, segment_ord: int, jnp=None,
-                 k1: float = 0.9, b: float = 0.4):
+                 k1: float = 0.9, b: float = 0.4, device=None):
         if jnp is None:
             import jax.numpy as jnp  # noqa: PLC0415
+        # host-tier placement: when ``device`` is a (cpu) jax.Device,
+        # every segment-resident array commits there instead of the
+        # default accelerator — fresh/small segments serve from host
+        # RAM with no HBM upload and no remote compile; jit executors
+        # follow the committed operands onto that backend. None =
+        # default-device (HBM) residency, the normal tier.
+        self.device = device
+        self._jnp = jnp
         self.reader = reader
         self.ord = segment_ord
         self.n_docs = reader.doc_count
@@ -83,15 +91,15 @@ class DeviceSegment:
                 doc_len[fid, col.row_ids] = col.values.astype(np.float32)
             avgdl[fid] = np.float32(reader.avg_field_length(field))
         self._no_len_field = n_fields - 1
-        self.doc_len = jnp.asarray(doc_len)
-        self.avgdl = jnp.asarray(avgdl)
+        self.doc_len = self._put(doc_len)
+        self.avgdl = self._put(avgdl)
 
         deleted = np.zeros(self.n1, dtype=bool)
         deleted[self.n1 - 1] = True  # sentinel slot never matches
         for d in reader.deleted:
             if 0 <= d < self.n_docs:
                 deleted[d] = True
-        self.deleted = jnp.asarray(deleted)
+        self.deleted = self._put(deleted)
         self.deleted_np = deleted
         self.live_docs = int(self.n_docs - len(reader.deleted))
 
@@ -138,7 +146,32 @@ class DeviceSegment:
         self.impacts_flat_np = impacts
         self._docs_flat = None
         self._impacts_flat = None
-        self._jnp = jnp
+
+    def _put(self, x):
+        """Upload one segment-resident array: committed to the host
+        tier's device when placed, otherwise an uncommitted transfer
+        to the default accelerator (the normal HBM upload)."""
+        if self.device is None:
+            return self._jnp.asarray(x)
+        import jax  # noqa: PLC0415
+
+        return jax.device_put(x, self.device)
+
+    def exec_scope(self):
+        """Context manager for this segment's compute launches: pins
+        eager ops and uncommitted ``jnp.asarray`` placements (query
+        tables, masks, tile indexes) to the host tier's device so a
+        placed segment's entire execution — uploads included — stays
+        local. No-op (and free) for HBM-resident segments; jit
+        executors already follow the committed operands, this keeps
+        the per-query operand uploads off the accelerator link too."""
+        if self.device is None:
+            import contextlib  # noqa: PLC0415
+
+            return contextlib.nullcontext()
+        import jax  # noqa: PLC0415
+
+        return jax.default_device(self.device)
 
     def _impacts_native(self, postings, term_fields, term_df, doc_len,
                         avgdl):
@@ -217,13 +250,13 @@ class DeviceSegment:
     @property
     def block_tfs(self):
         if self._block_tfs is None:
-            self._block_tfs = self._jnp.asarray(self.block_tfs_np)
+            self._block_tfs = self._put(self.block_tfs_np)
         return self._block_tfs
 
     @property
     def block_docs(self):
         if self._block_docs is None:
-            self._block_docs = self._jnp.asarray(self.block_docs_np)
+            self._block_docs = self._put(self.block_docs_np)
         return self._block_docs
 
     @property
@@ -239,8 +272,9 @@ class DeviceSegment:
                 impacts_store_dtype,
             )
 
-            dtype = impacts_store_dtype()
-            self._block_impacts = self._jnp.asarray(
+            dtype = impacts_store_dtype(
+                self.device.platform if self.device else None)
+            self._block_impacts = self._put(
                 self.block_impacts_np.astype(np.dtype(dtype)))
         return self._block_impacts
 
@@ -309,7 +343,7 @@ class DeviceSegment:
             tbl[0, :n] = p.term_block_start.astype(np.int32)
             tbl[1, :n] = p.term_block_count.astype(np.int32)
             tbl[2, :n] = self.idf32.view(np.int32)
-            self._sparse_tid_tbl = self._jnp.asarray(tbl)
+            self._sparse_tid_tbl = self._put(tbl)
         return self._sparse_tid_tbl
 
     def heavy_lookup_host(self, term_cap: int):
@@ -359,7 +393,7 @@ class DeviceSegment:
         if cached is not None and cached[0] == term_cap:
             return cached[1]
         host = self.heavy_lookup_host(term_cap)
-        dev = {k: self._jnp.asarray(v) for k, v in host.items()}
+        dev = {k: self._put(v) for k, v in host.items()}
         self._heavy_lookup = (term_cap, dev)
         return dev
 
@@ -369,7 +403,7 @@ class DeviceSegment:
         for the sparse candidate scorer — cached so the per-batch
         dispatch path transfers nothing segment-invariant."""
         if self._sparse_sentinels is None:
-            self._sparse_sentinels = self._jnp.asarray(
+            self._sparse_sentinels = self._put(
                 np.array([self.n_block_rows, self.n1 - 1],
                          dtype=np.int32))
         return self._sparse_sentinels
@@ -395,7 +429,7 @@ class DeviceSegment:
     @property
     def docs_flat(self):
         if self._docs_flat is None:
-            self._docs_flat = self._jnp.asarray(self.docs_flat_np)
+            self._docs_flat = self._put(self.docs_flat_np)
         return self._docs_flat
 
     @property
@@ -405,8 +439,9 @@ class DeviceSegment:
                 impacts_store_dtype,
             )
 
-            dtype = impacts_store_dtype()
-            self._impacts_flat = self._jnp.asarray(
+            dtype = impacts_store_dtype(
+                self.device.platform if self.device else None)
+            self._impacts_flat = self._put(
                 self.impacts_flat_np.astype(np.dtype(dtype)))
         return self._impacts_flat
 

@@ -71,7 +71,7 @@ def m_store_dtype(precision: str):
     return jnp.float32
 
 
-def impacts_store_dtype():
+def impacts_store_dtype(platform: str | None = None):
     """DEVICE storage dtype for posting impacts (block_impacts,
     impacts_flat, and the doc-shard copies). bf16 on accelerators in
     the fast/bf16 modes: the default fast-f32 matmul rounds M's
@@ -86,7 +86,10 @@ def impacts_store_dtype():
     f32 under ``f32_strict`` or ``SEARCHLITE_DEVICE_IMPACTS=f32``;
     CPU backends keep f32 (exact math for tests) unless
     ``SEARCHLITE_DEVICE_IMPACTS=bf16`` forces the quantized layout
-    (used by the equivalence tests)."""
+    (used by the equivalence tests). ``platform`` overrides the
+    default-backend check for arrays placed on a non-default device
+    (the host tier stores f32: no HBM/link bandwidth to save on the
+    local cpu backend)."""
     import jax
     import jax.numpy as jnp
 
@@ -95,7 +98,7 @@ def impacts_store_dtype():
         return jnp.float32
     if forced == "bf16":
         return jnp.bfloat16
-    if jax.default_backend() == "cpu":
+    if (platform or jax.default_backend()) == "cpu":
         return jnp.float32
     return jnp.bfloat16
 
