@@ -260,10 +260,57 @@ def bench_vector_hybrid():
     return out
 
 
+def bench_fresh_commit_visibility():
+    """Commit-to-searchable latency for a realtime segment: one 200-doc
+    commit followed immediately by a query that must see the new docs.
+    On an accelerator this is the host tier's headline — the fresh
+    segment serves from host RAM with no HBM upload or remote compile
+    (docs/architecture.md "The host tier"); the scenario measures the
+    whole reopen+search path either way."""
+    index = fresh_index()
+    writer = index.writer()
+    for i in range(500):
+        writer.add_document(mk_doc(i))
+    writer.commit()
+    index.reader().search({"query": "alpha", "limit": 5})  # warm base
+    n = [500]
+
+    def run():
+        w = index.writer()
+        for i in range(n[0], n[0] + 200):
+            w.add_document(mk_doc(i))
+        n[0] += 200
+        w.commit()
+        out = index.reader().search(
+            {"query": "alpha gamma", "limit": 5})
+        assert out.hits
+
+    return {"bench": "fresh_commit_visibility_200docs", "unit": "ms",
+            "value": round(timeit(run, 5) * 1000, 2)}
+
+
+def bench_merge_segments():
+    """Structural fold of 10 x 200-doc segments into one
+    (Index.merge_segments) — the log-structured write story's
+    maintenance op (no re-ingestion; contrast compact)."""
+    def run():
+        index = fresh_index()
+        for c in range(10):
+            w = index.writer()
+            for i in range(c * 200, (c + 1) * 200):
+                w.add_document(mk_doc(i))
+            w.commit()
+        assert index.merge_segments() == 10
+
+    return {"bench": "merge_10x200doc_segments", "unit": "ms",
+            "value": round(timeit(run, 3) * 1000, 2)}
+
+
 def main():
     for bench in (bench_index_small, bench_search_small,
                   bench_search_nested_filters, bench_cursor_pagination,
-                  bench_aggs, bench_search_pruned):
+                  bench_aggs, bench_search_pruned,
+                  bench_fresh_commit_visibility, bench_merge_segments):
         result = bench()
         for line in result if isinstance(result, list) else [result]:
             print(json.dumps(line), flush=True)

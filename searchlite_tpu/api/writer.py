@@ -17,6 +17,7 @@ Parity with searchlite-core `api/writer.rs`:
 from __future__ import annotations
 
 import logging
+import os
 
 from searchlite_tpu.errors import SearchliteError
 
@@ -176,3 +177,23 @@ class IndexWriter:
                 manifest.generation)
             self._ops.clear()
             self._generation = manifest.generation
+
+            # opt-in tiered auto-merge: once more than N small segments
+            # accumulate, structurally fold them into one
+            # (Index.merge_segments — no stored fields needed). This is
+            # the log-structured write story's read-side bound AND the
+            # host tier's graduation path: merged realtime segments
+            # cross SEARCHLITE_HOST_TIER_DOCS and re-enter the cache
+            # HBM-resident.
+            auto = int(os.environ.get("SEARCHLITE_AUTO_MERGE", "0"))
+            if auto > 0:
+                small_docs = int(os.environ.get(
+                    "SEARCHLITE_AUTO_MERGE_DOCS",
+                    os.environ.get("SEARCHLITE_HOST_TIER_DOCS",
+                                   "16384")))
+                small = [s for s in manifest.segments
+                         if s.doc_count <= small_docs]
+                if len(small) > auto:
+                    self.index.merge_segments(
+                        segment_ids=[s.id for s in small])
+                    self._generation = self.index.manifest.generation

@@ -238,6 +238,13 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_merge(args) -> int:
+    index = Index.open(options(args.index, False))
+    n = index.merge_segments(max_docs=args.max_docs)
+    print(f"merged {n} segments" if n else "nothing to merge")
+    return 0
+
+
 def cmd_http(args) -> int:
     from searchlite_tpu.http_server import run_server
 
@@ -333,6 +340,14 @@ def build_parser() -> argparse.ArgumentParser:
     p = sub.add_parser("compact", help="Compact segments")
     p.add_argument("index")
     p.set_defaults(fn=cmd_compact)
+
+    p = sub.add_parser(
+        "merge", help="Structurally merge segments (no stored fields "
+        "required; tombstones expunged)")
+    p.add_argument("index")
+    p.add_argument("--max-docs", type=int, default=None,
+                   help="only merge segments at or under this many docs")
+    p.set_defaults(fn=cmd_merge)
 
     return parser
 

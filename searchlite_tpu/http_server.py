@@ -184,6 +184,7 @@ class Handler(BaseHTTPRequestHandler):
             ("POST", "/commit"): self.handle_commit,
             ("POST", "/refresh"): self.handle_refresh,
             ("POST", "/compact"): self.handle_compact,
+            ("POST", "/merge"): self.handle_merge,
             ("POST", "/search"): self.handle_search,
             ("POST", "/search_batch"): self.handle_search_batch,
         }
@@ -341,6 +342,22 @@ class Handler(BaseHTTPRequestHandler):
             index.compact()
         self.state.refresh()
         self._send_json(200, {"compacted": True})
+
+    def handle_merge(self):
+        """Structural segment merge (beyond the reference's routes):
+        body {"max_docs": N} bounds which segments fold; tombstones
+        are expunged and no stored fields are required (contrast
+        /compact)."""
+        index = self.state.require_index()
+        body = self._json_body()
+        max_docs = body.get("max_docs")
+        if max_docs is not None and not isinstance(max_docs, int):
+            raise HttpError(400, "invalid_request",
+                            "max_docs must be an integer")
+        with self.state.writer_lock:
+            n = index.merge_segments(max_docs=max_docs)
+        self.state.refresh()
+        self._send_json(200, {"merged_segments": n})
 
     def handle_search(self):
         reader = self.state.reader()

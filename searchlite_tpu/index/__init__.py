@@ -112,6 +112,61 @@ class Index:
                 raise SchemaError(
                     f"cannot compact: field `{f.path}` is indexed/fast but "
                     "not stored; rewriting would lose data")
+        # vector values never reach the docstore (the reference skips
+        # them in collect, `index/segment.rs:534-539`), so its compact
+        # silently DROPS every vector on the re-ingest — a reference
+        # bug we refuse to inherit (divergence D11): use the
+        # structural merge, which carries vector rows losslessly
+        if self.schema.vector_fields and any(
+                s.has_vectors for s in self.manifest.segments):
+            raise SchemaError(
+                "cannot compact: vector values are not stored in the "
+                "docstore and a re-ingest would drop them; use "
+                "merge_segments() (structural merge preserves vectors)")
+
+    def merge_segments(self, segment_ids: Optional[list[str]] = None,
+                       max_docs: Optional[int] = None) -> int:
+        """STRUCTURAL merge (index/merge.py): fold segments into one by
+        concatenating postings/fast columns/docstore/vectors with doc
+        ordinals remapped and tombstones expunged — no re-ingestion, so
+        unlike ``compact()`` it works with indexed/fast-but-not-stored
+        fields. Selection: explicit ``segment_ids``, or every segment
+        with ``doc_count <= max_docs`` (None = all segments). The
+        merged segment replaces the inputs at the FIRST input's
+        manifest position (later segments keep their relative order).
+        Returns the number of segments merged (0 = nothing to do)."""
+        from searchlite_tpu.index.merge import merge_segment_readers
+
+        with self.writer_lock:
+            manifest = self.reload_manifest()
+            chosen = [
+                m for m in manifest.segments
+                if (segment_ids is None or m.id in segment_ids)
+                and (max_docs is None or m.doc_count <= max_docs)]
+            if len(chosen) < 2 and not any(m.deleted_docs
+                                           for m in chosen):
+                return 0
+            readers = [SegmentReader(m, self.storage) for m in chosen]
+            next_gen = max((s.generation for s in manifest.segments),
+                           default=0) + 1
+            new_meta = merge_segment_readers(
+                manifest.schema, self.storage, readers, next_gen,
+                compress=self.options.compress_docstore)
+            chosen_ids = {m.id for m in chosen}
+            segments = []
+            for m in manifest.segments:
+                if m.id in chosen_ids:
+                    if new_meta is not None:
+                        segments.append(new_meta)
+                        new_meta = None  # place once, at first input
+                else:
+                    segments.append(m)
+            manifest.segments = segments
+            manifest.generation += 1
+            manifest.store(self.storage)
+            self.set_manifest(manifest)
+            self.cleanup_segments(sorted(chosen_ids))
+            return len(chosen)
 
     def compact(self) -> None:
         with self.writer_lock:

@@ -265,8 +265,8 @@ def test_openapi_spec_parses_and_covers_routes():
         spec = yaml.safe_load(fh)
     documented = set(spec["paths"])
     for route in ("/healthz", "/init", "/add", "/bulk", "/delete",
-                  "/commit", "/refresh", "/compact", "/search",
-                  "/search_batch", "/inspect", "/stats"):
+                  "/commit", "/refresh", "/compact", "/merge",
+                  "/search", "/search_batch", "/inspect", "/stats"):
         assert route in documented, route
 
 
