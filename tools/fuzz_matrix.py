@@ -174,6 +174,10 @@ KNOB_SPACE = {
     "SEARCHLITE_HEAVY_TERM_BLOCKS": ("", "4"),
     "SEARCHLITE_MESH_DENSE": ("", "0"),
     "SEARCHLITE_RUNS_FMT": ("", "4"),
+    # host tier: committed cpu-device placement + exec_scope routing
+    # (on the cpu-default fuzz process "force" places on the LAST
+    # virtual device; results must be unchanged)
+    "SEARCHLITE_HOST_TIER": ("", "force"),
 }
 
 
@@ -269,6 +273,27 @@ def run_iteration(it: int, seed: int) -> str | None:
                              f"mesh{n_dev}/{execution}", limit)
             if err:
                 return f"{header}\n{err}"
+
+    # structural merge mid-iteration (index/merge.py): fold all or
+    # only the small segments, then re-validate the MERGED structures
+    # against a fresh exact oracle (scores legitimately change when
+    # tombstones expunge / df+avgdl fold corpus-wide, so the oracle is
+    # recomputed from the merged reader). The remaining checks below
+    # then run against the merged index — free extra coverage.
+    if rng.random() < 0.4:
+        max_docs = rng.choice((None, max(1, n_docs // n_segments)))
+        merged = index.merge_segments(max_docs=max_docs)
+        if merged:
+            header += f" MERGED({merged},max_docs={max_docs})"
+            reader = index.reader()
+            oracles = [oracle_scores(reader, q) for q in queries]
+            for execution in ("bm25", "wand"):
+                rows = reader.search_batch_many(
+                    [queries], limit=limit, execution=execution)[0]
+                err = check_topk(queries, rows, oracles, strict,
+                                 f"merged/{execution}", limit)
+                if err:
+                    return f"{header}\n{err}"
 
     # per-query path on a subsample
     for q, oracle in list(zip(queries, oracles))[:8]:
