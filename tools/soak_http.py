@@ -261,6 +261,7 @@ def main():
 
     summary = {"bench": "soak_http", "seconds": seconds,
                **{k: v for k, v in stats.items() if k != "errors"},
+               "segments": http_stats.get("segments"),
                "n_errors": len(stats["errors"]),
                "violations": violations}
     print(json.dumps(summary), flush=True)
