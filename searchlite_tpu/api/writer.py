@@ -28,6 +28,39 @@ from searchlite_tpu.index.segment import SegmentWriter
 from searchlite_tpu.index.wal import ADD_DOC, DELETE_DOC_ID, Wal
 
 
+def _segment_doc_ids(storage, seg_meta):
+    """Ordinal-ordered doc-id array of one segment, cached process-
+    wide by the segment's immutable uuid. The commit-time upsert
+    locate needs ONLY this array; building a full SegmentReader per
+    segment per commit read and parsed every segment file — O(corpus)
+    per realtime commit. A cache miss reads just the segment meta
+    JSON."""
+    import numpy as np
+
+    from searchlite_tpu.index import directory
+
+    with _DOC_IDS_LOCK:
+        hit = _DOC_IDS_CACHE.get(seg_meta.id)
+    if hit is not None:
+        return hit
+    import json
+
+    data = storage.read_to_end(
+        directory.segment_paths(seg_meta.id).meta)
+    arr = np.asarray(json.loads(data)["doc_ids"])
+    with _DOC_IDS_LOCK:
+        _DOC_IDS_CACHE[seg_meta.id] = arr
+        while len(_DOC_IDS_CACHE) > 256:
+            _DOC_IDS_CACHE.pop(next(iter(_DOC_IDS_CACHE)))
+    return arr
+
+
+_DOC_IDS_CACHE: dict = {}
+import threading as _threading  # noqa: E402
+
+_DOC_IDS_LOCK = _threading.Lock()
+
+
 class IndexWriter:
     def __init__(self, index: Index):
         self.index = index
@@ -110,13 +143,10 @@ class IndexWriter:
             if ids_to_remove and manifest.segments:
                 import numpy as np
 
-                from searchlite_tpu.index.segment import SegmentReader
-
                 ids_sorted = np.sort(np.asarray(list(ids_to_remove)))
                 for seg_meta in manifest.segments:
-                    reader = SegmentReader(
-                        seg_meta, self.index.storage, verify_checksums=False)
-                    docs_arr = np.asarray(reader.doc_ids)
+                    docs_arr = _segment_doc_ids(self.index.storage,
+                                                seg_meta)
                     if not docs_arr.size:
                         continue
                     pos = np.searchsorted(ids_sorted, docs_arr)
