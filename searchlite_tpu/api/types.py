@@ -45,6 +45,13 @@ class IndexOptions:
     # False | True (zstd, the reference codec) | "zstd" | "zlib"
     compress_docstore: Any = False
     vector_defaults: Optional[VectorDefaults] = None
+    # tiered auto-merge: after a commit, once MORE than this many
+    # segments sit at or under auto_merge_docs, structurally fold them
+    # into one (Index.merge_segments — no stored fields needed,
+    # tombstones expunged). 0 = off. Env overrides:
+    # SEARCHLITE_AUTO_MERGE / SEARCHLITE_AUTO_MERGE_DOCS.
+    auto_merge_segments: int = 0
+    auto_merge_docs: Optional[int] = None
 
 
 # ---------------------------------------------------------------------------

@@ -215,10 +215,15 @@ class IndexWriter:
             # host tier's graduation path: merged realtime segments
             # cross SEARCHLITE_HOST_TIER_DOCS and re-enter the cache
             # HBM-resident.
-            auto = int(os.environ.get("SEARCHLITE_AUTO_MERGE", "0"))
+            opts = self.index.options
+            auto = int(os.environ.get(
+                "SEARCHLITE_AUTO_MERGE",
+                getattr(opts, "auto_merge_segments", 0) or 0))
             if auto > 0:
+                opt_docs = getattr(opts, "auto_merge_docs", None)
                 small_docs = int(os.environ.get(
                     "SEARCHLITE_AUTO_MERGE_DOCS",
+                    opt_docs if opt_docs is not None else
                     os.environ.get("SEARCHLITE_HOST_TIER_DOCS",
                                    "16384")))
                 small = [s for s in manifest.segments
