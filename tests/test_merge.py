@@ -311,6 +311,17 @@ def test_auto_merge_policy(monkeypatch):
         assert a.get("aggregations") == b.get("aggregations")
 
 
+def test_auto_merge_via_index_options():
+    """The IndexOptions form of the tiered policy (no env vars)."""
+    docs = make_docs(100, seed=31)
+    idx = build(docs, [20, 20, 20, 20, 20],
+                auto_merge_segments=2, auto_merge_docs=1000)
+    assert len(idx.manifest.segments) <= 2
+    r = idx.reader()
+    out = r.search({"query": "w2", "limit": 5}).to_json()
+    assert out["total_hits_estimate"] > 0
+
+
 def test_merge_noop_cases():
     docs = make_docs(50, seed=29)
     idx = build(docs, [50])
