@@ -39,7 +39,7 @@ from searchlite_tpu.api.types import (
     SearchResult,
 )
 from searchlite_tpu.device.index import DeviceSegment
-from searchlite_tpu.errors import CursorError, QueryError
+from searchlite_tpu.errors import CursorError, QueryError, StorageError
 from searchlite_tpu.index.highlight import (
     HighlightOptions,
     highlight_fragments,
@@ -348,12 +348,28 @@ class IndexReader:
         self.analysis = self.schema.build_analyzers()
         self.segments: list[SegmentReader] = []
         self.device_segments: list[DeviceSegment] = []
-        for i, meta in enumerate(self.manifest.segments):
-            seg, dseg = _cached_segment(
-                index.storage, meta, i,
-                self.options.bm25_k1, self.options.bm25_b)
-            self.segments.append(seg)
-            self.device_segments.append(dseg)
+        # A concurrent merge/compact can swap the manifest and delete
+        # a snapshot's segment files between our snapshot and the
+        # per-segment opens (uncached segments read from storage).
+        # Segments only vanish once the LIVE manifest no longer
+        # references them, so re-snapshotting and retrying converges.
+        for attempt in range(8):
+            try:
+                for i, meta in enumerate(self.manifest.segments):
+                    seg, dseg = _cached_segment(
+                        index.storage, meta, i,
+                        self.options.bm25_k1, self.options.bm25_b)
+                    self.segments.append(seg)
+                    self.device_segments.append(dseg)
+                break
+            except StorageError:
+                if attempt == 7:
+                    raise
+                self.segments.clear()
+                self.device_segments.clear()
+                self.manifest = index.reload_manifest()
+                self.schema = self.manifest.schema
+                self.analysis = self.schema.build_analyzers()
         self.generation = max(
             (s.generation for s in self.manifest.segments), default=0)
         self._schema_fingerprint = hashlib.sha256(

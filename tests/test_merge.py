@@ -322,6 +322,38 @@ def test_auto_merge_via_index_options():
     assert out["total_hits_estimate"] > 0
 
 
+def test_reader_retries_when_merge_swaps_segments(monkeypatch):
+    """A concurrent merge can delete a manifest snapshot's segment
+    files between reader() snapshotting and the per-segment opens
+    (found live by tools/bench_realtime.py). The reader must
+    re-snapshot and retry, not raise."""
+    import searchlite_tpu.api.reader as reader_mod
+
+    docs = make_docs(120, seed=37)
+    idx = build(docs, [60, 60])
+    stale = idx.manifest  # snapshot referencing both segments
+    orig = reader_mod._cached_segment
+    calls = {"n": 0}
+
+    def racy(storage, meta, ordinal, k1, b):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            # simulate: files of the snapshot's segment were deleted
+            # by a merge that already swapped the live manifest
+            idx.merge_segments()
+            from searchlite_tpu.errors import StorageError
+
+            raise StorageError(f"file not found: seg_{meta.id}.terms")
+        return orig(storage, meta, ordinal, k1, b)
+
+    monkeypatch.setattr(reader_mod, "_cached_segment", racy)
+    idx._manifest = stale  # make reader() start from the stale snapshot
+    r = idx.reader()
+    assert len(r.segments) == 1  # the merged segment
+    out = r.search({"query": "w3", "limit": 5}).to_json()
+    assert out["total_hits_estimate"] > 0
+
+
 def test_merge_noop_cases():
     docs = make_docs(50, seed=29)
     idx = build(docs, [50])

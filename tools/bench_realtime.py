@@ -1,0 +1,193 @@
+"""Realtime serving benchmark: sustained commits + concurrent search.
+
+The log-structured serving story in one number set: a writer thread
+commits small batches continuously (tiered auto-merge folding them)
+while a searcher thread runs queries against freshly reopened readers.
+Reports commit throughput, search latency percentiles, and
+commit-to-visible lag (time from commit() returning to a reader
+seeing the batch's sentinel doc).
+
+Direct API (no HTTP) so the numbers are the engine's own; run
+tools/soak_http.py for the server-surface correctness soak. On an
+accelerator the fresh segments ride the host tier
+(SEARCHLITE_HOST_TIER_DOCS) — no upload/remote-compile between a
+commit and its docs serving.
+
+Usage: python tools/bench_realtime.py [seconds] [--batch N]
+       [--base N] [--no-auto-merge]
+Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import threading
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:] if not a.startswith("-")]
+    seconds = int(args[0]) if args else 30
+    batch = 200
+    base_docs = 100_000
+    if "--batch" in sys.argv:
+        batch = int(sys.argv[sys.argv.index("--batch") + 1])
+    if "--base" in sys.argv:
+        base_docs = int(sys.argv[sys.argv.index("--base") + 1])
+    auto_merge = "--no-auto-merge" not in sys.argv
+
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    import tempfile
+
+    import numpy as np
+
+    from searchlite_tpu.api.types import IndexOptions
+    from searchlite_tpu.index import Index
+    from searchlite_tpu.index.manifest import Schema
+
+    schema = Schema.from_json({
+        "text_fields": [{"name": "body", "analyzer": "default",
+                         "stored": False, "indexed": True}]})
+    opts = IndexOptions(path=tempfile.mkdtemp(prefix="rtbench_"),
+                        create_if_missing=True,
+                        auto_merge_segments=4 if auto_merge else 0)
+    idx = Index.create(opts, schema)
+    rng = np.random.default_rng(3)
+    ranks = np.arange(1, 20_001)
+    probs = (1.0 / ranks) / np.sum(1.0 / ranks)
+    vocab = np.array([f"w{i}" for i in range(20_000)])
+
+    w = idx.writer()
+    toks = rng.choice(vocab, size=(base_docs, 30), p=probs)
+    w.add_documents([{"_id": str(i), "body": " ".join(row)}
+                     for i, row in enumerate(toks)])
+    w.commit()
+    # prewarm the executor compile caches for the shapes the run will
+    # see (base bucket + fresh-segment bucket), so the measured window
+    # is steady-state serving, not XLA compile
+    wtr = idx.writer()
+    wtr.add_documents([{"_id": f"warm{i}",
+                        "body": "w3 w17 freshsentinel"}
+                       for i in range(batch)])
+    wtr.commit()
+    r = idx.reader()
+    r.search({"query": "w3 w17", "limit": 10})
+    r.search({"query": "freshsentinel", "limit": 1})
+
+    stop = threading.Event()
+    lock = threading.Lock()
+    stats = {"commits": 0, "docs": 0, "searches": 0, "errors": []}
+    vis_lags: list[float] = []
+    search_ms: list[float] = []
+    latest_sentinel = [None]  # (doc_id, commit-return time)
+
+    def writer_loop():
+        n = base_docs
+        gen = np.random.default_rng(5)
+        while not stop.is_set():
+            try:
+                wtr = idx.writer()
+                rows = gen.choice(vocab, size=(batch, 30), p=probs)
+                docs = [{"_id": str(n + i),
+                         "body": " ".join(row) + " freshsentinel"}
+                        for i, row in enumerate(rows)]
+                n += batch
+                wtr.add_documents(docs)
+                wtr.commit()
+                with lock:
+                    stats["commits"] += 1
+                    stats["docs"] += batch
+                    # one in-flight visibility probe at a time: only
+                    # arm a new sentinel once the searcher consumed
+                    # the previous one
+                    if latest_sentinel[0] is None:
+                        latest_sentinel[0] = (docs[-1]["_id"],
+                                              time.perf_counter())
+            except Exception as e:  # noqa: BLE001
+                with lock:
+                    stats["errors"].append(f"writer: {e}")
+                    stop.set()
+
+    def searcher_loop():
+        gen = np.random.default_rng(7)
+        while not stop.is_set():
+            try:
+                q = " ".join(gen.choice(vocab[:2000], size=2))
+                t0 = time.perf_counter()
+                reader = idx.reader()
+                reader.search({"query": q, "limit": 10})
+                dt = (time.perf_counter() - t0) * 1000
+                with lock:
+                    stats["searches"] += 1
+                    search_ms.append(dt)
+                    pending = latest_sentinel[0]
+                # visibility probe: search for the newest committed
+                # sentinel batch; lag = now - commit-return
+                if pending is not None:
+                    out = reader.search(
+                        {"query": "freshsentinel", "limit": 2000})
+                    seen = {h.doc_id for h in out.hits}
+                    if pending[0] in seen:
+                        with lock:
+                            vis_lags.append(
+                                time.perf_counter() - pending[1])
+                            latest_sentinel[0] = None
+            except Exception as e:  # noqa: BLE001
+                with lock:
+                    stats["errors"].append(f"searcher: {e}")
+                    stop.set()
+
+    threads = [threading.Thread(target=writer_loop, daemon=True),
+               threading.Thread(target=searcher_loop, daemon=True)]
+    t_start = time.perf_counter()
+    for t in threads:
+        t.start()
+    while time.perf_counter() - t_start < seconds and not stop.is_set():
+        time.sleep(0.25)
+    stop.set()
+    for t in threads:
+        t.join(timeout=60)
+    wall = time.perf_counter() - t_start
+
+    def pct(xs, p):
+        if not xs:
+            return None
+        return round(float(np.percentile(np.asarray(xs), p)), 2)
+
+    summary = {
+        "bench": "realtime_mixed",
+        "seconds": round(wall, 1),
+        "base_docs": base_docs,
+        "batch": batch,
+        "auto_merge": auto_merge,
+        "commits_per_s": round(stats["commits"] / wall, 2),
+        "docs_per_s": round(stats["docs"] / wall, 1),
+        "searches": stats["searches"],
+        "search_p50_ms": pct(search_ms, 50),
+        "search_p99_ms": pct(search_ms, 99),
+        "search_steady_p50_ms": pct(search_ms[len(search_ms) // 2:],
+                                    50),
+        "visibility_p50_ms": pct([v * 1000 for v in vis_lags], 50),
+        "visibility_max_ms": pct([v * 1000 for v in vis_lags], 100),
+        "final_segments": len(idx.manifest.segments),
+        "n_errors": len(stats["errors"]),
+    }
+    print(json.dumps(summary), flush=True)
+    for e in stats["errors"][:5]:
+        print("ERR:", e, file=sys.stderr)
+    sys.exit(1 if stats["errors"] else 0)
+
+
+if __name__ == "__main__":
+    main()
