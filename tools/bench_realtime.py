@@ -13,6 +13,15 @@ accelerator the fresh segments ride the host tier
 (SEARCHLITE_HOST_TIER_DOCS) — no upload/remote-compile between a
 commit and its docs serving.
 
+Reading the numbers: per-bucket XLA executor compiles amortize over a
+server's lifetime but dominate short windows whenever the fold walks
+into a new doc-axis bucket (a stable warmed index serves ~30 ms/query
+on this host INCLUDING a reader reopen per query; the first query
+after a new bucket appears pays seconds of compile once per process).
+The prewarm phase covers the buckets a default run crosses; runs
+shorter than a few minutes still measure a compile-heavy transient,
+and on a 1-CPU host the writer/merge work time-shares with searches.
+
 Usage: python tools/bench_realtime.py [seconds] [--batch N]
        [--base N] [--no-auto-merge]
 Prints one JSON line.
@@ -73,17 +82,23 @@ def main() -> None:
     w.add_documents([{"_id": str(i), "body": " ".join(row)}
                      for i, row in enumerate(toks)])
     w.commit()
-    # prewarm the executor compile caches for the shapes the run will
-    # see (base bucket + fresh-segment bucket), so the measured window
-    # is steady-state serving, not XLA compile
-    wtr = idx.writer()
-    wtr.add_documents([{"_id": f"warm{i}",
-                        "body": "w3 w17 freshsentinel"}
-                       for i in range(batch)])
-    wtr.commit()
-    r = idx.reader()
-    r.search({"query": "w3 w17", "limit": 10})
-    r.search({"query": "freshsentinel", "limit": 1})
+    # prewarm the executor compile caches for every doc-axis bucket
+    # the run will cross (fresh batches + their growing auto-merge
+    # folds bucket to 1024/4096/16384/65536), so the measured window
+    # is steady-state serving, not XLA compile. In a long-lived
+    # server these compiles happen once per process.
+    warm_id = 0
+    for size in (batch, 700, 2500, 10_000, 40_000):
+        wtr = idx.writer()
+        rows = rng.choice(vocab, size=(size, 8), p=probs)
+        wtr.add_documents([{"_id": f"warm{warm_id + i}",
+                            "body": " ".join(row) + " freshsentinel"}
+                           for i, row in enumerate(rows)])
+        warm_id += size
+        wtr.commit()
+        r = idx.reader()
+        r.search({"query": "w3 w17", "limit": 10})
+        r.search({"query": "freshsentinel", "limit": 1})
 
     stop = threading.Event()
     lock = threading.Lock()
@@ -112,7 +127,10 @@ def main() -> None:
                     # arm a new sentinel once the searcher consumed
                     # the previous one
                     if latest_sentinel[0] is None:
-                        latest_sentinel[0] = (docs[-1]["_id"],
+                        # arm: batch is visible once the total match
+                        # count of the sentinel term reaches the docs
+                        # committed so far (every fresh doc carries it)
+                        latest_sentinel[0] = (stats["docs"],
                                               time.perf_counter())
             except Exception as e:  # noqa: BLE001
                 with lock:
@@ -136,9 +154,8 @@ def main() -> None:
                 # sentinel batch; lag = now - commit-return
                 if pending is not None:
                     out = reader.search(
-                        {"query": "freshsentinel", "limit": 2000})
-                    seen = {h.doc_id for h in out.hits}
-                    if pending[0] in seen:
+                        {"query": "freshsentinel", "limit": 1})
+                    if out.total_hits_estimate >= pending[0]:
                         with lock:
                             vis_lags.append(
                                 time.perf_counter() - pending[1])
