@@ -52,6 +52,9 @@ class IndexOptions:
     # SEARCHLITE_AUTO_MERGE / SEARCHLITE_AUTO_MERGE_DOCS.
     auto_merge_segments: int = 0
     auto_merge_docs: Optional[int] = None
+    # fold on a background thread instead of inside commit() — commit
+    # latency never pays the merge (SEARCHLITE_AUTO_MERGE_ASYNC=1)
+    auto_merge_async: bool = False
 
 
 # ---------------------------------------------------------------------------

@@ -60,6 +60,46 @@ import threading as _threading  # noqa: E402
 
 _DOC_IDS_LOCK = _threading.Lock()
 
+# background auto-merge: one worker thread per process, one pending
+# request per Index — a commit that finds a merge already queued or
+# running just leaves it to fold whatever is small when it executes
+_MERGE_PENDING: set = set()
+_MERGE_LOCK = _threading.Lock()
+
+
+def _submit_background_merge(index, small_docs: int) -> None:
+    key = id(index)
+    with _MERGE_LOCK:
+        if key in _MERGE_PENDING:
+            return
+        _MERGE_PENDING.add(key)
+
+    def run():
+        try:
+            index.merge_segments(max_docs=small_docs)
+        except Exception:  # noqa: BLE001 — next commit re-triggers
+            logger.exception("background auto-merge failed")
+        finally:
+            with _MERGE_LOCK:
+                _MERGE_PENDING.discard(key)
+
+    _threading.Thread(target=run, name="searchlite-auto-merge",
+                      daemon=True).start()
+
+
+def wait_for_background_merges(timeout: float = 60.0) -> None:
+    """Block until no background auto-merge is pending (tests and
+    orderly shutdowns)."""
+    import time
+
+    deadline = time.monotonic() + timeout
+    while time.monotonic() < deadline:
+        with _MERGE_LOCK:
+            if not _MERGE_PENDING:
+                return
+        time.sleep(0.01)
+    raise TimeoutError("background merges still pending")
+
 
 class IndexWriter:
     def __init__(self, index: Index):
@@ -229,6 +269,20 @@ class IndexWriter:
                 small = [s for s in manifest.segments
                          if s.doc_count <= small_docs]
                 if len(small) > auto:
-                    self.index.merge_segments(
-                        segment_ids=[s.id for s in small])
-                    self._generation = self.index.manifest.generation
+                    if os.environ.get("SEARCHLITE_AUTO_MERGE_ASYNC") \
+                            == "1" or getattr(
+                                opts, "auto_merge_async", False):
+                        # Lucene-ConcurrentMergeScheduler-style: fold
+                        # on a background thread so commit latency
+                        # never pays the merge (at 1M docs a fold is
+                        # tens of seconds). The merge re-selects under
+                        # the writer lock, so racing commits are safe
+                        # and a stale selection folds whatever is
+                        # small by the time it runs.
+                        _submit_background_merge(self.index,
+                                                 small_docs)
+                    else:
+                        self.index.merge_segments(
+                            segment_ids=[s.id for s in small])
+                        self._generation = \
+                            self.index.manifest.generation

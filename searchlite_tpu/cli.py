@@ -89,6 +89,12 @@ def cmd_commit(args) -> int:
     writer = index.writer()
     pending = writer.pending_ops
     writer.commit()
+    # async auto-merge runs on a daemon thread; a one-shot CLI process
+    # would exit before it fires, so drain here (servers keep the
+    # thread and never block on this)
+    from searchlite_tpu.api.writer import wait_for_background_merges
+
+    wait_for_background_merges()
     print(f"committed {pending} pending operations")
     return 0
 

@@ -354,6 +354,25 @@ def test_reader_retries_when_merge_swaps_segments(monkeypatch):
     assert out["total_hits_estimate"] > 0
 
 
+def test_auto_merge_async():
+    """Background folds: commits return without paying the merge;
+    wait_for_background_merges() drains, results match the sync policy
+    (segment count collapses, all docs searchable)."""
+    from searchlite_tpu.api.writer import wait_for_background_merges
+
+    docs = make_docs(120, seed=41)
+    idx = build(docs, [20, 20, 20, 20, 20, 20],
+                auto_merge_segments=2, auto_merge_docs=1000,
+                auto_merge_async=True)
+    wait_for_background_merges()
+    assert len(idx.reload_manifest().segments) <= 3
+    r = idx.reader()
+    out = r.search({"query": "w1 w2 w3 w4 w5 w6 w7", "limit": 120})
+    seen = {h.doc_id for h in out.hits}
+    # every doc with any of those terms is present exactly once
+    assert len(seen) == len(out.hits)
+
+
 def test_merge_noop_cases():
     docs = make_docs(50, seed=29)
     idx = build(docs, [50])
