@@ -19,6 +19,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from searchlite_tpu.utils.devguard import guard_backend  # noqa: E402
+
+guard_backend(__file__)
+
 from searchlite_tpu.api.types import IndexOptions, StorageType  # noqa: E402
 from searchlite_tpu.errors import QueryError  # noqa: E402
 from searchlite_tpu.index import Index  # noqa: E402

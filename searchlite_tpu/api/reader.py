@@ -321,8 +321,12 @@ def _cached_segment(storage, meta, ordinal: int, k1: float, b: float):
     process-wide. Keyed by segment uuid + tombstone state + BM25 params
     + tier placement: commits that only ADD segments reuse every
     existing upload; merging tombstones into a segment changes its key
-    and rebuilds it. Segment ordinals are stable for a given id (the
-    manifest list is append-only; compaction mints a new id)."""
+    and rebuilds it. Segment ordinals stay stable for a given id as
+    long as no EARLIER segment leaves the manifest (commits append;
+    merge_segments appends its fold at the tail so realtime folds of
+    trailing small segments never shift the base segments' ordinals;
+    compaction mints a new id). A merge that removes an early segment
+    shifts later ordinals and rebuilds those entries on next use."""
     device = _host_tier_device(meta.doc_count)
     key = (meta.id, tuple(meta.deleted_docs), float(k1), float(b),
            device is None)

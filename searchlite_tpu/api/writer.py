@@ -87,13 +87,15 @@ def _submit_background_merge(index, small_docs: int) -> None:
                       daemon=True).start()
 
 
-def wait_for_background_merges(timeout: float = 60.0) -> None:
+def wait_for_background_merges(timeout: float | None = 60.0) -> None:
     """Block until no background auto-merge is pending (tests and
-    orderly shutdowns)."""
+    orderly shutdowns). ``timeout=None`` waits however long the fold
+    takes (the CLI uses this: killing a one-shot process early would
+    abandon the fold mid-write)."""
     import time
 
-    deadline = time.monotonic() + timeout
-    while time.monotonic() < deadline:
+    deadline = None if timeout is None else time.monotonic() + timeout
+    while deadline is None or time.monotonic() < deadline:
         with _MERGE_LOCK:
             if not _MERGE_PENDING:
                 return
@@ -261,11 +263,13 @@ class IndexWriter:
                 getattr(opts, "auto_merge_segments", 0) or 0))
             if auto > 0:
                 opt_docs = getattr(opts, "auto_merge_docs", None)
+                # HOST_TIER_DOCS=0 means "tier disabled", never "merge
+                # nothing" — fall back to the default threshold there
+                tier_docs = int(os.environ.get(
+                    "SEARCHLITE_HOST_TIER_DOCS", "16384")) or 16384
                 small_docs = int(os.environ.get(
                     "SEARCHLITE_AUTO_MERGE_DOCS",
-                    opt_docs if opt_docs is not None else
-                    os.environ.get("SEARCHLITE_HOST_TIER_DOCS",
-                                   "16384")))
+                    opt_docs if opt_docs is not None else tier_docs))
                 small = [s for s in manifest.segments
                          if s.doc_count <= small_docs]
                 if len(small) > auto:

@@ -94,7 +94,7 @@ def cmd_commit(args) -> int:
     # thread and never block on this)
     from searchlite_tpu.api.writer import wait_for_background_merges
 
-    wait_for_background_merges()
+    wait_for_background_merges(timeout=None)
     print(f"committed {pending} pending operations")
     return 0
 

@@ -351,7 +351,8 @@ class Handler(BaseHTTPRequestHandler):
         index = self.state.require_index()
         body = self._json_body()
         max_docs = body.get("max_docs")
-        if max_docs is not None and not isinstance(max_docs, int):
+        if max_docs is not None and (not isinstance(max_docs, int)
+                                     or isinstance(max_docs, bool)):
             raise HttpError(400, "invalid_request",
                             "max_docs must be an integer")
         with self.state.writer_lock:

@@ -132,8 +132,11 @@ class Index:
         unlike ``compact()`` it works with indexed/fast-but-not-stored
         fields. Selection: explicit ``segment_ids``, or every segment
         with ``doc_count <= max_docs`` (None = all segments). The
-        merged segment replaces the inputs at the FIRST input's
-        manifest position (later segments keep their relative order).
+        merged segment APPENDS at the manifest tail: in the realtime
+        pattern (big base segments first, small fresh ones after) the
+        survivors' ordinals never shift, so their cached device
+        uploads stay valid — placing the fold mid-list would evict
+        and re-upload every later survivor for nothing.
         Returns the number of segments merged (0 = nothing to do)."""
         from searchlite_tpu.index.merge import merge_segment_readers
 
@@ -153,14 +156,10 @@ class Index:
                 manifest.schema, self.storage, readers, next_gen,
                 compress=self.options.compress_docstore)
             chosen_ids = {m.id for m in chosen}
-            segments = []
-            for m in manifest.segments:
-                if m.id in chosen_ids:
-                    if new_meta is not None:
-                        segments.append(new_meta)
-                        new_meta = None  # place once, at first input
-                else:
-                    segments.append(m)
+            segments = [m for m in manifest.segments
+                        if m.id not in chosen_ids]
+            if new_meta is not None:
+                segments.append(new_meta)
             manifest.segments = segments
             manifest.generation += 1
             manifest.store(self.storage)

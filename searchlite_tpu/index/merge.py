@@ -303,14 +303,21 @@ def _merge_docstore(readers, lives, compress) -> tuple[bytes, list[int]]:
         pos = 0
         for r, live in zip(readers, lives):
             data = r.docstore._data
-            offs = r.docstore._offsets
+            offs = np.asarray(r.docstore._offsets, dtype=np.int64)
+            bounds = np.concatenate([offs, [len(data)]])
             mv = memoryview(data)
-            for o in np.flatnonzero(live):
-                start = offs[o]
-                end = offs[o + 1] if o + 1 < len(offs) else len(data)
-                chunks.append(bytes(mv[start:end]))
-                offsets.append(pos)
-                pos += end - start
+            # tombstones are sparse: copy contiguous LIVE runs (one
+            # slice per run) instead of one bytes object per record,
+            # and derive per-record offsets from the offset deltas
+            padded = np.concatenate([[False], live, [False]])
+            starts = np.flatnonzero(padded[1:] & ~padded[:-1])
+            ends = np.flatnonzero(~padded[1:] & padded[:-1])
+            for lo, hi in zip(starts, ends):
+                byte_lo = int(bounds[lo])
+                chunks.append(bytes(mv[byte_lo:int(bounds[hi])]))
+                offsets.extend(
+                    (bounds[lo:hi] - byte_lo + pos).tolist())
+                pos += int(bounds[hi]) - byte_lo
         return b"".join(chunks), offsets
     buf = io.BytesIO()
     writer = DocStoreWriter(buf, compress=compress)
@@ -348,11 +355,19 @@ def merge_segment_readers(schema: Schema, storage, readers, generation,
 
     seg_id = uuid_mod.uuid4().hex
     paths = directory.segment_paths(seg_id)
-    storage.write_all(paths.terms, write_terms(postings.terms))
-    storage.write_all(paths.postings, postings.to_bytes())
-    storage.write_all(paths.fast, fast.to_bytes())
+    checksums: dict[str, int] = {}
+
+    def _write(key: str, path: str, payload: bytes) -> None:
+        # checksum the buffer in hand — re-reading multi-GB files just
+        # written (segment.py's pattern) doubles a fold's IO
+        storage.write_all(path, payload)
+        checksums[key] = crc32(payload)
+
+    _write("terms", paths.terms, write_terms(postings.terms))
+    _write("postings", paths.postings, postings.to_bytes())
+    _write("fast", paths.fast, fast.to_bytes())
     doc_bytes, doc_offsets = _merge_docstore(readers, lives, compress)
-    storage.write_all(paths.docstore, doc_bytes)
+    _write("docstore", paths.docstore, doc_bytes)
 
     has_vectors = False
     vector_meta: dict[str, dict] = {}
@@ -369,8 +384,8 @@ def merge_segment_readers(schema: Schema, storage, readers, generation,
             base += n_live
         buf = io.BytesIO()
         np.savez(buf, vectors=rows, present=present)
-        storage.write_all(directory.vector_paths(paths, vf.name),
-                          buf.getvalue())
+        _write(f"vector_{vf.name}",
+               directory.vector_paths(paths, vf.name), buf.getvalue())
         vector_meta[vf.name] = {"dim": vf.dim, "metric": vf.metric,
                                 "vectors": int(present.sum())}
         has_vectors = True
@@ -385,17 +400,7 @@ def merge_segment_readers(schema: Schema, storage, readers, generation,
         "enable_positions": has_positions,
         "doc_id_field": schema.doc_id_field,
     }
-    storage.write_all(paths.meta, json.dumps(seg_file_meta).encode())
-
-    checksums = {}
-    for key, path in (("terms", paths.terms),
-                      ("postings", paths.postings),
-                      ("docstore", paths.docstore),
-                      ("fast", paths.fast), ("meta", paths.meta)):
-        checksums[key] = crc32(storage.read_to_end(path))
-    for vf_name in vector_meta:
-        checksums[f"vector_{vf_name}"] = crc32(
-            storage.read_to_end(directory.vector_paths(paths, vf_name)))
+    _write("meta", paths.meta, json.dumps(seg_file_meta).encode())
 
     return SegmentMeta(
         id=seg_id,

@@ -8,6 +8,10 @@ import time
 
 sys.path.insert(0, ".")
 
+from searchlite_tpu.utils.devguard import guard_backend  # noqa: E402
+
+guard_backend(__file__)
+
 import bench  # noqa: E402
 
 bench.N_DOCS = 1_000_000

@@ -87,7 +87,9 @@ def main() -> None:
     # folds bucket to 1024/4096/16384/65536), so the measured window
     # is steady-state serving, not XLA compile. In a long-lived
     # server these compiles happen once per process.
-    warm_id = 0
+    warm_id = 0  # prewarm docs also carry the sentinel term: the
+    # visibility threshold below must count them or it is satisfied
+    # before the probed batch is even searchable
     for size in (batch, 700, 2500, 10_000, 40_000):
         wtr = idx.writer()
         rows = rng.choice(vocab, size=(size, 8), p=probs)
@@ -129,8 +131,9 @@ def main() -> None:
                     if latest_sentinel[0] is None:
                         # arm: batch is visible once the total match
                         # count of the sentinel term reaches the docs
-                        # committed so far (every fresh doc carries it)
-                        latest_sentinel[0] = (stats["docs"],
+                        # committed so far (every fresh doc AND every
+                        # prewarm doc carries it)
+                        latest_sentinel[0] = (warm_id + stats["docs"],
                                               time.perf_counter())
             except Exception as e:  # noqa: BLE001
                 with lock:

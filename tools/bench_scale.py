@@ -92,6 +92,10 @@ def main():
     import jax
     if force_cpu:
         jax.config.update("jax_platforms", "cpu")
+    else:
+        from searchlite_tpu.utils.devguard import guard_backend
+
+        guard_backend(__file__)
     log(phase="start", n_docs=n_docs, backend=jax.default_backend())
 
     from searchlite_tpu.api.types import IndexOptions, StorageType

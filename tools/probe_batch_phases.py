@@ -20,6 +20,10 @@ import time
 import numpy as np
 
 sys.path.insert(0, ".")
+
+from searchlite_tpu.utils.devguard import guard_backend  # noqa: E402
+
+guard_backend(__file__)
 import bench  # noqa: E402
 
 

@@ -14,6 +14,13 @@ import sys
 import time
 
 import numpy as np
+import os
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+from searchlite_tpu.utils.devguard import guard_backend  # noqa: E402
+
+guard_backend(__file__)
 
 
 def main():

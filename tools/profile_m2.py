@@ -6,6 +6,10 @@ import time
 
 sys.path.insert(0, ".")
 
+from searchlite_tpu.utils.devguard import guard_backend  # noqa: E402
+
+guard_backend(__file__)
+
 import numpy as np  # noqa: E402
 
 

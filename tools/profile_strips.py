@@ -26,6 +26,10 @@ from functools import partial
 sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 
+from searchlite_tpu.utils.devguard import guard_backend  # noqa: E402
+
+guard_backend(__file__)
+
 import numpy as np  # noqa: E402
 
 
