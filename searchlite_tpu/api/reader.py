@@ -75,6 +75,9 @@ _GLOBAL_SCORERS: dict[str, Any] = {}
 # so their host arrays and HBM uploads are shared across the readers
 # that commits keep reopening. Bounded FIFO eviction.
 _GLOBAL_SEGMENTS: dict[tuple, tuple] = {}
+# latest (seg, dseg) per (uuid, k1, b, placement) regardless of
+# tombstone state — the clone source for tombstone-delta reopens
+_GLOBAL_BASE: dict[tuple, tuple] = {}
 _MAX_CACHED_SEGMENTS = 64
 _GLOBAL_LOCK = threading.Lock()
 
@@ -320,26 +323,41 @@ def _cached_segment(storage, meta, ordinal: int, k1: float, b: float):
     """(SegmentReader, DeviceSegment) for an immutable segment, shared
     process-wide. Keyed by segment uuid + tombstone state + BM25 params
     + tier placement: commits that only ADD segments reuse every
-    existing upload; merging tombstones into a segment changes its key
-    and rebuilds it. Segment ordinals stay stable for a given id as
+    existing upload; merging tombstones into a segment clones the
+    cached entry (shared immutable arrays + uploads, fresh
+    deletion-derived state — DeviceSegment.clone_with_tombstones). Segment ordinals stay stable for a given id as
     long as no EARLIER segment leaves the manifest (commits append;
     merge_segments appends its fold at the tail so realtime folds of
     trailing small segments never shift the base segments' ordinals;
     compaction mints a new id). A merge that removes an early segment
     shifts later ordinals and rebuilds those entries on next use."""
     device = _host_tier_device(meta.doc_count)
-    key = (meta.id, tuple(meta.deleted_docs), float(k1), float(b),
-           device is None)
+    base_key = (meta.id, float(k1), float(b), device is None)
+    key = base_key + (tuple(meta.deleted_docs),)
     with _GLOBAL_LOCK:
         hit = _GLOBAL_SEGMENTS.get(key)
+        base = _GLOBAL_BASE.get(base_key)
     if hit is not None and hit[1].ord == ordinal:
         return hit
-    seg = SegmentReader(meta, storage)
-    dseg = DeviceSegment(seg, ordinal, k1=k1, b=b, device=device)
+    if base is not None:
+        # same segment uuid at a different tombstone state (or a
+        # shifted ordinal after a merge removed an earlier segment):
+        # tombstone-delta clone — the big immutable structures and
+        # their HBM uploads are shared, only deletion-derived state
+        # rebuilds (an upsert commit at a multi-M-doc corpus used to
+        # re-parse + re-upload the whole segment here)
+        seg = base[0].clone_with_tombstones(meta)
+        dseg = base[1].clone_with_tombstones(seg, ordinal)
+    else:
+        seg = SegmentReader(meta, storage)
+        dseg = DeviceSegment(seg, ordinal, k1=k1, b=b, device=device)
     with _GLOBAL_LOCK:
         _GLOBAL_SEGMENTS[key] = (seg, dseg)
+        _GLOBAL_BASE[base_key] = (seg, dseg)
         while len(_GLOBAL_SEGMENTS) > _MAX_CACHED_SEGMENTS:
             _GLOBAL_SEGMENTS.pop(next(iter(_GLOBAL_SEGMENTS)))
+        while len(_GLOBAL_BASE) > _MAX_CACHED_SEGMENTS:
+            _GLOBAL_BASE.pop(next(iter(_GLOBAL_BASE)))
     return seg, dseg
 
 

@@ -173,6 +173,50 @@ class DeviceSegment:
 
         return jax.default_device(self.device)
 
+    def clone_with_tombstones(self, reader, ordinal: int):
+        """Shallow copy for a tombstone-delta of the SAME segment uuid:
+        the expensive immutable state — precomputed impact blocks, flat
+        CSR, dense rows, doc shards, heavy lookups, tile tables, agg
+        bucket codes, and every HBM upload of them — is shared; only
+        the deletion-DERIVED state rebuilds (lazily where possible):
+
+        - ``deleted``/``deleted_np``/``live_docs``
+        - idf tables (idf uses the live doc count) and the packed
+          sparse term table that embeds f32 idf
+        - ``block_impacts_live`` (tombstones folded into impacts — the
+          sparse scorer's deletion contract) and the mesh sparse
+          tables (same folding per shard)
+        - the per-tid live-df cache, and the tile index's device
+          deleted mask (``TileIndex.clone_for``)
+
+        Everything else masks deletions at query time from the fresh
+        ``deleted`` array (ops/impact.py::_score_m and friends), so a
+        commit that merely tombstones docs in an existing segment
+        no longer re-parses it on host or re-uploads it to HBM."""
+        import copy
+
+        d = copy.copy(self)
+        d.reader = reader
+        d.ord = ordinal
+        deleted = np.zeros(self.n1, dtype=bool)
+        deleted[self.n1 - 1] = True
+        for x in reader.deleted:
+            if 0 <= x < self.n_docs:
+                deleted[x] = True
+        d.deleted_np = deleted
+        d.deleted = d._put(deleted)
+        d.live_docs = int(self.n_docs - len(reader.deleted))
+        d._block_impacts_live = None
+        d._idf_table = None
+        d._idf32 = None
+        d._sparse_tid_tbl = None
+        d._live_df_cache = None
+        d._mesh_sparse = None
+        tl = getattr(self, "_tile_index", None)
+        if tl is not None:
+            d._tile_index = tl.clone_for(d)
+        return d
+
     def _impacts_native(self, postings, term_fields, term_df, doc_len,
                         avgdl):
         """One C pass (native/slt_ingest.cpp::slt_impacts) computing

@@ -1022,6 +1022,20 @@ class SegmentReader:
                 dim=int(vmeta["dim"]), metric=vmeta["metric"],
                 vectors=npz["vectors"], present=npz["present"])
 
+    def clone_with_tombstones(self, meta: SegmentMeta) -> "SegmentReader":
+        """Shallow copy for a tombstone-only change of the SAME segment
+        uuid: every parsed structure (postings, fast columns, docstore,
+        terms, doc_ids, vectors) is immutable and shared; only the
+        meta + deleted set swap. Commits that merely tombstone docs in
+        an existing segment skip the full file re-read + re-parse this
+        way (api/reader.py::_cached_segment)."""
+        import copy
+
+        clone = copy.copy(self)
+        clone.meta = meta
+        clone.deleted = set(meta.deleted_docs)
+        return clone
+
     @property
     def doc_count(self) -> int:
         return len(self.doc_ids)

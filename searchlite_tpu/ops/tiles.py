@@ -148,6 +148,19 @@ class TileIndex:
 
     # -- wave-1 helpers ------------------------------------------------------
 
+    def clone_for(self, dseg):
+        """Shallow copy bound to a tombstone-delta DeviceSegment
+        clone: the tile tables (entry runs, tile maxes) are built from
+        raw impacts so they stay sound and shared; only the
+        deletion-derived device mask rebuilds (deleted_cols reads
+        dseg.deleted_np live, deleted_tiles re-uploads lazily)."""
+        import copy
+
+        tl = copy.copy(self)
+        tl.dseg = dseg
+        tl._deleted_pad = None
+        return tl
+
     def ub_block_tables(self, slot_tids):
         """Block-gather tables over the tile-max layout for the given
         slot terms ([nb], [nb], nb_pad) — same shape contract as

@@ -78,10 +78,14 @@ def tiered(monkeypatch):
     monkeypatch.setenv("SEARCHLITE_HOST_TIER", "force")
     monkeypatch.setenv("SEARCHLITE_HOST_TIER_DOCS", "16384")
     saved = dict(reader_mod._GLOBAL_SEGMENTS)
+    saved_base = dict(reader_mod._GLOBAL_BASE)
     reader_mod._GLOBAL_SEGMENTS.clear()
+    reader_mod._GLOBAL_BASE.clear()
     yield
     reader_mod._GLOBAL_SEGMENTS.clear()
+    reader_mod._GLOBAL_BASE.clear()
     reader_mod._GLOBAL_SEGMENTS.update(saved)
+    reader_mod._GLOBAL_BASE.update(saved_base)
 
 
 @pytest.fixture(scope="module")
@@ -108,10 +112,12 @@ def _tier_reader(index):
 def _plain_reader(index, monkeypatch):
     monkeypatch.setenv("SEARCHLITE_HOST_TIER_DOCS", "0")
     reader_mod._GLOBAL_SEGMENTS.clear()
+    reader_mod._GLOBAL_BASE.clear()
     r = index.reader()
     assert all(d.device is None for d in r.device_segments)
     monkeypatch.setenv("SEARCHLITE_HOST_TIER_DOCS", "16384")
     reader_mod._GLOBAL_SEGMENTS.clear()
+    reader_mod._GLOBAL_BASE.clear()
     return r
 
 
@@ -211,6 +217,7 @@ def test_mixed_tiers_merge(tiered, monkeypatch):
     one index: cross-tier result merging is exact."""
     monkeypatch.setenv("SEARCHLITE_HOST_TIER_DOCS", "400")
     reader_mod._GLOBAL_SEGMENTS.clear()
+    reader_mod._GLOBAL_BASE.clear()
     idx = build_rich_index(seed=23, n_docs=900, split_at=300)
     r = idx.reader()
     tiers = {d.device is not None for d in r.device_segments}
@@ -222,6 +229,7 @@ def test_mixed_tiers_merge(tiered, monkeypatch):
            for q in queries]
     monkeypatch.setenv("SEARCHLITE_HOST_TIER_DOCS", "0")
     reader_mod._GLOBAL_SEGMENTS.clear()
+    reader_mod._GLOBAL_BASE.clear()
     r_plain = idx.reader()
     want = [r_plain.search({"query": q, "limit": 10}).to_json()
             for q in queries]

@@ -384,3 +384,48 @@ def test_merge_noop_cases():
     assert idx.merge_segments() == 1
     seg = idx.manifest.segments[0]
     assert not seg.deleted_docs and seg.doc_count == 40
+
+
+def test_tombstone_clone_shares_structures():
+    """A delete-only commit must CLONE the cached segment (shared
+    immutable arrays + uploads, fresh deletion-derived state), not
+    rebuild it — and results must equal a cold-cache rebuild."""
+    import searchlite_tpu.api.reader as reader_mod
+
+    docs = make_docs(300, seed=43)
+    idx = build(docs, [300])
+    r1 = idx.reader()
+    d1 = r1.device_segments[0]
+    _ = d1.block_impacts  # force the upload
+    _ = d1.sparse_tid_tbl
+    idf1 = d1.idf_table
+
+    delete_every(idx, 300, 7)
+    r2 = idx.reader()
+    d2 = r2.device_segments[0]
+    # shared immutable structures — same objects, no re-parse/upload
+    assert d2.reader.postings is d1.reader.postings
+    assert d2.reader.fast is d1.reader.fast
+    assert d2.block_docs_np is d1.block_docs_np
+    assert d2.block_impacts is d1.block_impacts
+    # deletion-derived state rebuilt
+    assert d2.deleted is not d1.deleted
+    assert d2.live_docs == 300 - len(range(0, 300, 7))
+    assert d2.idf_table is not idf1  # idf uses the live doc count
+    assert d2.sparse_tid_tbl is not d1.sparse_tid_tbl
+
+    got = [r2.search({"query": q, "limit": 10}).to_json()
+           for q in ("w2 w5", "w3", "w7 w11 w2")]
+    # cold cache: full rebuild must agree exactly
+    reader_mod._GLOBAL_SEGMENTS.clear()
+    reader_mod._GLOBAL_BASE.clear()
+    r3 = idx.reader()
+    assert r3.device_segments[0].reader.postings is not \
+        d1.reader.postings  # really rebuilt
+    want = [r3.search({"query": q, "limit": 10}).to_json()
+            for q in ("w2 w5", "w3", "w7 w11 w2")]
+    assert got == want
+    # no deleted doc in any result
+    dead = {str(i) for i in range(0, 300, 7)}
+    for out in got:
+        assert not dead & {h["doc_id"] for h in out["hits"]}
