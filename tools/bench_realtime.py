@@ -51,6 +51,9 @@ def main() -> None:
     if "--base" in sys.argv:
         base_docs = int(sys.argv[sys.argv.index("--base") + 1])
     auto_merge = "--no-auto-merge" not in sys.argv
+    upsert_frac = 0.0
+    if "--upsert" in sys.argv:
+        upsert_frac = float(sys.argv[sys.argv.index("--upsert") + 1])
 
     if os.environ.get("JAX_PLATFORMS") == "cpu":
         import jax
@@ -116,10 +119,20 @@ def main() -> None:
             try:
                 wtr = idx.writer()
                 rows = gen.choice(vocab, size=(batch, 30), p=probs)
-                docs = [{"_id": str(n + i),
-                         "body": " ".join(row) + " freshsentinel"}
-                        for i, row in enumerate(rows)]
-                n += batch
+                docs = []
+                for i, row in enumerate(rows):
+                    # --upsert F: that fraction of each batch rewrites
+                    # existing base-corpus ids — every commit then
+                    # tombstones docs in the base segment, driving the
+                    # tombstone-delta clone + upsert-locate paths
+                    if gen.random() < upsert_frac:
+                        did = str(int(gen.integers(0, base_docs)))
+                    else:
+                        did = str(n)
+                        n += 1
+                    docs.append({"_id": did,
+                                 "body": " ".join(row)
+                                 + " freshsentinel"})
                 wtr.add_documents(docs)
                 wtr.commit()
                 with lock:
@@ -191,6 +204,7 @@ def main() -> None:
         "base_docs": base_docs,
         "batch": batch,
         "auto_merge": auto_merge,
+        "upsert_frac": upsert_frac,
         "commits_per_s": round(stats["commits"] / wall, 2),
         "docs_per_s": round(stats["docs"] / wall, 1),
         "searches": stats["searches"],
