@@ -52,8 +52,12 @@ def main():
         for output in ("pairs", "arrays"):
             # one pipelined call over the whole stream (dispatch all,
             # one bulk fetch) — the serving pattern bench.py measures;
-            # the old per-batch calls paid a tunnel sync per batch
-            reader.search_batch_many(stream[:1], limit=bench.K,
+            # the old per-batch calls paid a tunnel sync per batch.
+            # Warm EVERY distinct batch: each batch can occupy a
+            # different tier-shape bucket, and a 10-300s tunnel
+            # compile inside the first timed region (pairs) once made
+            # pairs read 25x slower than arrays (2026-08-19 sweep).
+            reader.search_batch_many(batches[1:], limit=bench.K,
                                      execution=execution,
                                      output=output)  # warm
             t0 = time.perf_counter()
