@@ -321,14 +321,20 @@ def main():
     assert len(arr_out) == len(stream)
     qps_by_exec["bm25_arrays"] = round(n_queries / dt, 2)
     RESULT["detail"]["qps_bm25_arrays"] = qps_by_exec["bm25_arrays"]
+    # pinned cross-round protocol row: "value" was the b1024 arrays
+    # figure through round 2; quote THIS field for round-over-round
+    # comparisons, never "value" (which is now max over configs)
+    RESULT["detail"]["qps_protocol_b1024"] = qps_by_exec["bm25_arrays"]
     # batch-width scaling row: the SAME query stream re-chunked at
     # 4096/batch (per-batch host fixed costs — dispatch, upload, fetch
-    # sync — amortize 4x). Identical per-query results (the stream is
-    # only re-chunked; the oracle gate below verifies the surface), so
-    # it is a legitimate serving configuration and competes for the
-    # headline like the strategy rows. Skipped on the cpu fallback
-    # (device scaling probe; the fallback budget is better spent
-    # finishing the protocol rows).
+    # sync — amortize 4x). The stream is only re-chunked, so results
+    # must be identical per query — but the 4096-wide batch occupies
+    # its OWN tier-shape buckets, so its timed output is verified
+    # against the oracle below and the row is gated out of headline
+    # contention if that fails. Skipped on the cpu fallback (device
+    # scaling probe; the fallback budget is better spent finishing the
+    # protocol rows).
+    wide_out = None
     if platform == "device":
         flat_q = [q for b in stream for q in b]
         wide = [flat_q[i:i + 4096]
@@ -337,24 +343,17 @@ def main():
         # batch and a tunnel compile inside the timed region is 10-300s
         reader.search_batch_many(wide, limit=K, output="arrays")
         t0 = time.perf_counter()
-        reader.search_batch_many(wide, limit=K, output="arrays")
+        wide_out = reader.search_batch_many(wide, limit=K,
+                                            output="arrays")
         dt = time.perf_counter() - t0
         qps_by_exec["bm25_arrays_b4096"] = round(len(flat_q) / dt, 2)
         RESULT["detail"]["qps_bm25_arrays_b4096"] = (
             qps_by_exec["bm25_arrays_b4096"])
-    # headline = best verified serving configuration (strategy x batch
-    # width); which one won is disclosed in detail. The b1024 rows stay
-    # measured every round for cross-round comparability.
-    best = max(qps_by_exec, key=qps_by_exec.get)
-    qps = qps_by_exec[best]
-    RESULT["value"] = qps
-    RESULT["detail"]["headline_execution"] = best
-    RESULT["detail"]["batch"] = 4096 if best.endswith("b4096") else BATCH
-    RESULT["detail"]["terms_per_query"] = TERMS_PER_QUERY
 
-    # correctness gate: BOTH strategies' results are the oracle's
-    # exact top-k (catches silent backend corruption — the QPS number
-    # is meaningless otherwise)
+    # correctness gate — runs BEFORE headline selection so a failing
+    # config cannot produce RESULT.value. Both strategies' results must
+    # be the oracle's exact top-k (catches silent backend corruption —
+    # the QPS number is meaningless otherwise).
     verify_queries = batches[1][:16]
     ok = True
     for execution in ("bm25", "wand"):
@@ -362,45 +361,112 @@ def main():
                                              execution=execution)
         ok = ok and verify_vs_oracle(reader, verify_queries,
                                      verify_results)
-    # the arrays surface must carry the same ranking (ords mapped to
-    # doc ids outside the measured loop, exactly like the C++ engine)
-    a_scores, a_ids, a_segs = reader.search_batch_many(
-        [verify_queries], limit=K, output="arrays")[0]
-    arr_results = []
-    for qi in range(len(verify_queries)):
-        n = int((a_scores[qi] != -np.inf).sum())
-        arr_results.append([
-            (reader.segments[int(a_segs[qi, j])].doc_id(
-                int(a_ids[qi, j])), float(a_scores[qi, j]))
-            for j in range(n)])
-    ok = ok and verify_vs_oracle(reader, verify_queries, arr_results)
+
+    def _materialize(rows, qn=len(verify_queries)):
+        a_scores, a_ids, a_segs = rows
+        out = []
+        for qi in range(qn):
+            n = int((a_scores[qi] != -np.inf).sum())
+            out.append([
+                (reader.segments[int(a_segs[qi, j])].doc_id(
+                    int(a_ids[qi, j])), float(a_scores[qi, j]))
+                for j in range(n)])
+        return out
+
+    # the arrays surface is verified from the TIMED run's own output:
+    # stream[0] == batches[1], so arr_out[0] rows :16 are exactly
+    # verify_queries in the shape bucket the throughput row measured
+    ok = ok and verify_vs_oracle(reader, verify_queries,
+                                 _materialize(arr_out[0]))
+    if wide_out is not None:
+        # same for the wide config: flat_q[:16] == batches[1][:16]
+        ok4096 = verify_vs_oracle(reader, verify_queries,
+                                  _materialize(wide_out[0]))
+        RESULT["detail"]["verified_b4096_vs_oracle"] = ok4096
+        if not ok4096:
+            qps_by_exec.pop("bm25_arrays_b4096", None)
     RESULT["detail"]["verified_vs_oracle"] = ok
     RESULT["detail"]["score_mode"] = (
         "f32_strict" if os.environ.get(
             "SEARCHLITE_PRECISION") == "f32_strict"
         else os.environ.get("SEARCHLITE_PRECISION", "fast-f32"))
 
+    # headline = best verified serving configuration (strategy x batch
+    # width); which one won is disclosed in detail. The b1024 rows stay
+    # measured every round for cross-round comparability
+    # (detail.qps_protocol_b1024).
+    best = max(qps_by_exec, key=qps_by_exec.get)
+    qps = qps_by_exec[best]
+    RESULT["value"] = qps
+    RESULT["detail"]["headline_execution"] = best
+    RESULT["detail"]["batch"] = 4096 if best.endswith("b4096") else BATCH
+    RESULT["detail"]["terms_per_query"] = TERMS_PER_QUERY
+
     cpu_qps = cpu_reference_qps(reader, batches[0])
     RESULT["detail"]["cpu_oracle_qps"] = round(cpu_qps, 2)
+
+    def _rerun_config(name):
+        """One more timed pass of a measured serving config."""
+        if name == "bm25_arrays_b4096":
+            t0 = time.perf_counter()
+            reader.search_batch_many(wide, limit=K, output="arrays")
+            return len(flat_q) / (time.perf_counter() - t0)
+        if name == "bm25_arrays":
+            t0 = time.perf_counter()
+            reader.search_batch_many(stream, limit=K, output="arrays")
+            return n_queries / (time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        reader.search_batch_many(stream, limit=K, execution=name)
+        return n_queries / (time.perf_counter() - t0)
+
     # the baseline denominator: the single-core C++ engine implementing
     # the reference's three strategies over the same postings
     # (native/slt_cpu_engine.cpp; exactness-tested) — the strongest
     # measurable stand-in for the Rust CPU engine in this cargo-less
     # sandbox. Best mode wins (brute TAAT at this corpus size).
-    cpp_qps = cpp_engine_qps(reader, batches[1])
-    if cpp_qps is not None:
-        mode, qps_cpp = cpp_qps
+    # Protocol: >=3 INTERLEAVED engine/baseline alternations in the
+    # same window, medians quoted — single samples of either side have
+    # swung ~2x across hours on this host (BENCH_NOTES round 3).
+    eng_samples = [qps]
+    cpp_samples = []
+    for _rep in range(3):
+        s = cpp_engine_qps(reader, batches[1])
+        if s is None:
+            break
+        cpp_samples.append(s)
+        eng_samples.append(_rerun_config(best))
+    if cpp_samples:
+        cpp_samples.sort(key=lambda ms: ms[1])
+        mode, qps_cpp = cpp_samples[len(cpp_samples) // 2]
+        eng_med = sorted(eng_samples)[len(eng_samples) // 2]
+        qps = round(eng_med, 2)
+        RESULT["value"] = qps
         RESULT["vs_baseline"] = round(qps / qps_cpp, 2)
         RESULT["detail"]["cpp_engine_qps"] = round(qps_cpp, 1)
+        RESULT["detail"]["cpp_engine_qps_samples"] = [
+            round(q, 1) for _, q in cpp_samples]
+        RESULT["detail"]["engine_qps_samples"] = [
+            round(q, 1) for q in eng_samples]
         RESULT["detail"]["cpp_engine_mode"] = mode
         RESULT["detail"]["baseline_kind"] = "cpp-engine-1core"
+        RESULT["detail"]["vs_baseline_b1024"] = round(
+            qps_by_exec["bm25_arrays"] / qps_cpp, 2)
+        if "bm25_arrays_b4096" in qps_by_exec:
+            RESULT["detail"]["vs_baseline_b4096"] = round(
+                qps_by_exec["bm25_arrays_b4096"] / qps_cpp, 2)
     else:
         RESULT["vs_baseline"] = round(qps / cpu_qps, 2)
         RESULT["detail"]["baseline_kind"] = "numpy-oracle-proxy"
 
-    # p50 single-query latency (warm shapes; the BASELINE metric)
+    # p50 single-query latency (warm shapes; the BASELINE metric).
+    # Warm EVERY query once first: distinct singles can occupy
+    # distinct block-count buckets, so warming only singles[0] left
+    # bucket compiles inside the timed loop in a fresh process —
+    # BENCH_r03's unexplained 193.8 ms p50 (same hole class as the
+    # qps_wand / bench_1m warm-up fixes).
     singles = batches[0][:9]
-    reader.search({"query": singles[0], "limit": K})  # warm compile
+    for q in singles:
+        reader.search({"query": q, "limit": K})  # warm every bucket
     lat = []
     for q in singles:
         t1 = time.perf_counter()
@@ -408,6 +474,14 @@ def main():
         lat.append((time.perf_counter() - t1) * 1000)
     RESULT["detail"]["p50_single_query_ms"] = round(
         sorted(lat)[len(lat) // 2], 1)
+    # record the routing the default-execution single takes (VERDICT
+    # r3 weak #1 asks for this alongside the p50 number)
+    prof = reader.search({"query": singles[0], "limit": K,
+                          "profile": True}).profile
+    if prof:
+        RESULT["detail"]["p50_route_stats"] = {
+            k: v for k, v in prof["execution"].items()
+            if isinstance(v, (int, float, bool, str))}
 
     emit()
 
