@@ -75,6 +75,38 @@ def calendar_bucket(millis: int, interval: str) -> int:
     return int(start.timestamp() * 1000)
 
 
+def calendar_bucket_vec(millis, interval: str):
+    """Vectorized ``calendar_bucket`` over an int64 millis array.
+
+    Same UTC floor semantics as the scalar version (equivalence is
+    property-tested in tests/test_aggs_bounded.py): day/week by integer
+    arithmetic, month/quarter/year via numpy datetime64 truncation
+    (which floors toward -inf, matching datetime.replace)."""
+    import numpy as np
+
+    d = np.asarray(millis, dtype=np.int64)
+    name = interval.strip().lower()
+    day_ms = 86_400_000
+    if name in ("day", "1d"):
+        return (d // day_ms) * day_ms
+    if name in ("week", "1w"):
+        days = d // day_ms
+        # 1970-01-01 was a Thursday (weekday 3, Monday=0)
+        start = days - (days + 3) % 7
+        return start * day_ms
+    months = d.astype("datetime64[ms]").astype("datetime64[M]")
+    if name in ("month", "1m"):
+        key = months
+    elif name in ("quarter", "1q"):
+        m = months.astype(np.int64)
+        key = ((np.floor_divide(m, 3)) * 3).astype("datetime64[M]")
+    elif name in ("year", "1y"):
+        key = d.astype("datetime64[ms]").astype("datetime64[Y]")
+    else:
+        raise QueryError(f"unknown calendar interval `{interval}`")
+    return key.astype("datetime64[ms]").astype(np.int64)
+
+
 def next_calendar_bucket(millis: int, interval: str) -> int:
     """Start of the calendar bucket after the one at `millis` (parity:
     aggs/mod.rs add_interval — used to densify empty buckets across

@@ -38,7 +38,12 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 
-os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+# default: host-only (a wedged tunnel can't hang the bench). Pass
+# --device (VERDICT r3 item 5: device-session realtime measurement) to
+# keep the accelerator backend — the base corpus uploads/serves on the
+# device while fresh commits ride the host tier.
+if "--device" not in sys.argv:
+    os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 
 
 def main() -> None:
