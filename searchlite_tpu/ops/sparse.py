@@ -38,11 +38,20 @@ tests/test_sparse_batch.py.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import numpy as np
 
 from searchlite_tpu.ops.impact import next_pow2, pow15_bucket
+
+
+def _strip_core_env() -> str:
+    """The SEARCHLITE_STRIP_CORE experiment knob (ops/pallas_strip.py):
+    sort (default) | bitonic | pallas. Read per call — it becomes a
+    static jit arg, so flipping the env var mid-process is safe (each
+    value owns its own compiled specialization)."""
+    return os.environ.get("SEARCHLITE_STRIP_CORE", "sort")
 
 # Packed per-(query, slot) upload format (partition_sparse_batch_packed
 # / make_sparse_candidate_scorer_packed): one int32 carries the term id
@@ -87,17 +96,29 @@ def _strip_gather(jax, jnp, block_docs, block_impacts, bstart, bcnt,
 
 def _strip_gather_scan(jax, jnp, block_docs, block_impacts, bstart,
                        bcnt, w, sentinel_row, sentinel_doc, *,
-                       t_pad: int, nblk: int, log2_run: int):
+                       t_pad: int, nblk: int, log2_run: int,
+                       core: str = "sort"):
     """Gather each row's posting blocks into a candidate strip, sort
     by doc, and combine duplicate-doc runs. Operands bstart/bcnt/w are
     [B, t_pad] (block start, block count — 0 for unused slots — and
     f32 weight per slot). Returns (d, v, ok): sorted candidate docs,
-    run-total values, and the run-end match mask."""
+    run-total values, and the run-end match mask. ``core`` picks the
+    sort implementation: "sort" (lax.sort, default) or "bitonic" (the
+    hand-rolled compare-exchange network — the SEARCHLITE_STRIP_CORE
+    experiment, ops/pallas_strip.py)."""
     B = bstart.shape[0]
     d, v, _t_slot = _strip_gather(
         jax, jnp, block_docs, block_impacts, bstart, bcnt, w,
         sentinel_row, t_pad=t_pad, nblk=nblk)
-    d, v = jax.lax.sort((d, v), num_keys=1, dimension=1)
+    if core == "bitonic":
+        from searchlite_tpu.ops.pallas_strip import (bitonic_sort_pairs,
+                                                     pad_strip_pow2)
+
+        d, v = pad_strip_pow2(jnp, d, v, sentinel_doc)
+        d, v = bitonic_sort_pairs(jax, jnp, d, v)
+        B = d.shape[0]
+    else:
+        d, v = jax.lax.sort((d, v), num_keys=1, dimension=1)
     # segmented inclusive scan: runs (equal doc) are <= 2^log2_run
     # long (a doc appears at most once per term slot)
     off = 1
@@ -263,13 +284,26 @@ def make_strip_prune_probe():
 def _candidate_core(jax, jnp, block_docs, block_impacts, bstart, bcnt,
                     w, sentinel_row, sentinel_doc, *, k: int,
                     t_pad: int, nblk: int, log2_run: int,
-                    with_counts: bool):
+                    with_counts: bool, core: str = "sort"):
     """Shared body of the candidate scorers: gather each row's posting
-    blocks, sort by doc, combine duplicate-doc runs, top-k."""
+    blocks, sort by doc, combine duplicate-doc runs, top-k. ``core``
+    (SEARCHLITE_STRIP_CORE) swaps the sort+combine+top-k stages:
+    "sort" (default), "bitonic" (jnp compare-exchange network), or
+    "pallas" (one fused VMEM kernel — ops/pallas_strip.py)."""
+    if core == "pallas":
+        from searchlite_tpu.ops.pallas_strip import pallas_strip_topk
+
+        d, v, _t_slot = _strip_gather(
+            jax, jnp, block_docs, block_impacts, bstart, bcnt, w,
+            sentinel_row, t_pad=t_pad, nblk=nblk)
+        return pallas_strip_topk(
+            jax, jnp, d, v, sentinel_doc, k=k, log2_run=log2_run,
+            with_counts=with_counts,
+            interpret=jax.default_backend() == "cpu")
     d, v, ok = _strip_gather_scan(
         jax, jnp, block_docs, block_impacts, bstart, bcnt, w,
         sentinel_row, sentinel_doc, t_pad=t_pad, nblk=nblk,
-        log2_run=log2_run)
+        log2_run=log2_run, core=core)
     score = jnp.where(ok, v, -jnp.inf)
     ts, tp = jax.lax.top_k(score, k)
     td = jnp.take_along_axis(d, tp, axis=1)
@@ -295,10 +329,10 @@ def make_sparse_candidate_scorer():
 
     @partial(jax.jit,
              static_argnames=("k", "t_pad", "nblk", "log2_run",
-                              "with_counts"))
+                              "with_counts", "core"))
     def scorer(block_docs, block_impacts, tbl, sent,
                *, k: int, t_pad: int, nblk: int, log2_run: int,
-               with_counts: bool = False):
+               with_counts: bool = False, core: str = "sort"):
         """tbl [3, B, t_pad] int32 — ONE host upload per batch (each
         eager transfer costs a tunnel dispatch): rows are per-(query,
         term-slot) posting block starts, counts (0 for unused slots),
@@ -311,9 +345,13 @@ def make_sparse_candidate_scorer():
         return _candidate_core(
             jax, jnp, block_docs, block_impacts, bstart, bcnt, w,
             sent[0], sent[1], k=k, t_pad=t_pad, nblk=nblk,
-            log2_run=log2_run, with_counts=with_counts)
+            log2_run=log2_run, with_counts=with_counts, core=core)
 
-    return scorer
+    def call(*args, **kw):
+        kw.setdefault("core", _strip_core_env())
+        return scorer(*args, **kw)
+
+    return call
 
 
 def make_sparse_candidate_scorer_packed():
@@ -339,10 +377,11 @@ def make_sparse_candidate_scorer_packed():
 
     @partial(jax.jit,
              static_argnames=("k", "t_pad", "nblk", "log2_run",
-                              "n_ovr", "with_counts"))
+                              "n_ovr", "with_counts", "core"))
     def scorer(block_docs, block_impacts, tid_tbl, packed, ovr, sent,
                *, k: int, t_pad: int, nblk: int, log2_run: int,
-               n_ovr: int = 0, with_counts: bool = False):
+               n_ovr: int = 0, with_counts: bool = False,
+               core: str = "sort"):
         tid = packed & (TID_LIMIT - 1)
         occ = jax.lax.shift_right_logical(packed, TID_BITS)
         bstart = tid_tbl[0][tid]
@@ -359,9 +398,13 @@ def make_sparse_candidate_scorer_packed():
         return _candidate_core(
             jax, jnp, block_docs, block_impacts, bstart, bcnt, w,
             sent[0], sent[1], k=k, t_pad=t_pad, nblk=nblk,
-            log2_run=log2_run, with_counts=with_counts)
+            log2_run=log2_run, with_counts=with_counts, core=core)
 
-    return scorer
+    def call(*args, **kw):
+        kw.setdefault("core", _strip_core_env())
+        return scorer(*args, **kw)
+
+    return call
 
 
 def build_heavy_lookup_host(postings, block_docs_np, block_impacts_np,

