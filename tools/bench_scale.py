@@ -198,6 +198,22 @@ def main():
             warm_s=round(warm, 1), qps=round(n / dt, 1))
         summary[f"qps_{execution}"] = round(n / dt, 1)
 
+        if execution == "bm25":
+            # wide-batch serving config (the headline protocol's b4096
+            # row): same query stream re-chunked into one 4096-wide
+            # launch — per-batch host fixed costs amortize 4x further
+            wide = [batches[1] + batches[2] + batches[1] + batches[2]]
+            reader.search_batch_many(wide, limit=K, output="arrays",
+                                     execution=execution)  # warm
+            t0 = time.perf_counter()
+            reader.search_batch_many(wide, limit=K, output="arrays",
+                                     execution=execution)
+            dt = time.perf_counter() - t0
+            log(phase="batched_wide", execution=execution,
+                batch=len(wide[0]), qps=round(len(wide[0]) / dt, 1))
+            summary["qps_bm25_arrays_b4096"] = round(
+                len(wide[0]) / dt, 1)
+
         # p50 single-query latency: warm one pass first (distinct term
         # counts land in distinct pow4 shape buckets; a cold bucket is
         # an XLA compile, minutes at 5M docs — steady state is the
