@@ -212,6 +212,10 @@ class DeviceSegment:
         d._sparse_tid_tbl = None
         d._live_df_cache = None
         d._mesh_sparse = None
+        # significant_terms background counts are LIVE-doc statics
+        # (ops/device_aggs.py::_sig_bg_structure) — deletion-derived,
+        # unlike the shared _agg_structs bucket codes
+        d._sig_bg_cache = None
         tl = getattr(self, "_tile_index", None)
         if tl is not None:
             d._tile_index = tl.clone_for(d)

@@ -20,17 +20,18 @@ DeviceSegment. The per-QUERY work is a handful of masked reductions:
   ``min = min_d mask[d] ? doc_min[d]`` (and max)
 - sub-agg metrics    ``sum[c] = Σ_d mask[d]·[c ∈ codes(d)]·doc_sum[d]``
 
-Covered kinds: ``terms`` / ``histogram`` / ``date_histogram``
-(single- AND multi-valued columns, ``missing``, ``hard_bounds``;
-per-doc distinct-key sets — ≤ ``SEARCHLITE_DEVICE_AGG_VCAP`` distinct
-buckets per doc — live as a padded [n1, V] code table), ``range`` /
-``date_range`` / ``filter`` (static membership rows), ``value_count``,
-``stats`` / ``extended_stats``, plus ONE level of ``stats`` /
-``extended_stats`` / ``value_count`` sub-aggregations under any of the
-bucket kinds. Not covered (host collectors, which are themselves
-vectorized): ``sampling`` (mask-dependent subset), composite (paging),
-significant/rare terms, top_hits, percentiles/cardinality (sketches
-need raw values), nested sub-aggs.
+Covered kinds: ``terms`` / ``significant_terms`` (background counts
+are live-doc statics, psum-free) / ``rare_terms`` / ``histogram`` /
+``date_histogram`` (single- AND multi-valued columns, ``missing``,
+``hard_bounds``; per-doc distinct-key sets — ≤
+``SEARCHLITE_DEVICE_AGG_VCAP`` distinct buckets per doc — live as a
+padded [n1, V] code table), ``range`` / ``date_range`` / ``filter``
+(static membership rows), ``value_count``, ``stats`` /
+``extended_stats``, plus ONE level of ``stats`` / ``extended_stats`` /
+``value_count`` sub-aggregations under any of the bucket kinds. Not
+covered (host collectors, which are themselves vectorized):
+``sampling`` (mask-dependent subset), composite (paging), top_hits,
+percentiles/cardinality (sketches need raw values), nested sub-aggs.
 
 Exactness contract: every COUNT is exact (f32 tree-sums of integers,
 gated < 2^24); min/max are exact (values gated to the f32-exact
@@ -65,11 +66,13 @@ import numpy as np
 
 CHUNK = 8192  # docs per one-hot scan step: [CHUNK, C] stays VMEM-sized
 
-DEVICE_AGG_KINDS = ("terms", "histogram", "date_histogram", "range",
+DEVICE_AGG_KINDS = ("terms", "significant_terms", "rare_terms",
+                    "histogram", "date_histogram", "range",
                     "date_range", "filter", "stats", "extended_stats",
                     "value_count")
 DEVICE_SUB_KINDS = ("stats", "extended_stats", "value_count")
-_CODES_KINDS = ("terms", "histogram", "date_histogram")
+_CODES_KINDS = ("terms", "significant_terms", "rare_terms",
+                "histogram", "date_histogram")
 _ROWS_KINDS = ("range", "date_range", "filter")
 MAX_BUCKETS_DEV = 65536
 SUB_C_CAP = 4096  # sub-agg min/max reduce [CHUNK, C] on the VPU
@@ -323,6 +326,19 @@ def make_masked_dot():
                        preferred_element_type=jnp.float32)
 
     return dot
+
+
+def make_mask_count():
+    """Exact matched-doc count (< 2^24 per segment — the same bound the
+    bucket counts rely on); significant_terms' foreground total."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def count(mask):
+        return jnp.sum(mask.astype(jnp.float32), dtype=jnp.float32)
+
+    return count
 
 
 # ---------------------------------------------------------------------------
@@ -719,6 +735,65 @@ def _vcount_structure(dseg, field, missing):
     return out
 
 
+def _sig_bg_structure(dseg, spec):
+    """significant_terms background counts: docs passing
+    ``background_filter`` (or all LIVE docs) counted once per distinct
+    key — the host collector's per-doc loop vectorized. Deletion-
+    DERIVED (live set), so it caches on ``dseg._sig_bg_cache`` which
+    ``clone_with_tombstones`` resets (the shared ``_agg_structs`` only
+    holds deletion-independent structures)."""
+    cache = getattr(dseg, "_sig_bg_cache", None)
+    if cache is None:
+        cache = dseg._sig_bg_cache = {}
+    field = spec["field"]
+    bg_filter = spec.get("background_filter")
+    try:
+        params = (field, json.dumps(bg_filter, sort_keys=True,
+                                    default=str))
+    except _BUILD_ERRS:
+        return None
+    if params in cache:
+        return cache[params]
+    from searchlite_tpu.api.types import Filter
+    from searchlite_tpu.query.filters import compute_filter_mask
+
+    nd = dseg.n_docs
+    live = ~dseg.deleted_np[:nd]
+    if bg_filter is not None:
+        try:
+            filt = Filter.from_json(bg_filter) if not isinstance(
+                bg_filter, Filter) else bg_filter
+            live = live & np.asarray(
+                compute_filter_mask(dseg.reader.fast, filt)[:nd])
+        except Exception:  # noqa: BLE001 — host raises the error
+            cache[params] = None
+            return None
+    col = dseg.reader.fast.column(field)
+    bg_counts: dict = {}
+    if col is not None:
+        values, owners, _lens = _all_value_pairs(col, nd)
+        keep = live[owners]
+        values, owners = values[keep], owners[keep]
+        # per-doc distinct keys (the host loop's set()), then count
+        order = np.lexsort((values, owners))
+        v = values[order]
+        o = owners[order]
+        dedup = np.ones(len(v), dtype=bool)
+        dedup[1:] = (o[1:] != o[:-1]) | (v[1:] != v[:-1])
+        v = v[dedup]
+        if col.kind == "str":
+            counts = np.bincount(v, minlength=len(col.dictionary))
+            for code in np.flatnonzero(counts):
+                bg_counts[col.dictionary[code]] = int(counts[code])
+        else:
+            uniq, counts = np.unique(v, return_counts=True)
+            for k, c in zip(uniq.tolist(), counts.tolist()):
+                bg_counts[k] = int(c)
+    out = {"bg_counts": bg_counts, "bg_total": int(live.sum())}
+    cache[params] = out
+    return out
+
+
 def agg_bucket_structure(dseg, spec: dict, kind: str):
     """Device-resident static structure for (segment, spec): bucket
     codes / membership rows / per-doc moment vectors. Cached on the
@@ -728,8 +803,11 @@ def agg_bucket_structure(dseg, spec: dict, kind: str):
     cache = _struct_cache(dseg)
     field = spec.get("field")
     missing = repr(spec.get("missing"))
-    if kind == "terms":
-        params = (kind, field, missing)
+    if kind in ("terms", "significant_terms", "rare_terms"):
+        # the bucket-code structure is identical for the three
+        # terms-shaped kinds (significant_terms' background counts are
+        # a separate deletion-derived cache, _sig_bg_structure)
+        params = ("terms", field, missing)
     elif kind == "histogram":
         params = (kind, field, float(spec.get("interval", 0) or 0),
                   float(spec.get("offset") or 0.0), missing,
@@ -757,7 +835,7 @@ def agg_bucket_structure(dseg, spec: dict, kind: str):
         return cache[params]
 
     try:
-        if kind == "terms":
+        if kind in ("terms", "significant_terms", "rare_terms"):
             out = _terms_structure(dseg, spec)
         elif kind == "histogram":
             out = _histogram_structure(dseg, spec)
@@ -823,6 +901,9 @@ def spec_device_able(dseg, spec: dict, kind: str, strict: bool) -> bool:
         return False
     struct = agg_bucket_structure(dseg, spec, kind)
     if struct is None:
+        return False
+    if kind == "significant_terms" \
+            and _sig_bg_structure(dseg, spec) is None:
         return False
     if spec.get("aggs"):
         if kind not in _CODES_KINDS and kind not in _ROWS_KINDS:
@@ -909,27 +990,38 @@ def launch_device_aggs(dseg, plan, mask_ref):
                 struct["codes2d"], mask_ref,
                 n_buckets=struct["n_buckets"])
             refs.append(counts)
+            n_refs = 1
+            if kind == "significant_terms":
+                # foreground total = matched docs (host: len(matched))
+                refs.append(_kernel("mcount", make_mask_count)(
+                    mask_ref))
+                n_refs = 2
             sub_meta = _launch_subs(dseg, spec, kind, struct,
                                     mask_ref, refs)
-            meta.append((name, kind, spec, struct, 1, sub_meta))
+            extra = _sig_bg_structure(dseg, spec) \
+                if kind == "significant_terms" else None
+            meta.append((name, kind, spec, struct, n_refs, sub_meta,
+                         extra))
         elif kind in _ROWS_KINDS:
             counts = _kernel("range", make_range_counts)(
                 struct["range_rows"], mask_ref)
             refs.append(counts)
             sub_meta = _launch_subs(dseg, spec, kind, struct,
                                     mask_ref, refs)
-            meta.append((name, kind, spec, struct, 1, sub_meta))
+            meta.append((name, kind, spec, struct, 1, sub_meta,
+                         None))
         elif kind == "value_count":
             c = _kernel("mdot", make_masked_dot)(
                 mask_ref, struct["cnt"])
             refs.append(c)
-            meta.append((name, kind, spec, struct, 1, []))
+            meta.append((name, kind, spec, struct, 1, [], None))
         else:  # stats / extended_stats
             out = _kernel("vstats", make_vec_stats)(
                 mask_ref, struct["cnt"], struct["sm"], struct["ss"],
                 struct["mn"], struct["mx"], struct["has"])
             refs.extend(out)
-            meta.append((name, kind, spec, struct, len(out), []))
+            meta.append((name, kind, spec, struct, len(out), [],
+                         None))
     return meta, refs
 
 
@@ -977,7 +1069,7 @@ def build_intermediates(meta, fetched) -> dict:
 
     it = iter(fetched)
     out = {}
-    for name, kind, spec, struct, n_refs, sub_meta in meta:
+    for name, kind, spec, struct, n_refs, sub_meta, extra in meta:
         vals = [np.asarray(next(it)) for _ in range(n_refs)]
         sub_vals = {}
         for sub_name, _skind, n in sub_meta:
@@ -994,6 +1086,10 @@ def build_intermediates(meta, fetched) -> dict:
             payload = {"buckets": buckets}
             if kind == "date_histogram":
                 payload["format"] = spec.get("format")
+            elif kind == "significant_terms":
+                payload["bg_counts"] = dict(extra["bg_counts"])
+                payload["bg_total"] = extra["bg_total"]
+                payload["doc_count"] = int(round(float(vals[1])))
             out[name] = Intermediate(kind, payload)
         elif kind == "filter":
             sub = _sub_inters(sub_meta, sub_vals, 0) if sub_meta else {}

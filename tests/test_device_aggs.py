@@ -107,6 +107,12 @@ WIDE_AGGS = {
     "scores_stats": {"type": "stats", "field": "scores"},
     "tag_count_missing": {"type": "value_count", "field": "tags",
                           "missing": "?"},
+    "sig": {"type": "significant_terms", "field": "tags"},
+    "sig_bg": {"type": "significant_terms", "field": "cat",
+               "background_filter": {"KeywordEq": {"field": "cat",
+                                                   "value": "a"}}},
+    "rare": {"type": "rare_terms", "field": "cat",
+             "max_doc_count": 500},
 }
 
 SUB_AGGS = {
@@ -260,6 +266,38 @@ def test_vcap_exceeded_falls_back(index, monkeypatch):
     dseg._agg_structs = {}
     host = _host_run(index, req, monkeypatch)
     assert got == host
+
+
+def test_significant_terms_bg_refreshes_after_delete(monkeypatch):
+    """significant_terms background counts are live-doc statics; a
+    tombstone commit clones the DeviceSegment and must NOT reuse the
+    stale background cache (clone_with_tombstones resets it)."""
+    idx = Index.create(
+        IndexOptions(path="", create_if_missing=True,
+                     storage=StorageType.IN_MEMORY),
+        Schema.from_json({
+            "text_fields": [{"name": "body", "analyzer": "default",
+                             "stored": False, "indexed": True}],
+            "keyword_fields": [{"name": "cat", "stored": False,
+                                "indexed": True, "fast": True}]}))
+    writer = idx.writer()
+    for i in range(60):
+        writer.add_document({"_id": str(i), "body": "hit",
+                             "cat": "a" if i % 3 else "b"})
+    writer.commit()
+    req = {"query": "hit", "limit": 1, "aggs": {
+        "sig": {"type": "significant_terms", "field": "cat"}}}
+    before = idx.reader().search(req).aggregations
+    assert before["sig"]["bg_count"] == 60
+    for i in range(0, 60, 2):
+        writer.delete_document(str(i))
+    writer.commit()
+    after = idx.reader().search(req).aggregations
+    host = None
+    monkeypatch.setenv("SEARCHLITE_DEVICE_AGGS", "0")
+    host = idx.reader().search(req).aggregations
+    assert after == host
+    assert after["sig"]["bg_count"] == 30
 
 
 def test_sampling_and_unsupported_kinds_fall_back(index, monkeypatch):

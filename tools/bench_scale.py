@@ -9,7 +9,12 @@ vocabulary. Queries mix head and tail terms like the real query log
 
 Usage:
     python tools/bench_scale.py [n_docs] [--exec bm25|bmw] [--cpu]
-        [--cpu-engine]
+        [--cpu-engine] [--path DIR]
+
+--path DIR persists the index on disk and reuses it on later runs
+(ingest at 5M is ~10 min per probe; repeated measurement sessions skip
+it — the generated corpus is deterministic, seed 7, so a reused index
+is identical to a fresh one at the same n_docs).
 
 --cpu-engine additionally measures the single-core C++ baseline engine
 (native/slt_cpu_engine.cpp, the Rust-reference stand-in — BASELINE.md)
@@ -107,32 +112,39 @@ def main():
     probs = (1.0 / ranks) / np.sum(1.0 / ranks)
     vocab = [f"t{i}" for i in range(VOCAB)]
 
-    index = Index.create(
-        IndexOptions(path="", create_if_missing=True,
-                     storage=StorageType.IN_MEMORY,
-                     enable_positions=False),
-        Schema.from_json({
-            "text_fields": [{"name": "body", "analyzer": "default",
-                             "stored": False, "indexed": True}],
-            "keyword_fields": [{"name": "cat", "stored": False,
-                                "indexed": False, "fast": True}],
-            "numeric_fields": [{"name": "price", "i64": False,
-                                "stored": False, "fast": True}]}))
-    writer = index.writer()
-    t0 = time.perf_counter()
-    done = 0
-    while done < n_docs:
-        n = min(CHUNK, n_docs - done)
-        writer.add_documents(gen_chunk(rng, probs, vocab, n, done))
-        done += n
-        log(phase="gen+buffer", docs=done,
-            elapsed_s=round(time.perf_counter() - t0, 1))
-    t1 = time.perf_counter()
-    writer.commit()
-    t2 = time.perf_counter()
-    log(phase="ingest", docs=n_docs,
-        gen_buffer_s=round(t1 - t0, 1), commit_s=round(t2 - t1, 1),
-        docs_per_s=round(n_docs / (t2 - t0), 1))
+    path = args[args.index("--path") + 1] if "--path" in args else ""
+    schema = Schema.from_json({
+        "text_fields": [{"name": "body", "analyzer": "default",
+                         "stored": False, "indexed": True}],
+        "keyword_fields": [{"name": "cat", "stored": False,
+                            "indexed": False, "fast": True}],
+        "numeric_fields": [{"name": "price", "i64": False,
+                            "stored": False, "fast": True}]})
+    if path and os.path.exists(os.path.join(path, "MANIFEST.json")):
+        index = Index.open(IndexOptions(path=path))
+        log(phase="reuse", path=path)
+    else:
+        index = Index.create(
+            IndexOptions(path=path, create_if_missing=True,
+                         storage=(StorageType.FILESYSTEM if path
+                                  else StorageType.IN_MEMORY),
+                         enable_positions=False),
+            schema)
+        writer = index.writer()
+        t0 = time.perf_counter()
+        done = 0
+        while done < n_docs:
+            n = min(CHUNK, n_docs - done)
+            writer.add_documents(gen_chunk(rng, probs, vocab, n, done))
+            done += n
+            log(phase="gen+buffer", docs=done,
+                elapsed_s=round(time.perf_counter() - t0, 1))
+        t1 = time.perf_counter()
+        writer.commit()
+        t2 = time.perf_counter()
+        log(phase="ingest", docs=n_docs,
+            gen_buffer_s=round(t1 - t0, 1), commit_s=round(t2 - t1, 1),
+            docs_per_s=round(n_docs / (t2 - t0), 1))
 
     t0 = time.perf_counter()
     reader = index.reader()
@@ -175,27 +187,40 @@ def main():
                 ms_per_q=round(dt / len(queries) * 1e3, 2))
             summary[f"cpu_engine_qps_{mode}"] = round(
                 len(queries) / dt, 1)
+        # the engine holds its own full postings copy (~GBs at multi-M
+        # docs); free it before the device phases or 8.8M runs OOM
+        del eng
     for execution in executions:
         # pruning can't engage when a huge batch's seed tiles cover the
         # whole corpus; bmw runs 64-query sub-batches through the
         # pipelined API (3 bulk fetches for the whole stream)
         sub = 64 if execution in ("wand", "bmw") else BATCH
+        stream = [b[i:i + sub] for b in batches[1:]
+                  for i in range(0, len(b), sub)]
+        # warm EVERY distinct batch the timed region will run —
+        # distinct batches occupy distinct tier-shape buckets, and a
+        # cold bucket is a minutes-long XLA compile at multi-M docs
+        # (the same hole class fixed in bench.py / bench_1m, 5854503)
         t0 = time.perf_counter()
         reader.search_batch_many(
             [batches[0][i:i + sub] for i in range(0, BATCH, sub)],
             limit=K, execution=execution)
+        reader.search_batch_many(stream, limit=K, execution=execution)
         warm = time.perf_counter() - t0
-        t0 = time.perf_counter()
+        rep_qps = []
         n = 0
+        t0 = time.perf_counter()
         for _rep in range(2):
-            stream = [b[i:i + sub] for b in batches[1:]
-                      for i in range(0, len(b), sub)]
+            t1 = time.perf_counter()
             reader.search_batch_many(stream, limit=K,
                                      execution=execution)
-            n += sum(len(b) for b in stream)
+            nq = sum(len(b) for b in stream)
+            rep_qps.append(round(nq / (time.perf_counter() - t1), 1))
+            n += nq
         dt = time.perf_counter() - t0
         log(phase="batched", execution=execution, sub_batch=sub,
-            warm_s=round(warm, 1), qps=round(n / dt, 1))
+            warm_s=round(warm, 1), qps=round(n / dt, 1),
+            rep_qps=rep_qps)
         summary[f"qps_{execution}"] = round(n / dt, 1)
 
         if execution == "bm25":

@@ -115,8 +115,11 @@ def main():
             try:
                 out = fn()  # warm/compile
             except Exception as e:  # noqa: BLE001 — Mosaic may reject
+                import traceback
+                tb = traceback.format_exc().splitlines()
                 log(shape=[B, L], core=name,
-                    error=f"{type(e).__name__}: {str(e)[:300]}")
+                    error=f"{type(e).__name__}: {str(e)[:300]}",
+                    tb_tail=tb[-12:])
                 continue
             reps = 10
             t0 = time.perf_counter()
