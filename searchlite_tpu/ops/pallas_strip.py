@@ -24,6 +24,15 @@ duplicate docs, -inf for non-matches):
    an iterative k-extract — isolating "does fusing the stages into
    VMEM pay?".
 
+Everything in the kernel is written in the Mosaic-lowerable subset:
+the XOR-partner exchange of each bitonic stage is two lane-rolls + a
+parity select (NO 4-D reshapes — Mosaic rejects relayouts below the
+(8, 128) tile), the segmented run-combine is a roll + lane-iota mask
+(no unaligned lane slices), and the k-extract uses max / masked-min
+reductions instead of argmax + take_along_axis (no lane gathers). The
+first device attempt used reshape(R, g, 2, s) networks and died in
+Mosaic with a bare AssertionError — this is the rewrite.
+
 A/B tool: tools/probe_pallas_strip.py (runs all three on device over
 realistic Zipf strips and checks exact agreement). The production
 candidate scorers (ops/sparse.py) take the core as a static arg wired
@@ -44,50 +53,63 @@ from __future__ import annotations
 from functools import partial
 
 K_PAD = 128  # output lane padding (Mosaic wants 128-divisible lanes)
+_I32_MAX = 2**31 - 1
 
 
-def bitonic_sort_pairs(jax, jnp, d, v):
+def bitonic_sort_pairs(jax, jnp, d, v, roll=None):
     """Ascending bitonic sort of ``d`` [R, L] (int32 keys) along axis 1
     with ``v`` co-permuted. L must be a power of two. Unstable — the
     strip contract only needs equal docs adjacent (run sums are
-    order-free)."""
+    order-free).
+
+    Stage (merge size ``m``, distance ``j``) pairs lane ``i`` with
+    ``i ^ j``; because ``j`` is a power of two the pair partner is
+    ``roll(x, -j)`` on lanes whose ``j`` bit is clear and
+    ``roll(x, +j)`` on lanes whose ``j`` bit is set (the cyclic wrap
+    never lands on a selected lane). ``roll`` defaults to ``jnp.roll``
+    (XLA path); the Pallas kernel passes the Mosaic roll primitive.
+    """
+    if roll is None:
+        roll = lambda x, s: jnp.roll(x, s, axis=1)  # noqa: E731
     R, L = d.shape
     n = L.bit_length() - 1
     assert (1 << n) == L, "strip length must be a power of two"
-    for k in range(1, n + 1):
-        for sub in range(k - 1, -1, -1):
-            s = 1 << sub
-            g = L // (2 * s)
-            d4 = d.reshape(R, g, 2, s)
-            v4 = v.reshape(R, g, 2, s)
-            da, db = d4[:, :, 0, :], d4[:, :, 1, :]
-            va, vb = v4[:, :, 0, :], v4[:, :, 1, :]
-            if k == n:
-                # final merge stage: globally ascending everywhere
-                swap = da > db
-            else:
-                blk = jax.lax.broadcasted_iota(
-                    jnp.int32, (1, g, 1), 1)
-                desc = ((blk >> (k - sub - 1)) & 1) == 1
-                swap = jnp.where(desc, da < db, da > db)
-            nda = jnp.where(swap, db, da)
-            ndb = jnp.where(swap, da, db)
-            nva = jnp.where(swap, vb, va)
-            nvb = jnp.where(swap, va, vb)
-            d = jnp.stack([nda, ndb], axis=2).reshape(R, L)
-            v = jnp.stack([nva, nvb], axis=2).reshape(R, L)
+    col = jax.lax.broadcasted_iota(jnp.int32, (R, L), 1)
+    for km in range(1, n + 1):
+        m = 1 << km  # bitonic merge size
+        for sub in range(km - 1, -1, -1):
+            j = 1 << sub
+            is_lower = (col & j) == 0
+            pd = jnp.where(is_lower, roll(d, -j), roll(d, j))
+            pv = jnp.where(is_lower, roll(v, -j), roll(v, j))
+            # take the pair MIN on lanes where the merge-direction bit
+            # (col's m bit; clear everywhere on the final merge, which
+            # makes it globally ascending with no special case) equals
+            # the pair-position bit. Expressed as i1 and/or only —
+            # select with BOOLEAN branch operands makes Mosaic widen
+            # them to i8 and die on the i8->i1 trunc at the use.
+            take_min = (((col >> km) ^ (col >> sub)) & 1) == 0
+            sel = ((take_min & (pd < d))
+                   | (jnp.logical_not(take_min) & (pd > d)))
+            d = jnp.where(sel, pd, d)
+            v = jnp.where(sel, pv, v)
     return d, v
 
 
-def _combine_runs(jnp, d, v, log2_run: int):
+def _combine_runs(jax, jnp, d, v, log2_run: int, roll=None):
     """Inclusive segmented sum over adjacent equal-doc runs (runs are
-    <= 2^log2_run long); the run's LAST position holds the total."""
+    <= 2^log2_run long); the run's LAST position holds the total.
+    Roll-based: lane ``i`` adds lane ``i - off`` when both hold the
+    same doc (the first ``off`` lanes never add — iota mask, so the
+    cyclic wrap contributes nothing)."""
+    if roll is None:
+        roll = lambda x, s: jnp.roll(x, s, axis=1)  # noqa: E731
+    R, L = d.shape
+    col = jax.lax.broadcasted_iota(jnp.int32, (R, L), 1)
     off = 1
     for _ in range(log2_run):
-        same = d[:, off:] == d[:, :-off]
-        v = jnp.concatenate(
-            [v[:, :off], v[:, off:] + jnp.where(same, v[:, :-off], 0.0)],
-            axis=1)
+        same = (roll(d, off) == d) & (col >= off)
+        v = v + jnp.where(same, roll(v, off), 0.0)
         off *= 2
     return v
 
@@ -119,7 +141,7 @@ def make_xla_bitonic_core():
         B = d.shape[0]
         d, v = pad_strip_pow2(jnp, d, v, sent)
         d2, v2 = bitonic_sort_pairs(jax, jnp, d, v)
-        v2 = _combine_runs(jnp, d2, v2, log2_run)
+        v2 = _combine_runs(jax, jnp, d2, v2, log2_run)
         run_end = jnp.concatenate(
             [d2[:, 1:] != d2[:, :-1], jnp.ones((B, 1), dtype=bool)],
             axis=1)
@@ -133,37 +155,48 @@ def make_xla_bitonic_core():
 
 
 def _strip_kernel(sent_ref, d_ref, v_ref, ts_ref, td_ref, *maybe_tc,
-                  k: int, log2_run: int):
+                  k: int, log2_run: int, interpret: bool):
     import jax
     import jax.numpy as jnp
+
+    if interpret:
+        roll = lambda x, s: jnp.roll(x, s, axis=1)  # noqa: E731
+    else:
+        from jax.experimental.pallas import tpu as pltpu
+
+        # pltpu.roll matches jnp.roll (positive = shift right) but
+        # rejects negative shifts — cyclic-equivalent s % L is fine
+        roll = lambda x, s: pltpu.roll(x, s % x.shape[1], 1)  # noqa: E731
 
     d = d_ref[:]
     v = v_ref[:]
     R, L = d.shape
     sent = sent_ref[0, 0]
-    d, v = bitonic_sort_pairs(jax, jnp, d, v)
-    v = _combine_runs(jnp, d, v, log2_run)
-    run_end = jnp.concatenate(
-        [d[:, 1:] != d[:, :-1], jnp.ones((R, 1), dtype=bool)], axis=1)
+    d, v = bitonic_sort_pairs(jax, jnp, d, v, roll=roll)
+    v = _combine_runs(jax, jnp, d, v, log2_run, roll=roll)
+    col = jax.lax.broadcasted_iota(jnp.int32, (R, L), 1)
+    # run end: next lane holds a different doc (last lane is an end)
+    run_end = (roll(d, -1) != d) | (col == L - 1)
     okm = run_end & (d != sent) & (v > 0.0)
     if maybe_tc:
         (tc_ref,) = maybe_tc
         tc_ref[:] = jnp.broadcast_to(
             jnp.sum(okm, axis=1, dtype=jnp.int32)[:, None], (R, K_PAD))
     score = jnp.where(okm, v, -jnp.inf)
-    # iterative k-extract in VMEM (argmax returns the FIRST max —
-    # positions are doc-ascending, so ties break doc-asc like top_k)
-    col = jax.lax.broadcasted_iota(jnp.int32, (R, L), 1)
+    # iterative k-extract in VMEM, argmax-free: the max score's doc is
+    # the masked MIN doc over maximal lanes (ties break doc-asc like
+    # top_k, because each live doc occupies exactly one lane after the
+    # run-combine mask)
     lane = jax.lax.broadcasted_iota(jnp.int32, (R, K_PAD), 1)
 
     def take_max(i, carry):
         sc, out_s, out_d = carry
-        mx = jnp.max(sc, axis=1)
-        arg = jnp.argmax(sc, axis=1).astype(jnp.int32)
-        dd = jnp.take_along_axis(d, arg[:, None], axis=1)
-        out_s = jnp.where(lane == i, mx[:, None], out_s)
+        mx = jnp.max(sc, axis=1)[:, None]
+        at_max = sc == mx
+        dd = jnp.min(jnp.where(at_max, d, _I32_MAX), axis=1)[:, None]
+        out_s = jnp.where(lane == i, mx, out_s)
         out_d = jnp.where(lane == i, dd, out_d)
-        sc = jnp.where(col == arg[:, None], -jnp.inf, sc)
+        sc = jnp.where(at_max & (d == dd), -jnp.inf, sc)
         return sc, out_s, out_d
 
     init = (score,
@@ -203,7 +236,8 @@ def pallas_strip_topk(jax, jnp, d, v, sent, *, k: int, log2_run: int,
         out_specs.append(pl.BlockSpec((RB, K_PAD), lambda i: (i, 0)))
         out_shape.append(jax.ShapeDtypeStruct((B, K_PAD), jnp.int32))
     outs = pl.pallas_call(
-        partial(_strip_kernel, k=k, log2_run=log2_run),
+        partial(_strip_kernel, k=k, log2_run=log2_run,
+                interpret=interpret),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 1), lambda i: (0, 0)),
