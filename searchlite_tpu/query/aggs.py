@@ -32,7 +32,7 @@ from searchlite_tpu.api.types import Filter
 from searchlite_tpu.errors import QueryError
 from searchlite_tpu.query import datetime_util as dtu
 from searchlite_tpu.query import sketches
-from searchlite_tpu.query.filters import passes_filter
+from searchlite_tpu.query.filters import compute_filter_mask
 
 BUCKET_AGGS = frozenset((
     "terms", "significant_terms", "rare_terms", "range", "date_range",
@@ -359,33 +359,42 @@ def _collect_significant_terms(seg, segment_ord, matched, spec
                                ) -> Intermediate:
     inter = _collect_terms(seg, segment_ord, matched, spec)
     inter.kind = "significant_terms"
-    # background counts: docs passing background_filter (or all live docs)
+    # background counts: docs passing background_filter (or all live
+    # docs), each counted once per DISTINCT key — vectorized (ragged
+    # gather + per-owner lexsort dedup + bincount; the per-doc Python
+    # set loop was O(n_docs) per query at multi-M segments)
     field = spec["field"]
     col = seg.fast.column(field)
     bg_filter = spec.get("background_filter")
-    live = np.asarray(
-        [d for d in range(seg.doc_count) if d not in seg.deleted],
-        dtype=np.int64)
+    live_mask = np.ones(seg.doc_count, dtype=bool)
+    if seg.deleted:
+        live_mask[np.fromiter(seg.deleted, dtype=np.int64)] = False
     if bg_filter is not None:
         filt = Filter.from_json(bg_filter) if not isinstance(
             bg_filter, Filter) else bg_filter
-        live = np.asarray(
-            [d for d in live.tolist() if passes_filter(seg.fast, d, filt)],
-            dtype=np.int64)
+        live_mask &= np.asarray(
+            compute_filter_mask(seg.fast, filt))[:seg.doc_count]
+    live = np.flatnonzero(live_mask)
     bg_counts: dict[Any, int] = {}
-    if col is not None:
-        for doc in live.tolist():
-            lo, hi = int(col.offsets[doc]), int(col.offsets[doc + 1])
-            vals = col.values[lo:hi]
+    if col is not None and len(live):
+        vals, owners = _matched_value_selection(col, live)
+        if len(vals):
+            order = np.lexsort((vals, owners))
+            v, o = vals[order], owners[order]
+            dedup = np.ones(len(v), dtype=bool)
+            dedup[1:] = (o[1:] != o[:-1]) | (v[1:] != v[:-1])
+            v = v[dedup]
             if col.kind == "str":
-                keys = {col.dictionary[c] for c in vals}
+                counts = np.bincount(v, minlength=len(col.dictionary))
+                for code in np.flatnonzero(counts):
+                    bg_counts[col.dictionary[code]] = int(counts[code])
             else:
-                keys = {v.item() for v in vals}
-            for key in keys:
-                bg_counts[key] = bg_counts.get(key, 0) + 1
+                uniq, counts = np.unique(v, return_counts=True)
+                for key, c in zip(uniq.tolist(), counts.tolist()):
+                    bg_counts[key] = int(c)
     inter.data["bg_counts"] = bg_counts
     inter.data["doc_count"] = len(matched)
-    inter.data["bg_total"] = len(live)
+    inter.data["bg_total"] = int(len(live))
     return inter
 
 
