@@ -98,7 +98,19 @@ def main() -> None:
     warm_id = 0  # prewarm docs also carry the sentinel term: the
     # visibility threshold below must count them or it is satisfied
     # before the probed batch is even searchable
-    for size in (batch, 700, 2500, 10_000, 40_000):
+    #
+    # cover every pow4 doc-axis bucket the run's folds can walk into:
+    # a longer run accumulates more fresh docs, and the first search
+    # after a fold crosses a bucket boundary pays that bucket's XLA
+    # compile (minutes over a remote tunnel) — prewarm must pay it
+    # instead, or the measured window is compile, not serving
+    sizes = [batch, 700, 2500, 10_000, 40_000]
+    exp_docs = base_docs + int(seconds * 8 * batch)  # generous rate
+    nxt = 160_000
+    while nxt < exp_docs:
+        sizes.append(nxt)
+        nxt *= 4
+    for size in sizes:
         wtr = idx.writer()
         rows = rng.choice(vocab, size=(size, 8), p=probs)
         wtr.add_documents([{"_id": f"warm{warm_id + i}",
