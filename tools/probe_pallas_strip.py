@@ -110,10 +110,55 @@ def main():
 
         cores = [("sort", run_sort), ("bitonic", run_bitonic),
                  ("pallas", run_pallas)]
+        # device-side repetition: a single step's wall time over the
+        # tunnel is RTT/fetch-floored (~55 ms regardless of core or
+        # shape — the first version of this probe "measured" exactly
+        # that), so each timed sample runs the core INNER times inside
+        # one jit with a data dependency chain (the previous step's
+        # top score perturbs one input lane by ~1 ulp-of-nothing; the
+        # compiler cannot elide it, the arithmetic is unchanged at
+        # f32) and fetches once.
+        INNER = 8 if not (force_cpu or interpret) else 2
+
+        def make_many(core_fn):
+            def once(dd, vv):
+                r = core_fn(dd, vv)
+                return r[0], r[1]
+
+            @jax.jit
+            def many(dd, vv):
+                def body(_i, carry):
+                    vv2, _ts, _td = carry
+                    ts, td = once(dd, vv2)
+                    vv2 = vv2 + ts[0, 0] * 1e-38
+                    return vv2, ts, td
+
+                z = jnp.zeros((B, K), jnp.float32)
+                zi = jnp.zeros((B, K), jnp.int32)
+                _, ts, td = jax.lax.fori_loop(
+                    0, INNER, body, (vv, z, zi))
+                return ts, td
+
+            return many
+
+        import jax.numpy as jnp
+
+        manys = {
+            "sort": make_many(lambda dd, vv: sort_core(
+                dd, vv, t_of, sent, k=K, c=64, t_pad=T_PAD,
+                log2_run=LOG2_RUN)[:2]),
+            "bitonic": make_many(lambda dd, vv: bitonic_core(
+                dd, vv, sent, k=K, log2_run=LOG2_RUN)),
+            "pallas": make_many(lambda dd, vv: pallas_core(
+                dd, vv, sent, k=K, log2_run=LOG2_RUN)),
+        }
         ref = None
         for name, fn in cores:
             try:
-                out = fn()  # warm/compile
+                out = fn()  # warm/compile + exactness sample
+                many = manys[name]
+                mout = many(d, v)
+                jax.device_get(mout[0])  # warm the looped form
             except Exception as e:  # noqa: BLE001 — Mosaic may reject
                 import traceback
                 tb = traceback.format_exc().splitlines()
@@ -121,11 +166,13 @@ def main():
                     error=f"{type(e).__name__}: {str(e)[:300]}",
                     tb_tail=tb[-12:])
                 continue
-            reps = 10
+            reps = 4
             t0 = time.perf_counter()
             for _ in range(reps):
-                out = fn()
-            ms = (time.perf_counter() - t0) / reps * 1e3
+                ts, td = many(d, v)
+                jax.device_get((ts, td))
+            dt = time.perf_counter() - t0
+            ms = dt / (reps * INNER) * 1e3
             if ref is None:
                 ref = out
                 exact = True
@@ -141,7 +188,7 @@ def main():
                          and np.allclose(ref[0], out[0], rtol=2e-6,
                                          atol=1e-6))
             log(shape=[B, L], core=name, ms_per_step=round(ms, 3),
-                exact_vs_sort=bool(exact))
+                inner=INNER, exact_vs_sort=bool(exact))
 
 
 if __name__ == "__main__":
