@@ -2253,14 +2253,29 @@ class IndexReader:
             # applies per-query filter rows
             mode = os.environ.get("SEARCHLITE_BATCH_PRUNE", "auto")
             has_filters = any(f[0] is not None for f in filter_tables)
-            if mode != "union" and not has_filters:
+            # at multi-M-doc corpora the pq path's per-wave run-table
+            # uploads and weak Zipf-batch pruning lose badly to the
+            # candidate-strip route (measured 17 vs ~1000s of QPS at
+            # 5M) — wand/bmw are execution HINTS with identical exact
+            # top-k, so route them through the strip/dense scorer
+            # below, like the mesh path already does. =pq pins the
+            # tile path regardless of the corpus size.
+            strip_min = int(os.environ.get(
+                "SEARCHLITE_BATCH_STRIP_MIN_DOCS", "2000000"))
+            live = [d for d in self.device_segments
+                    if d.reader.doc_count > 0]
+            strip_route = (mode == "auto" and not has_filters and live
+                           and all(d.n1 >= strip_min for d in live))
+            if not strip_route:
+                if mode != "union" and not has_filters:
+                    return self._retry_oom(
+                        lambda: self._search_batch_pruned_pq(
+                            batches, limit, fields, limits,
+                            output=output))
                 return self._retry_oom(
-                    lambda: self._search_batch_pruned_pq(
-                        batches, limit, fields, limits, output=output))
-            return self._retry_oom(
-                lambda: self._search_batch_pruned_many(
-                    batches, limit, fields, filter_tables, limits,
-                    output=output))
+                    lambda: self._search_batch_pruned_many(
+                        batches, limit, fields, filter_tables, limits,
+                        output=output))
 
         # memory budget for the dense M + score matrices on one chip;
         # past it, loop host-defined doc shards
@@ -3579,8 +3594,16 @@ class IndexReader:
             hqb = subset_impact_batch(rec["qb"], np.asarray(bad))
             sb = rec["shard_budget"]
             est = (hqb["s_pad"] + hqb["n_queries"]) * dseg.n1 * 4
-            if sb and (est > sb
-                       or hqb["flat_extent"] >= FLAT_INDEX_LIMIT):
+            out = None
+            if sb:
+                # oversized corpus: re-score unsound rows on full
+                # candidate strips (exact, no certificate) — never
+                # pay the doc-sharded dense scan for a fallback wave
+                out = self._full_strip_launch(dseg, hqb, rec["k"])
+            if out is not None:
+                ps, pi = out
+            elif sb and (est > sb
+                         or hqb["flat_extent"] >= FLAT_INDEX_LIMIT):
                 ps, pi = self._search_batch_sharded(
                     dseg, None, hqb, rec["k"], est, sb)
             else:
@@ -3740,8 +3763,17 @@ class IndexReader:
         if (allow_split and use_packed
                 and os.environ.get("SEARCHLITE_TERM_SPLIT", "1")
                 != "0"):
+            # heavy ⇔ over half the cap (≈ df > n1/5 at the scaled
+            # oversized-corpus cap): point lookups are reserved for
+            # terms whose idf is small enough that HUB stays far under
+            # typical candidate scores — mid-df terms ride the strip,
+            # where no certificate is needed (the 5M pathology:
+            # df ∈ [65k, 1M] heads as point-lookup entries made HUB
+            # rival θ, sending whole batches to the dense fallback)
             term_cap = int(os.environ.get(
-                "SEARCHLITE_HEAVY_TERM_BLOCKS", str(max_blocks)))
+                "SEARCHLITE_HEAVY_TERM_BLOCKS",
+                str(max_blocks if max_blocks <= 512
+                    else max(512, max_blocks // 2))))
             h_max = int(os.environ.get("SEARCHLITE_HEAVY_SLOTS", "4"))
             ub_ratio = float(os.environ.get(
                 "SEARCHLITE_SPLIT_UB_RATIO", "0.5"))
@@ -3760,6 +3792,16 @@ class IndexReader:
             any_split = False
             for g in groups:
                 if g.get("hvy") is not None:
+                    # kp scales with the strip width: the certificate's
+                    # second condition (tail_kp + HUB < θ) tightens as
+                    # more candidates are excluded by the top-kp cut,
+                    # and within one idf class the score gap between
+                    # rank kp and rank k closes slowly — wide strips
+                    # need a deeper cut to stay provably exact. The
+                    # point lookups are O(kp) 128-wide gathers per row
+                    # per heavy slot (cheap relative to the strip sort)
+                    kp_g = next_pow2(min(
+                        max(kp, g["nblk"] * 128 // 64), 2048))
                     hl = dseg.heavy_lookup(term_cap)
                     ss = self._sparse_candidate_scorer_split()
                     ts_g, td_g, snd = ss(
@@ -3769,7 +3811,7 @@ class IndexReader:
                         jnp.asarray(g["packed"]),
                         jnp.asarray(g["ovr"]),
                         jnp.asarray(g["hvy"]), dseg.sparse_sentinels,
-                        k=k, kp=kp, t_pad=g["t_pad"], nblk=g["nblk"],
+                        k=k, kp=kp_g, t_pad=g["t_pad"], nblk=g["nblk"],
                         log2_run=g["log2_run"], h_pad=g["h_pad"],
                         n_ovr=g["n_ovr"])
                     outs.append((ts_g, td_g))
@@ -3786,13 +3828,18 @@ class IndexReader:
                     flags.append(None)
             n_light = len(part["light_idx"])
             if (len(groups) == 1
-                    and len(groups[0]["pos_in_light"]) == n_light):
-                # single occupied tier covering every light row in
-                # order — the group IS the light-order result. The
+                    and len(groups[0]["pos_in_light"]) == n_light
+                    and np.array_equal(
+                        groups[0]["pos_in_light"],
+                        np.arange(n_light, dtype=np.int64))):
+                # single occupied tier covering every light row IN
+                # ORDER — the group IS the light-order result. The
                 # coverage check must count ROWS, not compare padded
                 # shapes: a group that silently dropped rows (e.g.
                 # 0-block rows outside every tier) would shift every
-                # result below the gap (found by tools/fuzz_matrix.py)
+                # result below the gap (found by tools/fuzz_matrix.py);
+                # the order check matters because chunked tiers emit
+                # width-sorted row order (ops/sparse.py::_chunk_rows)
                 ts, td = outs[0]
                 if any_split:
                     part["sound"] = flags[0]
@@ -3846,6 +3893,37 @@ class IndexReader:
             log2_run=part["log2_run"])
         return ts, td, part
 
+    def _full_strip_launch(self, dseg, qb, k: int):
+        """Exact, certificate-free scoring of a (usually small) subset
+        of head-term rows at an oversized corpus: EVERY term of every
+        row rides the candidate strip (``max_blocks`` = the widest
+        row's block count, row-chunked per STRIP_CHUNK_ELEMS), so the
+        result is the plain packed scorer's — exact by construction.
+
+        This replaces the doc-sharded dense scan as the oversized-
+        corpus fallback for ineligible/unsound term-split rows: those
+        rows have moderate total df (a truly massive head term has
+        near-zero idf, so its HUB is negligible and its row never
+        falls back), which is exactly where full strips are cheap —
+        ~2 ms per million candidates vs seconds per dense wave
+        (tools/probe_scale_batch.py, 5M docs). Returns (scores, ids)
+        device refs with rows in subset order (bl-padded), or None
+        when the packed strip path doesn't apply (caller falls back
+        dense)."""
+        nq = int(qb["n_queries"])
+        if nq == 0 or k > 1024:
+            return None
+        mb = max(int(qb["q_nblk"].max()), 1)
+        with dseg.exec_scope():
+            launched = self._sparse_light_launch(
+                dseg, qb, k, mb, allow_split=False)
+        if launched is None:
+            return None
+        ts, td, part = launched
+        if len(part["heavy_idx"]) or len(part["light_idx"]) != nq:
+            return None  # defensive: cap covers every row's blocks
+        return ts, td
+
     def _try_sparse_candidates(self, dseg, qb, k: int,
                                shard_budget: int = 0, pending=None):
         """Route a batch through the sparse candidate scorer
@@ -3869,9 +3947,19 @@ class IndexReader:
 
         from searchlite_tpu.ops.impact import subset_impact_batch
 
-        max_blocks = int(os.environ.get(
-            "SEARCHLITE_SPARSE_MAX_BLOCKS",
-            "512" if shard_budget else "32"))
+        mb_env = os.environ.get("SEARCHLITE_SPARSE_MAX_BLOCKS")
+        if mb_env is not None:
+            max_blocks = int(mb_env)
+        elif shard_budget:
+            # oversized corpora: scale the strip cap with the corpus so
+            # mid-df head terms (df up to ~n1/5) ride candidate strips
+            # instead of the doc-sharded dense scan — at 5M docs the
+            # strip sort costs ~2 ms per million candidates while ONE
+            # dense wave costs seconds (see _full_strip_launch). The
+            # cap is 2x the implied term_cap (one mid head + tails)
+            max_blocks = max(512, 2 * (dseg.n1 // 640))
+        else:
+            max_blocks = 32
         if max_blocks <= 0 or k > 1024:
             return None
         nq = qb["n_queries"]
@@ -3898,9 +3986,17 @@ class IndexReader:
         if len(heavy_idx):
             hqb = subset_impact_batch(qb, heavy_idx)
             est_h = (hqb["s_pad"] + hqb["n_queries"]) * dseg.n1 * 4
-            if shard_budget and (est_h > shard_budget
-                                 or hqb["flat_extent"]
-                                 >= FLAT_INDEX_LIMIT):
+            out_h = None
+            if shard_budget:
+                # oversized corpus: score the remainder rows on FULL
+                # candidate strips (every term, no certificate) — the
+                # doc-sharded dense scan pays seconds per wave at 5M+
+                out_h = self._full_strip_launch(dseg, hqb, k)
+            if out_h is not None:
+                hs, hi = out_h
+            elif shard_budget and (est_h > shard_budget
+                                   or hqb["flat_extent"]
+                                   >= FLAT_INDEX_LIMIT):
                 hs, hi = self._search_batch_sharded(
                     dseg, None, hqb, k, est_h, shard_budget)
                 hs, hi = jnp.asarray(hs), jnp.asarray(hi)

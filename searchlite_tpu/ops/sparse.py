@@ -290,7 +290,14 @@ def _candidate_core(jax, jnp, block_docs, block_impacts, bstart, bcnt,
     (SEARCHLITE_STRIP_CORE) swaps the sort+combine+top-k stages:
     "sort" (default), "bitonic" (jnp compare-exchange network), or
     "pallas" (one fused VMEM kernel — ops/pallas_strip.py)."""
-    if core == "pallas":
+    # the fused kernel keeps whole [8, L] row blocks in VMEM through
+    # the sort network; Mosaic pins the row-block to 8 (sublane
+    # divisibility), so strips past 8192 blocks of 128 overflow VMEM
+    # (measured: 8x16384 f32 stack alloc fails on v5e) — wider tiers
+    # fall back to the sort core. Measured parity elsewhere:
+    # sort 4.28/6.56/6.67 ms vs pallas 4.69/6.30/6.54 ms per step at
+    # [1024,1024]/[1024,4096]/[512,8192] (2026-08-19, v5e).
+    if core == "pallas" and nblk * 128 <= 8192:
         from searchlite_tpu.ops.pallas_strip import pallas_strip_topk
 
         d, v, _t_slot = _strip_gather(
@@ -300,6 +307,8 @@ def _candidate_core(jax, jnp, block_docs, block_impacts, bstart, bcnt,
             jax, jnp, d, v, sentinel_doc, k=k, log2_run=log2_run,
             with_counts=with_counts,
             interpret=jax.default_backend() == "cpu")
+    if core == "pallas":
+        core = "sort"
     d, v, ok = _strip_gather_scan(
         jax, jnp, block_docs, block_impacts, bstart, bcnt, w,
         sentinel_row, sentinel_doc, t_pad=t_pad, nblk=nblk,
@@ -742,19 +751,37 @@ def make_row_combiner():
 
 
 def tier_bounds(max_blocks: int) -> list:
-    """Pow-4 ladder of light-row tiers up to ``max_blocks``
-    (e.g. 512 → [8, 32, 128, 512]). The candidate scorer pads every
-    row's strip to the GROUP's max block count, so mixing a 480-block
-    query into a batch of 4-block queries makes every row sort a
-    61k-candidate strip; tiering keeps each row's padding within 4x of
-    its need at the cost of one launch per occupied tier."""
+    """Ladder of light-row tiers up to ``max_blocks``: pow-4 to 512
+    (e.g. 512 → [8, 32, 128, 512]), pow-2 beyond (8192 →
+    [8, 32, 128, 512, 1024, ..., 8192]). The candidate scorer pads
+    every row's strip to the GROUP's max block count, so mixing a
+    480-block query into a batch of 4-block queries makes every row
+    sort a 61k-candidate strip; tiering keeps each row's padding
+    bounded (4x low tiers, 2x above 512 — where the strip sort is the
+    dominant cost and pad columns are pure waste) at the cost of one
+    launch per occupied tier."""
     bounds = []
     b = 8
     while b < max_blocks:
         bounds.append(b)
-        b *= 4
+        b *= 4 if b < 512 else 2
     bounds.append(max_blocks)
     return bounds
+
+
+# per-launch candidate-strip element cap (docs+impacts i32/f32 pairs):
+# a group whose rows x padded strip width exceed it is emitted as
+# multiple row chunks so one wide tier can't blow the HBM budget
+# (16 rows x 2M-candidate strips = 256M elements = 2 GB already).
+STRIP_CHUNK_ELEMS = int(os.environ.get(
+    "SEARCHLITE_STRIP_CHUNK_ELEMS", str(128 * 1024 * 1024)))
+
+
+def _chunk_rows(n_rows: int, nblk: int) -> int:
+    """Rows per launch for a tier whose padded strips hold
+    ``nblk`` * 128 candidates, bounded by STRIP_CHUNK_ELEMS."""
+    per = max(16, STRIP_CHUNK_ELEMS // max(nblk * 128, 1))
+    return min(n_rows, per)
 
 
 def _split_light(qb, max_blocks: int):
@@ -979,28 +1006,38 @@ def partition_sparse_batch_split(qb, max_blocks: int,
         prev = bound
         if not sel.any():
             continue
-        rows = light_idx[sel]
-        lidx, lrows, lpos, lsc = _take_kept(qb, rows, ~heavy_e)
-        g = _pack_entries(qb, lidx, lrows, lpos, len(rows),
-                          int(lsc.max()) if len(lsc) else 1, idf32,
-                          bl_min=16)
-        g["pos_in_light"] = np.flatnonzero(sel)
-        g["nblk"] = pow15_bucket(
-            max(int(lb[sel].max()), nblk_min), minimum=16)
-        nh = n_heavy[rows]
-        if nh.any():
-            bl = g["packed"].shape[0]
-            h_pad = next_pow2(max(int(nh.max()), 1))
-            hidx, hrows, hpos, _hsc = _take_kept(qb, rows, heavy_e)
-            hvy = np.zeros((2, bl, h_pad), dtype=np.int32)
-            htids = qb["slot_tids"][qb["qs_slot"][hidx]]
-            hvy[0, hrows, hpos] = htids.astype(np.int32)
-            hvy[1, hrows, hpos] = qb["qs_w"][hidx].view(np.int32)
-            g["hvy"] = hvy
-            g["h_pad"] = h_pad
-        else:
-            g["hvy"] = None
-        groups.append(g)
+        pos_sel = np.flatnonzero(sel)
+        nblk_tier = pow15_bucket(
+            max(int(lb[pos_sel].max()), nblk_min), minimum=16)
+        step = _chunk_rows(len(pos_sel), nblk_tier)
+        if step < len(pos_sel):
+            # width-ascending order within the tier: row chunks then
+            # get chunk-local nblk buckets (early chunks pad less)
+            pos_sel = pos_sel[np.argsort(lb[pos_sel], kind="stable")]
+        for c0 in range(0, len(pos_sel), step):
+            pos_c = pos_sel[c0:c0 + step]
+            rows = light_idx[pos_c]
+            lidx, lrows, lpos, lsc = _take_kept(qb, rows, ~heavy_e)
+            g = _pack_entries(qb, lidx, lrows, lpos, len(rows),
+                              int(lsc.max()) if len(lsc) else 1,
+                              idf32, bl_min=16)
+            g["pos_in_light"] = pos_c
+            g["nblk"] = pow15_bucket(
+                max(int(lb[pos_c].max()), nblk_min), minimum=16)
+            nh = n_heavy[rows]
+            if nh.any():
+                bl = g["packed"].shape[0]
+                h_pad = next_pow2(max(int(nh.max()), 1))
+                hidx, hrows, hpos, _hsc = _take_kept(qb, rows, heavy_e)
+                hvy = np.zeros((2, bl, h_pad), dtype=np.int32)
+                htids = qb["slot_tids"][qb["qs_slot"][hidx]]
+                hvy[0, hrows, hpos] = htids.astype(np.int32)
+                hvy[1, hrows, hpos] = qb["qs_w"][hidx].view(np.int32)
+                g["hvy"] = hvy
+                g["h_pad"] = h_pad
+            else:
+                g["hvy"] = None
+            groups.append(g)
     return {
         "groups": groups,
         "light_idx": light_idx,
@@ -1037,12 +1074,22 @@ def partition_sparse_batch_tiered(qb, max_blocks: int,
         prev = bound
         if not sel.any():
             continue
-        rows = light_idx[sel]
-        g = _emit_packed_rows(qb, rows, idf32, bl_min=16)
-        g["pos_in_light"] = np.flatnonzero(sel)
-        g["nblk"] = pow15_bucket(
-            max(int(nblk_q[rows].max()), nblk_min), minimum=16)
-        groups.append(g)
+        pos_sel = np.flatnonzero(sel)
+        nblk_tier = pow15_bucket(
+            max(int(nblk_q[light_idx[pos_sel]].max()), nblk_min),
+            minimum=16)
+        step = _chunk_rows(len(pos_sel), nblk_tier)
+        if step < len(pos_sel):
+            pos_sel = pos_sel[np.argsort(
+                nblk_q[light_idx[pos_sel]], kind="stable")]
+        for c0 in range(0, len(pos_sel), step):
+            pos_c = pos_sel[c0:c0 + step]
+            rows = light_idx[pos_c]
+            g = _emit_packed_rows(qb, rows, idf32, bl_min=16)
+            g["pos_in_light"] = pos_c
+            g["nblk"] = pow15_bucket(
+                max(int(nblk_q[rows].max()), nblk_min), minimum=16)
+            groups.append(g)
     return {
         "groups": groups,
         "light_idx": light_idx,

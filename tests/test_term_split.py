@@ -317,3 +317,93 @@ def test_heavy_lookup_invariant():
         base = int(p.df_base(int(t)))
         assert hl["maximp"][t] >= flat[
             base: base + len(docs)].max() - 1e-6
+
+
+def test_full_strip_fallback_replaces_dense_at_scale(index,
+                                                     monkeypatch):
+    """At oversized corpora (shard budget set), ineligible head-term
+    rows and unsound split rows are re-scored on FULL candidate strips
+    (every term on the strip — exact by construction,
+    reader._full_strip_launch) instead of the doc-sharded dense scan,
+    and the results still match the dense path."""
+    rng = random.Random(41)
+    reader = index.reader()
+    queries = make_queries(rng, 24) + ["w149 head0", "head0 w147"]
+    monkeypatch.setenv("SEARCHLITE_TERM_SPLIT", "0")
+    dense = reader.search_batch(queries, limit=50)
+    # oversized branch + certificate-hostile shape (limit > rare df)
+    monkeypatch.setenv("SEARCHLITE_TERM_SPLIT", "1")
+    monkeypatch.setenv("SEARCHLITE_SPARSE_MAX_BLOCKS", "8")
+    monkeypatch.setenv("SEARCHLITE_HEAVY_TERM_BLOCKS", "8")
+    monkeypatch.setenv("SEARCHLITE_M_BUDGET_BYTES", "200000")
+    calls = []
+    orig = type(reader)._full_strip_launch
+
+    def spy(self, dseg, qb, k):
+        out = orig(self, dseg, qb, k)
+        calls.append((int(qb["n_queries"]), out is not None))
+        return out
+
+    monkeypatch.setattr(type(reader), "_full_strip_launch", spy)
+    split = reader.search_batch(queries, limit=50)
+    assert_same(dense, split)
+    assert calls, "full-strip launch never fired on oversized branch"
+    assert any(ok for _n, ok in calls), \
+        "full-strip launch never handled a subset"
+
+
+def test_full_strip_handles_all_heavy_rows(index, monkeypatch):
+    """SEARCHLITE_HEAVY_SLOTS=0 makes every head-term row ineligible:
+    the whole remainder must ride the full-strip pass (oversized
+    branch) and stay exact."""
+    reader = index.reader()
+    queries = [f"head0 w{i}" for i in range(8)] + ["head1 head2"]
+    monkeypatch.setenv("SEARCHLITE_TERM_SPLIT", "0")
+    dense = reader.search_batch(queries, limit=10)
+    monkeypatch.setenv("SEARCHLITE_TERM_SPLIT", "1")
+    monkeypatch.setenv("SEARCHLITE_SPARSE_MAX_BLOCKS", "8")
+    monkeypatch.setenv("SEARCHLITE_HEAVY_TERM_BLOCKS", "8")
+    monkeypatch.setenv("SEARCHLITE_HEAVY_SLOTS", "0")
+    monkeypatch.setenv("SEARCHLITE_M_BUDGET_BYTES", "200000")
+    split = reader.search_batch(queries, limit=10)
+    assert_same(dense, split)
+
+
+def test_chunked_tier_launches_exact(index, monkeypatch):
+    """A tiny STRIP_CHUNK_ELEMS forces every tier into multiple
+    row-chunked launches (width-sorted row order): results must be
+    identical to the unchunked run."""
+    import searchlite_tpu.ops.sparse as sparse_mod
+
+    rng = random.Random(43)
+    reader = index.reader()
+    queries = make_queries(rng, 32, max_terms=5)
+    dense, split = run_both(reader, queries, 10, monkeypatch,
+                            max_blocks=16)
+    assert_same(dense, split)
+    monkeypatch.setattr(sparse_mod, "STRIP_CHUNK_ELEMS", 4096)
+    monkeypatch.setenv("SEARCHLITE_TERM_SPLIT", "1")
+    chunked = reader.search_batch(queries, limit=10)
+    assert_same(dense, chunked)
+    monkeypatch.setenv("SEARCHLITE_TERM_SPLIT", "0")
+    chunked_plain = reader.search_batch(queries, limit=10)
+    assert_same(dense, chunked_plain)
+
+
+def test_wand_bmw_strip_route_at_scale(index, monkeypatch):
+    """SEARCHLITE_BATCH_PRUNE=auto at corpora over the strip-min-docs
+    threshold routes batched wand/bmw through the candidate-strip
+    scorer (execution is a hint; top-k identical), and =pq pins the
+    tile path."""
+    rng = random.Random(47)
+    reader = index.reader()
+    queries = make_queries(rng, 16)
+    monkeypatch.setenv("SEARCHLITE_BATCH_STRIP_MIN_DOCS", "1")
+    bm25 = reader.search_batch(queries, limit=10, execution="bm25")
+    wand = reader.search_batch(queries, limit=10, execution="wand")
+    bmw = reader.search_batch(queries, limit=10, execution="bmw")
+    assert_same(bm25, wand)
+    assert_same(bm25, bmw)
+    monkeypatch.setenv("SEARCHLITE_BATCH_PRUNE", "pq")
+    pq = reader.search_batch(queries, limit=10, execution="bmw")
+    assert_same(bm25, pq)
