@@ -3885,6 +3885,14 @@ class IndexReader:
         part = partition_sparse_batch(qb, max_blocks)
         if part is None or k > part["nblk"] * 128:
             return None
+        from searchlite_tpu.ops.sparse import STRIP_CHUNK_ELEMS
+        if part["bl"] * part["nblk"] * 128 > 2 * STRIP_CHUNK_ELEMS:
+            # the explicit-table fallback is un-chunked (one [bl,
+            # nblk*128] strip sort); past ~2 GB of candidate lanes the
+            # sort's HLO temps alone exceed HBM — refuse and let the
+            # caller run the dense path instead (the packed/tiered
+            # partitions above chunk rows and never get here)
+            return None
         scorer = self._sparse_candidate_scorer()
         ts, td = scorer(
             dseg.block_docs, dseg.block_impacts_live,

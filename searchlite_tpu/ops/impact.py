@@ -579,7 +579,14 @@ def subset_impact_batch(qb, q_idx, min_queries: int = 32):
     if n_slots:
         slot_start[:n_slots] = start_list
         slot_len[:n_slots] = len_list
+    # qs_cnt rides along so the subset stays eligible for the PACKED
+    # sparse partitions (ops/sparse.py::_packed_applies): without it
+    # the oversized-corpus full-strip fallback fell through to the
+    # legacy un-chunked table and compiled a [bl, nblk*128] sort that
+    # OOM'd HBM at 5M docs (192 rows x 6.29M lanes = 18 GB)
+    qs_cnt = qb.get("qs_cnt")
     return {
+        **({"qs_cnt": qs_cnt[idx]} if qs_cnt is not None else {}),
         "slot_start": slot_start,
         "slot_len": slot_len,
         "slot_start_list": start_list,

@@ -219,7 +219,12 @@ def pallas_strip_topk(jax, jnp, d, v, sent, *, k: int, log2_run: int,
 
     d, v = pad_strip_pow2(jnp, d, v, sent)
     B, L = d.shape
+    # Mosaic's scoped-vmem stack budget is 16M: at RB=8, L=16384 the
+    # kernel's live set measured 20.07M on v5e (probe_pallas_strip), so
+    # halve the row block once per doubling past 8192 lanes
     RB = rows_per_block
+    while RB > 1 and RB * max(L, 1) > 8 * 8192:
+        RB //= 2
     while B % RB:
         RB //= 2
     grid = (B // RB,)

@@ -407,3 +407,81 @@ def test_wand_bmw_strip_route_at_scale(index, monkeypatch):
     monkeypatch.setenv("SEARCHLITE_BATCH_PRUNE", "pq")
     pq = reader.search_batch(queries, limit=10, execution="bmw")
     assert_same(bm25, pq)
+
+
+def test_subset_qb_stays_packed_eligible(index, monkeypatch):
+    """subset_impact_batch must carry qs_cnt through: without it the
+    oversized-corpus full-strip fallback loses packed/tiered/chunked
+    eligibility and compiles ONE un-chunked [bl, nblk*128] strip sort
+    (192 rows x 6.29M lanes = 18 GB HBM at 5M docs — the round-4
+    bench_scale OOM)."""
+    from searchlite_tpu.ops.impact import subset_impact_batch
+    from searchlite_tpu.ops.sparse import _packed_applies
+
+    reader = index.reader()
+    qbs = []
+    orig = subset_impact_batch
+
+    def spy(qb, q_idx, **kw):
+        out = orig(qb, q_idx, **kw)
+        qbs.append((qb, np.asarray(q_idx), out))
+        return out
+
+    # the reader imports it function-locally from ops.impact — patch
+    # the source module so the call-time lookup resolves to the spy
+    import searchlite_tpu.ops.impact as impact_mod
+    monkeypatch.setattr(impact_mod, "subset_impact_batch", spy)
+    monkeypatch.setenv("SEARCHLITE_TERM_SPLIT", "1")
+    monkeypatch.setenv("SEARCHLITE_SPARSE_MAX_BLOCKS", "8")
+    monkeypatch.setenv("SEARCHLITE_HEAVY_TERM_BLOCKS", "8")
+    monkeypatch.setenv("SEARCHLITE_M_BUDGET_BYTES", "200000")
+    rng = random.Random(41)
+    queries = make_queries(rng, 24) + ["w149 head0", "head0 w147"]
+    reader.search_batch(queries, limit=50)
+    assert qbs, "no heavy remainder was re-packed"
+    for parent, q_idx, sub in qbs:
+        assert _packed_applies(parent)
+        assert _packed_applies(sub), \
+            "subset qb lost packed eligibility (qs_cnt dropped)"
+        # per-row entry counts and occ values must match the parent's
+        pc = np.diff(parent["qs_start"])[q_idx]
+        sc = np.diff(sub["qs_start"])[: len(q_idx)]
+        assert np.array_equal(pc, sc)
+
+
+def test_full_strip_launch_chunks_rows(index, monkeypatch):
+    """The full-strip fallback must honor STRIP_CHUNK_ELEMS: with a
+    tiny cap it emits many row-chunked launches and stays exact."""
+    import searchlite_tpu.ops.sparse as sparse_mod
+
+    reader = index.reader()
+    queries = [f"head0 w{i}" for i in range(8)] + ["head1 head2"]
+    monkeypatch.setenv("SEARCHLITE_TERM_SPLIT", "0")
+    monkeypatch.delenv("SEARCHLITE_SPARSE_MAX_BLOCKS", raising=False)
+    dense = reader.search_batch(queries, limit=10)
+    monkeypatch.setenv("SEARCHLITE_TERM_SPLIT", "1")
+    monkeypatch.setenv("SEARCHLITE_SPARSE_MAX_BLOCKS", "8")
+    monkeypatch.setenv("SEARCHLITE_HEAVY_SLOTS", "0")
+    monkeypatch.setenv("SEARCHLITE_M_BUDGET_BYTES", "200000")
+    monkeypatch.setattr(sparse_mod, "STRIP_CHUNK_ELEMS", 4096)
+    split = reader.search_batch(queries, limit=10)
+    assert_same(dense, split)
+
+
+def test_legacy_table_refuses_oversized_launch(index, monkeypatch):
+    """When the packed format doesn't apply, the legacy explicit-table
+    path must refuse launches past the element cap (the caller falls
+    back dense) instead of compiling an HBM-sized sort."""
+    import searchlite_tpu.ops.sparse as sparse_mod
+
+    reader = index.reader()
+    queries = [f"w{i} w{i+1} head0" for i in range(0, 12, 2)]
+    monkeypatch.setenv("SEARCHLITE_TERM_SPLIT", "0")
+    monkeypatch.delenv("SEARCHLITE_SPARSE_MAX_BLOCKS", raising=False)
+    dense = reader.search_batch(queries, limit=10)
+    monkeypatch.setattr(sparse_mod, "_packed_applies",
+                        lambda qb: False)
+    monkeypatch.setattr(sparse_mod, "STRIP_CHUNK_ELEMS", 64)
+    monkeypatch.setenv("SEARCHLITE_SPARSE_MAX_BLOCKS", "8")
+    out = reader.search_batch(queries, limit=10)
+    assert_same(dense, out)
