@@ -170,6 +170,8 @@ def main() -> None:
                     stats["errors"].append(f"writer: {e}")
                     stop.set()
 
+    slow_log: list[dict] = []
+
     def searcher_loop():
         gen = np.random.default_rng(7)
         while not stop.is_set():
@@ -177,22 +179,45 @@ def main() -> None:
                 q = " ".join(gen.choice(vocab[:2000], size=2))
                 t0 = time.perf_counter()
                 reader = idx.reader()
+                t1 = time.perf_counter()
                 reader.search({"query": q, "limit": 10})
-                dt = (time.perf_counter() - t0) * 1000
+                t2 = time.perf_counter()
+                dt = (t2 - t0) * 1000
+                n_segs = len(reader.segments)
                 with lock:
                     stats["searches"] += 1
                     search_ms.append(dt)
                     pending = latest_sentinel[0]
                 # visibility probe: search for the newest committed
                 # sentinel batch; lag = now - commit-return
+                t3 = t2
                 if pending is not None:
                     out = reader.search(
                         {"query": "freshsentinel", "limit": 1})
+                    t3 = time.perf_counter()
                     if out.total_hits_estimate >= pending[0]:
                         with lock:
                             vis_lags.append(
                                 time.perf_counter() - pending[1])
                             latest_sentinel[0] = None
+                # stage attribution for post-hoc stall analysis: which
+                # searches stalled, on what (reopen vs main search vs
+                # visibility count), over how many segments, and how
+                # many docs the newest segment held (a fold crossing
+                # the host-tier threshold pays its device upload +
+                # bucket compile in whichever search touches it first)
+                if (t3 - t0) * 1000 > 500:
+                    with lock:
+                        slow_log.append({
+                            "at_s": round(t0 - t_start, 1),
+                            "reopen_ms": round((t1 - t0) * 1e3, 1),
+                            "search_ms": round((t2 - t1) * 1e3, 1),
+                            "vis_ms": round((t3 - t2) * 1e3, 1),
+                            "n_segs": n_segs,
+                            "seg_docs": [
+                                int(s.doc_count) for s in
+                                reader.segments[-3:]],
+                        })
             except Exception as e:  # noqa: BLE001
                 with lock:
                     stats["errors"].append(f"searcher: {e}")
@@ -235,6 +260,13 @@ def main() -> None:
         "n_errors": len(stats["errors"]),
     }
     print(json.dumps(summary), flush=True)
+    # stall attribution: the slowest search iterations with their
+    # stage split (reopen / main search / visibility count) — stderr
+    # so the one-JSON-line stdout contract holds
+    for rec in sorted(
+            slow_log, key=lambda r: -(r["reopen_ms"] + r["search_ms"]
+                                      + r["vis_ms"]))[:8]:
+        print("SLOW:", json.dumps(rec), file=sys.stderr)
     for e in stats["errors"][:5]:
         print("ERR:", e, file=sys.stderr)
     sys.exit(1 if stats["errors"] else 0)
