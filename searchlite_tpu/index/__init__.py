@@ -10,6 +10,7 @@ data, `index/mod.rs:202-212`).
 
 from __future__ import annotations
 
+import os
 import threading
 from typing import Optional
 
@@ -137,7 +138,20 @@ class Index:
         survivors' ordinals never shift, so their cached device
         uploads stay valid — placing the fold mid-list would evict
         and re-upload every later survivor for nothing.
-        Returns the number of segments merged (0 = nothing to do)."""
+        Returns the number of segments merged (0 = nothing to do).
+
+        Warm-before-swap: once the fold's files exist but BEFORE the
+        manifest swap, the merged segment is opened, device-placed, and
+        searched once on THIS thread (``_warm_fold``), populating the
+        process-wide segment/upload caches and the executor compile
+        cache for the fold's doc-axis bucket. Until the swap, readers
+        serve the pre-merge snapshot — a fold is content-neutral, so
+        serving the old segments during the warm is exact. Without
+        this, the first SEARCH that touches a fold which graduated past
+        the host tier pays the device upload + XLA bucket compile
+        inline (measured as multi-second search stalls in
+        tools/bench_realtime.py --device). ``SEARCHLITE_MERGE_WARM=0``
+        disables."""
         from searchlite_tpu.index.merge import merge_segment_readers
 
         with self.writer_lock:
@@ -160,12 +174,60 @@ class Index:
                         if m.id not in chosen_ids]
             if new_meta is not None:
                 segments.append(new_meta)
+                if os.environ.get("SEARCHLITE_MERGE_WARM", "1") != "0":
+                    self._warm_fold(segments)
             manifest.segments = segments
             manifest.generation += 1
             manifest.store(self.storage)
             self.set_manifest(manifest)
             self.cleanup_segments(sorted(chosen_ids))
             return len(chosen)
+
+    def _warm_fold(self, segments) -> None:
+        """Open + search the post-merge segment list through a shadow
+        Index whose manifest is the POST-swap state, while the live
+        manifest still serves the pre-merge snapshot. Opening the
+        reader populates the process-wide ``_cached_segment`` entries
+        (incl. the fold's device upload when it graduates past the
+        host tier); the searches compile the fold's doc-axis bucket
+        executors for the two most common request shapes (multi-term
+        limit-10 and single-term limit-1 — the count/visibility-probe
+        shape). Best-effort: any failure falls back to the old
+        behavior (first search pays the warm) and never fails the
+        merge. Runs on the merge thread under ``writer_lock`` — a
+        commit may wait for the warm, but the search lane never stalls
+        on it (the trade bench_realtime measured: search p50 96.8 s
+        when the first search paid a fold upload+compile)."""
+        import copy
+
+        try:
+            shadow_manifest = copy.copy(self._manifest)
+            shadow_manifest.segments = list(segments)
+            shadow = Index(self.storage, shadow_manifest, self.options)
+            reader = shadow.reader()
+            seg = reader.segments[-1]
+            # pick index terms that round-trip through their field's
+            # SEARCH analyzer unchanged, so a plain query string is
+            # guaranteed to hit the fold's postings
+            toks: list[str] = []
+            all_terms = seg.terms.terms
+            step = max(1, len(all_terms) // 64)
+            for key in all_terms[::step]:
+                field, _, tok = key.partition(":")
+                analyzer = reader.analysis.search_analyzer(field)
+                if analyzer is None or not tok:
+                    continue
+                out = analyzer.analyze(tok)
+                if len(out) == 1 and out[0].text == tok \
+                        and seg.term_id(key) is not None:
+                    toks.append(tok)
+                    if len(toks) >= 2:
+                        break
+            if toks:
+                reader.search({"query": " ".join(toks), "limit": 10})
+                reader.search({"query": toks[0], "limit": 1})
+        except Exception:  # noqa: BLE001 — warm is best-effort
+            pass
 
     def compact(self) -> None:
         with self.writer_lock:
