@@ -10,6 +10,7 @@ data, `index/mod.rs:202-212`).
 
 from __future__ import annotations
 
+import logging
 import os
 import threading
 from typing import Optional
@@ -21,6 +22,8 @@ from searchlite_tpu.index.segment import SegmentReader, SegmentWriter
 from searchlite_tpu.index.wal import Wal
 from searchlite_tpu.storage import FsStorage, InMemoryStorage, Storage
 
+logger = logging.getLogger("searchlite_tpu.index")
+
 
 class Index:
     def __init__(self, storage: Storage, manifest: Manifest, options=None):
@@ -30,6 +33,10 @@ class Index:
         self._manifest = manifest
         self._manifest_lock = threading.RLock()
         self.writer_lock = threading.RLock()
+        # de-locked structural merges: ids being folded right now
+        # (guarded by _merge_guard, see merge_segments)
+        self._merge_guard = threading.Lock()
+        self._merging_ids: set = set()
         self.options = options or IndexOptions(path="")
 
     # -- constructors --------------------------------------------------------
@@ -151,39 +158,111 @@ class Index:
         the host tier pays the device upload + XLA bucket compile
         inline (measured as multi-second search stalls in
         tools/bench_realtime.py --device). ``SEARCHLITE_MERGE_WARM=0``
-        disables."""
+        disables.
+
+        DE-LOCKED (round 5): the fold and the warm run OUTSIDE the
+        writer lock — the round-4 design held it throughout, so the
+        serving config's background merge blocked every commit for the
+        merge's duration (device A/B: commits/s 2.52 → 0.28).
+        Concurrency contract:
+
+        - selection runs under the lock and marks the chosen ids in
+          ``_merging_ids`` — a second merge never selects an
+          in-progress input;
+        - chosen segments' FILES are immutable; concurrent commits can
+          only ADD tombstones to their manifest entries (LWW upserts /
+          deletes);
+        - the swap re-takes the lock and carries tombstones added
+          since the snapshot onto the fold via the live-ordinal remap
+          (``_carry_late_tombstones``), so a doc upserted mid-merge is
+          never resurrected by the fold;
+        - the fold's generation is re-bumped past any segment a
+          concurrent commit minted, keeping reader.generation (the
+          cursor epoch) strictly increasing across the swap;
+        - if an input vanished meanwhile (concurrent ``compact()``),
+          the fold is discarded and the merge reports 0."""
+        import copy
+
         from searchlite_tpu.index.merge import merge_segment_readers
 
         with self.writer_lock:
             manifest = self.reload_manifest()
-            chosen = [
-                m for m in manifest.segments
-                if (segment_ids is None or m.id in segment_ids)
-                and (max_docs is None or m.doc_count <= max_docs)]
-            if len(chosen) < 2 and not any(m.deleted_docs
-                                           for m in chosen):
-                return 0
-            readers = [SegmentReader(m, self.storage) for m in chosen]
+            with self._merge_guard:
+                chosen = [
+                    m for m in manifest.segments
+                    if (segment_ids is None or m.id in segment_ids)
+                    and (max_docs is None or m.doc_count <= max_docs)
+                    and m.id not in self._merging_ids]
+                if len(chosen) < 2 and not any(m.deleted_docs
+                                               for m in chosen):
+                    return 0
+                chosen_ids = {m.id for m in chosen}
+                self._merging_ids |= chosen_ids
+            # deep-snapshot: the fold must see one consistent tombstone
+            # state; the live metas keep moving once the lock drops
+            snapshot = [copy.deepcopy(m) for m in chosen]
             next_gen = max((s.generation for s in manifest.segments),
                            default=0) + 1
-            new_meta = merge_segment_readers(
-                manifest.schema, self.storage, readers, next_gen,
-                compress=self.options.compress_docstore)
-            chosen_ids = {m.id for m in chosen}
-            segments = [m for m in manifest.segments
-                        if m.id not in chosen_ids]
-            if new_meta is not None:
-                segments.append(new_meta)
-                if os.environ.get("SEARCHLITE_MERGE_WARM", "1") != "0":
-                    self._warm_fold(segments)
-            manifest.segments = segments
-            manifest.generation += 1
-            manifest.store(self.storage)
-            self.set_manifest(manifest)
-            self.cleanup_segments(sorted(chosen_ids))
-            return len(chosen)
 
-    def _warm_fold(self, segments) -> None:
+        new_meta = None
+        swapped = False
+        try:
+            try:
+                readers = [SegmentReader(m, self.storage)
+                           for m in snapshot]
+                new_meta = merge_segment_readers(
+                    manifest.schema, self.storage, readers, next_gen,
+                    compress=self.options.compress_docstore)
+            except Exception:
+                # benign race: a concurrent compact() may delete the
+                # chosen files mid-fold — if the inputs are gone from
+                # the live manifest, the merge is simply obsolete
+                current = {m.id for m in self.reload_manifest().segments}
+                if chosen_ids <= current:
+                    raise
+                return 0
+            if new_meta is not None and os.environ.get(
+                    "SEARCHLITE_MERGE_WARM", "1") != "0":
+                preview = [m for m in manifest.segments
+                           if m.id not in chosen_ids] + [new_meta]
+                self._warm_fold(manifest, preview)
+
+            with self.writer_lock:
+                manifest = self.reload_manifest()
+                live_by_id = {m.id: m for m in manifest.segments}
+                if not chosen_ids <= set(live_by_id):
+                    # a concurrent compact() swallowed an input — its
+                    # docs live elsewhere now; the fold is stale
+                    return 0
+                if new_meta is not None:
+                    _carry_late_tombstones(snapshot, live_by_id,
+                                           new_meta)
+                    new_meta.generation = max(
+                        next_gen,
+                        max((s.generation for s in manifest.segments),
+                            default=0) + 1)
+                segments = [m for m in manifest.segments
+                            if m.id not in chosen_ids]
+                if new_meta is not None:
+                    segments.append(new_meta)
+                manifest.segments = segments
+                manifest.generation += 1
+                manifest.store(self.storage)
+                self.set_manifest(manifest)
+                swapped = True
+                self.cleanup_segments(sorted(chosen_ids))
+                return len(chosen)
+        finally:
+            if new_meta is not None and not swapped:
+                try:
+                    self.cleanup_segments([new_meta.id])
+                except Exception:  # noqa: BLE001
+                    logger.warning("orphaned fold files for %s",
+                                   new_meta.id, exc_info=True)
+            with self._merge_guard:
+                self._merging_ids -= chosen_ids
+
+    def _warm_fold(self, manifest, segments) -> None:
         """Open + search the post-merge segment list through a shadow
         Index whose manifest is the POST-swap state, while the live
         manifest still serves the pre-merge snapshot. Opening the
@@ -194,40 +273,61 @@ class Index:
         limit-10 and single-term limit-1 — the count/visibility-probe
         shape). Best-effort: any failure falls back to the old
         behavior (first search pays the warm) and never fails the
-        merge. Runs on the merge thread under ``writer_lock`` — a
-        commit may wait for the warm, but the search lane never stalls
-        on it (the trade bench_realtime measured: search p50 96.8 s
-        when the first search paid a fold upload+compile)."""
+        merge. Runs on the merge thread OUTSIDE the writer lock
+        (round 5): neither the commit lane nor the search lane stalls
+        on the warm (round 4 ran it under the lock, which fixed the
+        96.8 s first-search stall by making commits wait instead)."""
         import copy
 
         try:
-            shadow_manifest = copy.copy(self._manifest)
+            shadow_manifest = copy.copy(manifest)
             shadow_manifest.segments = list(segments)
             shadow = Index(self.storage, shadow_manifest, self.options)
             reader = shadow.reader()
             seg = reader.segments[-1]
+
             # pick index terms that round-trip through their field's
             # SEARCH analyzer unchanged, so a plain query string is
             # guaranteed to hit the fold's postings
+            def round_trips(key: str) -> Optional[str]:
+                field, _, tok = key.partition(":")
+                analyzer = reader.analysis.search_analyzer(field)
+                if analyzer is None or not tok:
+                    return None
+                out = analyzer.analyze(tok)
+                if len(out) == 1 and out[0].text == tok \
+                        and seg.term_id(key) is not None:
+                    return tok
+                return None
+
             toks: list[str] = []
             all_terms = seg.terms.terms
             step = max(1, len(all_terms) // 64)
             for key in all_terms[::step]:
-                field, _, tok = key.partition(":")
-                analyzer = reader.analysis.search_analyzer(field)
-                if analyzer is None or not tok:
-                    continue
-                out = analyzer.analyze(tok)
-                if len(out) == 1 and out[0].text == tok \
-                        and seg.term_id(key) is not None:
+                tok = round_trips(key)
+                if tok is not None:
                     toks.append(tok)
                     if len(toks) >= 2:
                         break
+            if not toks:
+                # keys sort by field name, so the strided pass can land
+                # entirely in one analyzer-mangling field (e.g. every
+                # sampled token stems differently) — scan densely before
+                # giving up, so one such field can't defeat the warm
+                for key in all_terms[:4096]:
+                    tok = round_trips(key)
+                    if tok is not None:
+                        toks.append(tok)
+                        if len(toks) >= 2:
+                            break
             if toks:
                 reader.search({"query": " ".join(toks), "limit": 10})
                 reader.search({"query": toks[0], "limit": 1})
         except Exception:  # noqa: BLE001 — warm is best-effort
-            pass
+            # a permanently-failing warm silently restores the 60s
+            # first-search stalls; leave a trail for diagnosis
+            logger.warning("merge warm failed (first search will pay "
+                           "the fold upload/compile)", exc_info=True)
 
     def compact(self) -> None:
         with self.writer_lock:
@@ -283,3 +383,35 @@ class Index:
     @property
     def wal(self) -> Wal:
         return Wal(self.storage)
+
+
+def _carry_late_tombstones(snapshot, live_by_id, new_meta) -> None:
+    """Map tombstones that landed on the merge inputs AFTER the fold's
+    snapshot onto the fold's ordinals, in place. Fold ordinals are the
+    snapshot-live docs ascending, segments concatenated in snapshot
+    order (index/merge.py::_live_remaps) — a late-deleted doc was live
+    at the snapshot (commits only tombstone live docs), so its fold
+    ordinal is base + rank(ordinal among snapshot-live)."""
+    import numpy as np
+
+    late: set[int] = set()
+    base = 0
+    for m_old in snapshot:
+        dead = np.zeros(m_old.doc_count, dtype=bool)
+        old_dead = [d for d in m_old.deleted_docs
+                    if 0 <= d < m_old.doc_count]
+        if old_dead:
+            dead[old_dead] = True
+        live = np.flatnonzero(~dead)
+        m_now = live_by_id[m_old.id]
+        extra = sorted(set(m_now.deleted_docs) - set(m_old.deleted_docs))
+        if extra:
+            extra_a = np.asarray(extra, dtype=np.int64)
+            pos = np.searchsorted(live, extra_a)
+            pos_c = np.minimum(pos, max(len(live) - 1, 0))
+            ok = (len(live) > 0) & (live[pos_c] == extra_a)
+            late.update((base + pos_c[ok]).tolist())
+        base += len(live)
+    if late:
+        new_meta.deleted_docs = sorted(
+            set(new_meta.deleted_docs) | late)

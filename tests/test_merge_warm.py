@@ -29,7 +29,7 @@ SCHEMA = {
 VOCAB = [f"w{i}" for i in range(40)]
 
 
-def build(n_docs, chunks, monkeypatch=None, warm="1"):
+def build(chunks, monkeypatch=None, warm="1"):
     if monkeypatch is not None:
         monkeypatch.setenv("SEARCHLITE_MERGE_WARM", warm)
     idx = Index.create(
@@ -50,7 +50,7 @@ def build(n_docs, chunks, monkeypatch=None, warm="1"):
 
 
 def test_warm_populates_segment_cache(monkeypatch):
-    idx = build(0, [30, 30, 30], monkeypatch)
+    idx = build([30, 30, 30], monkeypatch)
     assert idx.merge_segments() == 3
     meta = idx.manifest.segments[-1]
     with reader_mod._GLOBAL_LOCK:
@@ -62,7 +62,7 @@ def test_warm_populates_segment_cache(monkeypatch):
 def test_warm_off_is_equivalent(monkeypatch):
     out = {}
     for warm in ("1", "0"):
-        idx = build(0, [25, 25], monkeypatch, warm=warm)
+        idx = build([25, 25], monkeypatch, warm=warm)
         assert idx.merge_segments() == 2
         r = idx.reader()
         res = r.search({"query": "w3 w7", "limit": 10})
@@ -92,7 +92,7 @@ def test_warm_search_runs_pre_swap_snapshot(monkeypatch):
     # while the warm runs, the LIVE manifest must still be pre-merge:
     # a reader opened mid-warm (simulated via the search hook) sees
     # the old segments and exact results
-    idx = build(0, [20, 20], monkeypatch)
+    idx = build([20, 20], monkeypatch)
     seen = {}
     orig = reader_mod.IndexReader.search
 
