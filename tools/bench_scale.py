@@ -146,6 +146,12 @@ def main():
             gen_buffer_s=round(t1 - t0, 1), commit_s=round(t2 - t1, 1),
             docs_per_s=round(n_docs / (t2 - t0), 1))
 
+    if "--build-only" in args:
+        # persist the corpus for a later device session without paying
+        # any search/upload phases (host restarts wipe /root/idx*)
+        log(phase="build_only_done", path=path)
+        return
+
     t0 = time.perf_counter()
     reader = index.reader()
     dseg = reader.device_segments[0]
