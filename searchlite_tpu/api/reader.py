@@ -3763,17 +3763,21 @@ class IndexReader:
         if (allow_split and use_packed
                 and os.environ.get("SEARCHLITE_TERM_SPLIT", "1")
                 != "0"):
-            # heavy ⇔ over half the cap (≈ df > n1/5 at the scaled
-            # oversized-corpus cap): point lookups are reserved for
-            # terms whose idf is small enough that HUB stays far under
-            # typical candidate scores — mid-df terms ride the strip,
-            # where no certificate is needed (the 5M pathology:
-            # df ∈ [65k, 1M] heads as point-lookup entries made HUB
-            # rival θ, sending whole batches to the dense fallback)
+            # heavy ⇔ over max_blocks/16 (≈ df > n1/40 at the scaled
+            # oversized-corpus cap): round 5 LOWERED this from
+            # max_blocks/2 — the routing census (probe_route_census,
+            # 5M) showed the shipped cap left 260.6M strip lanes per
+            # 512 queries vs 18.7-34.8M at caps 512-1024, and the
+            # round-4 "5M pathology" (mid-df heads failing the
+            # certificate) was NOT HUB rivaling θ: fail_theta ≈ 0 in
+            # the exact host simulation (probe_split_cert); the
+            # failures were the kp cut sitting far below the candidate
+            # band (p50 ≈ 120-165, max < 5k — probe_split_band), fixed
+            # by the SEARCHLITE_SPLIT_KP floor below
             term_cap = int(os.environ.get(
                 "SEARCHLITE_HEAVY_TERM_BLOCKS",
                 str(max_blocks if max_blocks <= 512
-                    else max(512, max_blocks // 2))))
+                    else max(512, max_blocks // 16))))
             h_max = int(os.environ.get("SEARCHLITE_HEAVY_SLOTS", "4"))
             ub_ratio = float(os.environ.get(
                 "SEARCHLITE_SPLIT_UB_RATIO", "0.5"))
@@ -3792,16 +3796,20 @@ class IndexReader:
             any_split = False
             for g in groups:
                 if g.get("hvy") is not None:
-                    # kp scales with the strip width: the certificate's
-                    # second condition (tail_kp + HUB < θ) tightens as
-                    # more candidates are excluded by the top-kp cut,
-                    # and within one idf class the score gap between
-                    # rank kp and rank k closes slowly — wide strips
-                    # need a deeper cut to stay provably exact. The
-                    # point lookups are O(kp) 128-wide gathers per row
-                    # per heavy slot (cheap relative to the strip sort)
+                    # kp must clear the candidate BAND — the set
+                    # {tail + HUB >= θ} a doc-at-a-time WAND would
+                    # score. Measured at 5M (probe_split_band): band
+                    # p50 ≈ 120-165, max < 5k, so a 4096 floor
+                    # certifies ~100% of split rows where the old
+                    # width-scaled kp (min 64) failed most of them.
+                    # The lookups are chunked 128-wide gathers (one
+                    # pass, ~memory speed) — still cheap relative to
+                    # the strip sort they replace.
                     kp_g = next_pow2(min(
-                        max(kp, g["nblk"] * 128 // 64), 2048))
+                        max(kp, g["nblk"] * 128 // 64,
+                            int(os.environ.get(
+                                "SEARCHLITE_SPLIT_KP", "4096"))),
+                        8192))
                     hl = dseg.heavy_lookup(term_cap)
                     ss = self._sparse_candidate_scorer_split()
                     ts_g, td_g, snd = ss(

@@ -517,12 +517,29 @@ def _candidate_core_split(jax, jnp, block_docs, block_impacts, bstart,
     kp = min(kp, nblk * 128)
     tv, tp = jax.lax.top_k(score, kp)
     td = jnp.take_along_axis(d, tp, axis=1)              # [B, kp]
+    # the lookup materializes [B, chunk, 128] block gathers — chunk the
+    # candidate axis so deep kp windows (SEARCHLITE_SPLIT_KP raised the
+    # floor to 4096; the certificate's tail condition needs kp past the
+    # candidate band, probe_split_band) never scale HBM temps with
+    # B·kp·128 (a 4096-row group at kp 4096 would be 8.6 GB unchunked)
+    chunk = max(128, min(512, (1 << 26) // max(B * 128, 1)))
+    kp_eff = kp  # the REAL cut width — the certificate's tail index
+    if kp % chunk:
+        pad = chunk - kp % chunk
+        # padded candidates carry sentinel docs + tv=-inf: lookups on
+        # them are index-clamped garbage masked by ``real`` below, the
+        # same contract pad candidates inside the kp window already ride
+        td = jnp.concatenate(
+            [td, jnp.full((B, pad), sentinel_doc, td.dtype)], axis=1)
+        tv = jnp.concatenate(
+            [tv, jnp.full((B, pad), -jnp.inf, tv.dtype)], axis=1)
+        kp += pad
     real = tv > -jnp.inf
     hvy_tid = hvy[0]
     hvy_w = jax.lax.bitcast_convert_type(hvy[1], jnp.float32)
-    heavy_sum = jnp.zeros((B, kp), dtype=jnp.float32)
     hub = jnp.zeros((B,), dtype=jnp.float32)
     n_tbl = hb_tbl.shape[0]
+    slot_meta = []
     for h in range(h_pad):
         tid = hvy_tid[:, h]                              # [B]
         wh = hvy_w[:, h]
@@ -532,26 +549,39 @@ def _candidate_core_split(jax, jnp, block_docs, block_impacts, bstart,
         nb_t = tid_tbl[1][tid]
         last = blk0 + jnp.maximum(nb_t - 1, 0)
         ok_h = (wh > 0.0) & (tbase >= 0) & (nb_t > 0)
-        g = jax.lax.shift_right_logical(td, lg[:, None])
-        ent_idx = jnp.minimum(
-            jnp.where(ok_h, tbase, 0)[:, None] + g, n_tbl - 1)
-        ent = hb_tbl[ent_idx]                            # [B, kp]
-        b1 = jnp.clip(ent, blk0[:, None], last[:, None])
-        b2 = jnp.minimum(b1 + 1, last[:, None])
-        b2_ok = ok_h[:, None] & (b2 != b1)
-        b1 = jnp.where(ok_h[:, None], b1, sentinel_row)
-        b2 = jnp.where(b2_ok, b2, sentinel_row)
-        d1 = block_docs[b1]                              # [B, kp, 128]
-        i1 = block_impacts[b1]
-        d2 = block_docs[b2]
-        i2 = block_impacts[b2]
-        if i1.dtype != jnp.float32:  # bf16 device storage (D8)
-            i1 = i1.astype(jnp.float32)
-            i2 = i2.astype(jnp.float32)
-        c = (jnp.where(d1 == td[..., None], i1, 0.0).sum(axis=-1)
-             + jnp.where(d2 == td[..., None], i2, 0.0).sum(axis=-1))
-        heavy_sum = heavy_sum + wh[:, None] * c
+        slot_meta.append((wh, tbase, lg, blk0, last, ok_h))
         hub = hub + jnp.where(ok_h, wh * maximp[tid], 0.0)
+
+    n_ch = kp // chunk
+    td_ch = td.reshape(B, n_ch, chunk).transpose(1, 0, 2)
+
+    def lookup_chunk(carry, td_c):                       # td_c [B, chunk]
+        hs = jnp.zeros((B, chunk), dtype=jnp.float32)
+        for wh, tbase, lg, blk0, last, ok_h in slot_meta:
+            g = jax.lax.shift_right_logical(td_c, lg[:, None])
+            ent_idx = jnp.minimum(
+                jnp.where(ok_h, tbase, 0)[:, None] + g, n_tbl - 1)
+            ent = hb_tbl[ent_idx]                        # [B, chunk]
+            b1 = jnp.clip(ent, blk0[:, None], last[:, None])
+            b2 = jnp.minimum(b1 + 1, last[:, None])
+            b2_ok = ok_h[:, None] & (b2 != b1)
+            b1 = jnp.where(ok_h[:, None], b1, sentinel_row)
+            b2 = jnp.where(b2_ok, b2, sentinel_row)
+            d1 = block_docs[b1]                          # [B, chunk, 128]
+            i1 = block_impacts[b1]
+            d2 = block_docs[b2]
+            i2 = block_impacts[b2]
+            if i1.dtype != jnp.float32:  # bf16 device storage (D8)
+                i1 = i1.astype(jnp.float32)
+                i2 = i2.astype(jnp.float32)
+            c = (jnp.where(d1 == td_c[..., None], i1, 0.0).sum(axis=-1)
+                 + jnp.where(d2 == td_c[..., None], i2, 0.0)
+                 .sum(axis=-1))
+            hs = hs + wh[:, None] * c
+        return carry, hs
+
+    _, hs_ch = jax.lax.scan(lookup_chunk, 0, td_ch)      # [n_ch,B,chunk]
+    heavy_sum = hs_ch.transpose(1, 0, 2).reshape(B, kp)
     final = jnp.where(real, tv + heavy_sum, -jnp.inf)
     # (score desc, doc asc) over the kp window: stable doc-asc sort,
     # then stable score-desc sort — the engine's tie order
@@ -563,8 +593,8 @@ def _candidate_core_split(jax, jnp, block_docs, block_impacts, bstart,
     ds = jnp.take_along_axis(d1s, osc, axis=1)[:, :k]
     nreal = (fs > -jnp.inf).sum(axis=1)
     theta = jnp.where(nreal >= k, fs[:, k - 1], -jnp.inf)
-    tail_k = tv[:, kp - 1]
-    excluded = n_cand > kp
+    tail_k = tv[:, kp_eff - 1]
+    excluded = n_cand > kp_eff
     sound = (hub <= 0.0) | (
         (theta > hub) & (~excluded | (tail_k + hub < theta)))
     return fs, ds, sound

@@ -85,11 +85,16 @@ def main() -> None:
     probs = (1.0 / ranks) / np.sum(1.0 / ranks)
     vocab = np.array([f"w{i}" for i in range(20_000)])
 
+    t_base = time.perf_counter()
     w = idx.writer()
     toks = rng.choice(vocab, size=(base_docs, 30), p=probs)
     w.add_documents([{"_id": str(i), "body": " ".join(row)}
                      for i, row in enumerate(toks)])
     w.commit()
+    print("WARM:", json.dumps({
+        "base_docs": base_docs,
+        "base_ingest_s": round(time.perf_counter() - t_base, 1)}),
+        file=sys.stderr, flush=True)
     # prewarm the executor compile caches for every doc-axis bucket
     # the run will cross (fresh batches + their growing auto-merge
     # folds bucket to 1024/4096/16384/65536), so the measured window
@@ -110,7 +115,18 @@ def main() -> None:
     while nxt < exp_docs:
         sizes.append(nxt)
         nxt *= 4
+    # VERDICT r4 #5: attribute the fresh-process prewarm bill. Each
+    # bucket's ingest / commit / search cost prints to stderr as it
+    # happens (a killed run still yields the attribution), and
+    # --log-compiles turns on jax's compile logging so cache hits vs
+    # real XLA compiles are distinguishable in the trace.
+    if "--log-compiles" in sys.argv:
+        import jax
+
+        jax.config.update("jax_log_compiles", True)
+    t_warm0 = time.perf_counter()
     for size in sizes:
+        t0 = time.perf_counter()
         wtr = idx.writer()
         rows = rng.choice(vocab, size=(size, 8), p=probs)
         wtr.add_documents([{"_id": f"warm{warm_id + i}",
@@ -118,9 +134,19 @@ def main() -> None:
                            for i, row in enumerate(rows)])
         warm_id += size
         wtr.commit()
+        t1 = time.perf_counter()
         r = idx.reader()
         r.search({"query": "w3 w17", "limit": 10})
+        t2 = time.perf_counter()
         r.search({"query": "freshsentinel", "limit": 1})
+        t3 = time.perf_counter()
+        print("WARM:", json.dumps({
+            "bucket_docs": size,
+            "ingest_commit_s": round(t1 - t0, 1),
+            "search_multi_s": round(t2 - t1, 1),
+            "search_single_s": round(t3 - t2, 1),
+            "total_warm_s": round(t3 - t_warm0, 1)}),
+            file=sys.stderr, flush=True)
 
     stop = threading.Event()
     lock = threading.Lock()
