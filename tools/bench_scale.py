@@ -196,6 +196,8 @@ def main():
         # the engine holds its own full postings copy (~GBs at multi-M
         # docs); free it before the device phases or 8.8M runs OOM
         del eng
+    want_aggs = "--no-aggs" not in args and (
+        bool(executions) or "--aggs-only" in args)
     for execution in executions:
         # pruning can't engage when a huge batch's seed tiles cover the
         # whole corpus; bmw runs 64-query sub-batches through the
@@ -264,7 +266,7 @@ def main():
     # aggregation p50 at scale: terms + stats + histogram over the
     # match set of a mid-frequency query (device-side partials vs the
     # host-collector mask-fetch path — VERDICT r2 item 4)
-    if executions and "--no-aggs" not in args:
+    if want_aggs:
         agg_req = {
             "query": queries[0], "limit": 5,
             "aggs": {
@@ -286,11 +288,32 @@ def main():
             summary[f"agg_p50_ms_{label}"] = round(p50, 1)
         os.environ.pop("SEARCHLITE_DEVICE_AGGS", None)
 
+    # terms WITH a stats sub-agg (VERDICT r4 item 7): the sub-agg doc
+    # grouping is the owner-sorted vectorized path; this row proves it
+    # holds at a multi-M matched set rather than only on test shapes
+    if want_aggs:
+        subagg_req = {
+            "query": queries[0], "limit": 5,
+            "aggs": {
+                "cats": {"type": "terms", "field": "cat",
+                         "aggs": {"price_stats": {
+                             "type": "stats", "field": "price"}}},
+            }}
+        reader.search(subagg_req)  # warm
+        lat = []
+        for _ in range(5):
+            t1 = time.perf_counter()
+            reader.search(subagg_req)
+            lat.append((time.perf_counter() - t1) * 1000)
+        p50 = sorted(lat)[len(lat) // 2]
+        log(phase="subagg", p50_ms=round(p50, 1))
+        summary["subagg_p50_ms"] = round(p50, 1)
+
     # bounded-memory collectors at scale (VERDICT r3 item 3): t-digest
     # percentiles (match set >> the 4096 exact window) + cardinality
     # with a precision_threshold forced below the field's 997 distinct
     # values, so the HLL sketch path is the one timed
-    if executions and "--no-aggs" not in args:
+    if want_aggs:
         bounded_req = {
             "query": queries[0], "limit": 5,
             "aggs": {
@@ -312,7 +335,7 @@ def main():
     # field-sort p50 at scale: order the same mid-frequency match set
     # by a numeric fast field (the other half of VERDICT r2 weak #2 —
     # agg/sort scalability at multi-M docs)
-    if executions and "--no-aggs" not in args:
+    if want_aggs:
         sort_req = {"query": queries[0], "limit": K,
                     "sort": [{"field": "price", "order": "desc"}]}
         reader.search(sort_req)  # warm
