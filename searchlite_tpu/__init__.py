@@ -75,6 +75,53 @@ def _enable_host_tier_backend() -> None:
 _enable_host_tier_backend()
 
 
+def _enable_compile_cache() -> None:
+    """Point JAX's persistent compilation cache at a per-user dir
+    (opt out with SEARCHLITE_COMPILE_CACHE=0; an explicit
+    JAX_COMPILATION_CACHE_DIR wins). A fresh serving process pays an
+    XLA compile per (plan, shape-bucket) executor — minutes each over
+    a remote-compile link — and nothing else carries those across
+    process restarts. Like the JAX_PLATFORMS widening above, env
+    edits are a no-op once jax has initialized, and jax degrades
+    gracefully (warn, not raise) on backends that cannot serialize
+    executables."""
+    import os
+
+    if os.environ.get("SEARCHLITE_COMPILE_CACHE") == "0":
+        return
+    cache = os.path.join(
+        os.path.expanduser("~"), ".cache", "searchlite_tpu",
+        "xla_cache")
+    try:
+        os.makedirs(cache, exist_ok=True)
+    except OSError:
+        return
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", cache)
+    # default min-compile-time gate is 1 s: keeps tiny CPU-backend
+    # test compiles out of the cache while catching every executor
+    # that matters over a remote tunnel
+    #
+    # jax binds env-var config defaults at ITS import, and this
+    # environment's sitecustomize imports jax in every interpreter
+    # before any package code runs — so the env edit above can never
+    # be seen by jax here; set the live config too (valid any time
+    # before the cache's first use)
+    import sys as _sys
+
+    if "jax" in _sys.modules and os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR") == cache:
+        try:
+            import jax
+
+            if jax.config.jax_compilation_cache_dir is None:
+                jax.config.update("jax_compilation_cache_dir", cache)
+        except Exception:  # noqa: BLE001 — tuning only, never fatal
+            pass
+
+
+_enable_compile_cache()
+
+
 def __getattr__(name):  # lazy top-level exports to keep import light
     if name in ("IndexOptions", "SearchRequest", "StorageType"):
         from searchlite_tpu.api import types

@@ -1042,6 +1042,19 @@ class IndexReader:
                 "SEARCHLITE_M_BUDGET_BYTES", 2 * 1024**3))
             oversize = (qargs["overflow"]
                         or qargs["s_pad"] * dseg.n1 * 4 > m_budget)
+            # the sparse single route goes FIRST: when it applies
+            # (plain OR, ≥min_docs corpus, certificate sound) it is
+            # one dispatch + one fetch (~RTT-floored) vs the tile
+            # waves' 2-3 round trips + run-table uploads — measured
+            # p50 ~30 ms vs ~200-350 ms at 5M (probe_single_device);
+            # on certificate fall-through the wasted dispatch costs
+            # one RTT and the tile path still runs
+            if sparse_single_ok:
+                sp = self._try_sparse_single(dseg, qargs, k)
+                if sp is not None:
+                    qargs["_pruned_pre"] = sp
+                    pending.append((dseg, qargs, []))
+                    continue
             if pruning_ok and qargs["n_slots"] > 0 \
                     and dseg.device is None \
                     and (oversize
@@ -1052,12 +1065,6 @@ class IndexReader:
                                     filter_masks, col_vals, col_has,
                                     root_mask, k, oversize))
                 continue
-            if sparse_single_ok:
-                sp = self._try_sparse_single(dseg, qargs, k)
-                if sp is not None:
-                    qargs["_pruned_pre"] = sp
-                    pending.append((dseg, qargs, []))
-                    continue
             if oversize:
                 # dense M won't fit — exact chunked tile execution,
                 # results flow through the general (host) branch
@@ -4047,8 +4054,15 @@ class IndexReader:
 
         from searchlite_tpu.ops.impact import next_pow2, pow15_bucket
 
-        max_blocks = int(os.environ.get(
-            "SEARCHLITE_SINGLE_SPARSE_BLOCKS", "512"))
+        mb_env = os.environ.get("SEARCHLITE_SINGLE_SPARSE_BLOCKS")
+        if mb_env is not None:
+            max_blocks = int(mb_env)
+        else:
+            # corpus-scaled strip cap, same policy as the batched
+            # split route (_launch_batch_segment): at multi-M docs
+            # mid-df terms ride the strip (sort ~2 ms/M candidates)
+            # rather than forcing the 10x-slower tile waves
+            max_blocks = max(512, 2 * (dseg.n1 // 640))
         if max_blocks <= 0 or k > 1024:
             return None
         # corpus-size gate: at small n1 the dense executor is already
@@ -4074,38 +4088,57 @@ class IndexReader:
         if total == 0 or k > total * 128 or (w <= 0).any():
             return None
         if total > max_blocks:
-            # TERM-split single-query route: ONE heavy (head) term is
-            # added by full-strip point lookup (exact scores AND exact
-            # counts: |light ∪ heavy| = n_strip + live_df − overlap);
-            # the result carries a soundness certificate (θ > HUB) —
-            # when it fails, fall through to the dense/pruned paths.
+            # TERM-split single-query route: up to h_max heavy (head)
+            # terms are added by full-strip point lookup; the result
+            # carries a soundness certificate (θ > Σ HUBᵢ — docs
+            # outside the strip match heavy terms only) — when it
+            # fails, fall through to the dense/pruned paths. Counts:
+            # exact with ONE heavy (|light ∪ heavy| = n_strip +
+            # live_df − overlap); a lower-bound estimate with several
+            # (n_strip + maxᵢ(live_dfᵢ − overlapᵢ) ≤ |union|), within
+            # the `total_hits_estimate` contract the pruned tile path
+            # already uses (reference api/reader.rs:101 names the
+            # field an estimate; tests/test_pruning.py pins ≤ dense).
             if os.environ.get("SEARCHLITE_TERM_SPLIT", "1") == "0":
                 return None
             term_cap = int(os.environ.get(
-                "SEARCHLITE_HEAVY_TERM_BLOCKS", str(max_blocks)))
-            # exact counts need exactly ONE point-lookup term, but the
-            # lookup term need not be the only over-cap one: take the
-            # LARGEST term (it must exceed term_cap to be in the
-            # lookup table); any other head terms ride the strip like
-            # light terms, provided the light total still fits.
+                "SEARCHLITE_HEAVY_TERM_BLOCKS",
+                str(max_blocks if max_blocks <= 512
+                    else max(512, max_blocks // 16))))
+            h_max = int(os.environ.get("SEARCHLITE_HEAVY_SLOTS", "4"))
             if int(bcnt.max()) <= term_cap:
                 return None
+            # heavy = the MINIMAL set of largest over-cap terms whose
+            # removal fits the remaining strip under the cap (greedy,
+            # largest first, up to h_max): one heavy keeps counts
+            # exact, so extra heads ride the strip whenever they fit
+            over = np.flatnonzero(bcnt > term_cap)
+            order = over[np.argsort(-bcnt[over], kind="stable")]
+            h_slots = []
+            light_total = total
+            for s in order:
+                if len(h_slots) >= h_max:
+                    break
+                h_slots.append(int(s))
+                light_total -= int(bcnt[s])
+                if light_total <= max_blocks:
+                    break
+            h_slots = np.asarray(h_slots, dtype=np.int64)
             heavy = np.zeros(n_slots, dtype=bool)
-            heavy[int(bcnt.argmax())] = True
-            light_total = int(bcnt[~heavy].sum())
+            heavy[h_slots] = True
             if (light_total == 0 or light_total > max_blocks
                     or k > light_total * 128):
                 return None
-            h_slot = int(np.flatnonzero(heavy)[0])
-            h_tid = int(tids[h_slot])
+            h_tids = [int(tids[s]) for s in h_slots]
             hl_host = dseg.heavy_lookup_host(term_cap)
             ub_ratio = float(os.environ.get(
                 "SEARCHLITE_SPLIT_UB_RATIO", "0.5"))
             maximp = hl_host["maximp"]
-            hub = float(w[h_slot] * maximp[h_tid])
+            hub_sum = float((w[h_slots]
+                             * maximp[tids[h_slots]]).sum())
             lmax = float((w[~heavy]
                           * maximp[tids[~heavy]]).max())
-            if ub_ratio > 0 and hub >= ub_ratio * lmax:
+            if ub_ratio > 0 and hub_sum >= ub_ratio * lmax:
                 return None  # certificate unlikely — go dense/pruned
             lt = int((~heavy).sum())
             t_pad = next_pow2(max(lt, 2))
@@ -4113,8 +4146,10 @@ class IndexReader:
             tbl[0, 0, :lt] = bstart[~heavy]
             tbl[1, 0, :lt] = bcnt[~heavy]
             tbl[2, 0, :lt] = w[~heavy].view(np.int32)
-            hvy = np.array([[h_tid], [np.float32(
-                w[h_slot]).view(np.int32)]], dtype=np.int32)
+            h_pad = next_pow2(max(len(h_slots), 1))
+            hvy = np.zeros((2, h_pad), dtype=np.int32)
+            hvy[0, :len(h_slots)] = h_tids
+            hvy[1, :len(h_slots)] = w[h_slots].view(np.int32)
             hl = dseg.heavy_lookup(term_cap)
             scorer = self._sparse_single_split_scorer()
             ts, td, n_strip, overlap, sound = scorer(
@@ -4130,9 +4165,15 @@ class IndexReader:
                 (ts, td, n_strip, overlap, sound))
             if not bool(np.asarray(sound)[0]):
                 return None
-            cnt = (int(np.asarray(n_strip)[0])
-                   + dseg.live_term_df(h_tid)
-                   - int(np.asarray(overlap)[0]))
+            ov = np.asarray(overlap)
+            ns = int(np.asarray(n_strip)[0])
+            if len(h_slots) == 1:
+                cnt = (ns + dseg.live_term_df(h_tids[0])
+                       - int(ov[0]))
+            else:
+                cnt = ns + max(
+                    dseg.live_term_df(t) - int(ov[i])
+                    for i, t in enumerate(h_tids))
             return (np.asarray(ts)[0], np.asarray(td)[0], cnt,
                     qargs["postings_touched"])
         t_pad = next_pow2(max(n_slots, 2))

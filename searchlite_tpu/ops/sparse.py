@@ -602,12 +602,22 @@ def _candidate_core_split(jax, jnp, block_docs, block_impacts, bstart,
 
 def make_sparse_single_split_scorer():
     """Single-query term-split scorer: the query's light terms ride
-    one candidate strip; ONE heavy term is added by point lookup at
-    EVERY run-end position (affordable at B=1, and it makes the match
-    count exact: |light ∪ heavy| = n_strip + live_df − overlap, the
-    caller adds live_df host-side). Soundness needs only θ > HUB —
-    nothing is truncated before the final top-k. Returns (scores,
-    ids, n_strip, overlap, sound)."""
+    one candidate strip; up to ``h_pad`` heavy terms are added by
+    point lookup at EVERY run-end position (affordable at B=1 —
+    there is no kp window and therefore no tail condition: every
+    strip doc is scored with ALL its heavy contributions). Soundness
+    needs only θ > Σᵢ HUBᵢ — a doc outside the strip matches heavy
+    terms alone, so its score is bounded by the sum of the heavy
+    upper bounds. With ONE heavy term the match count is exact
+    (|light ∪ heavy| = n_strip + live_df − overlap, the caller adds
+    live_df host-side); with several the caller derives the lower
+    bound n_strip + maxᵢ(live_dfᵢ − overlapᵢ) — within the engine's
+    `total_hits_estimate` contract (reference
+    `searchlite-core/src/api/reader.rs:101` names the field an
+    estimate; `tests/test_pruning.py` pins pruned ≤ dense). Heavy
+    lookups run in ≤32k-position chunks (`lax.map`) so HBM temps
+    stay bounded at corpus-scaled strip widths. Returns (scores,
+    ids, n_strip, overlap [H], sound)."""
     import jax
     import jax.numpy as jnp
 
@@ -622,7 +632,7 @@ def make_sparse_single_split_scorer():
             jax, jnp, block_docs, block_impacts, bstart, bcnt, w,
             sent[0], sent[1], t_pad=t_pad, nblk=nblk,
             log2_run=log2_run)
-        tid = hvy[0]                                     # [1]
+        tid = hvy[0]                                     # [H]
         wh = jax.lax.bitcast_convert_type(hvy[1], jnp.float32)
         tbase = hb_base[tid]
         lg = hb_log2g[tid]
@@ -631,30 +641,48 @@ def make_sparse_single_split_scorer():
         last = blk0 + jnp.maximum(nb_t - 1, 0)
         ok_h = (wh > 0.0) & (tbase >= 0) & (nb_t > 0)
         n_tbl = hb_tbl.shape[0]
-        g = jax.lax.shift_right_logical(d, lg[:, None])
-        ent = hb_tbl[jnp.minimum(
-            jnp.where(ok_h, tbase, 0)[:, None] + g, n_tbl - 1)]
-        b1 = jnp.clip(ent, blk0[:, None], last[:, None])
-        b2 = jnp.minimum(b1 + 1, last[:, None])
-        b2_ok = ok_h[:, None] & (b2 != b1)
-        b1 = jnp.where(ok_h[:, None], b1, sent[0])
-        b2 = jnp.where(b2_ok, b2, sent[0])
-        i1 = block_impacts[b1]
-        i2 = block_impacts[b2]
-        if i1.dtype != jnp.float32:  # bf16 device storage (D8)
-            i1 = i1.astype(jnp.float32)
-            i2 = i2.astype(jnp.float32)
-        c = (jnp.where(block_docs[b1] == d[..., None], i1, 0.0)
-             .sum(axis=-1)
-             + jnp.where(block_docs[b2] == d[..., None], i2, 0.0)
-             .sum(axis=-1))
-        hv = wh[:, None] * c
+        imp_f32 = block_impacts.dtype == jnp.float32
+
+        def lookup(dc):
+            """Heavy contributions for one strip chunk: [Lc] → [H, Lc]
+            (2 gathers of 128-wide block rows per (heavy, position) —
+            temps are [H, Lc, 128], ~68 MB at H=4, Lc=32768)."""
+            g = jax.lax.shift_right_logical(dc[None, :], lg[:, None])
+            ent = hb_tbl[jnp.minimum(
+                jnp.where(ok_h, tbase, 0)[:, None] + g, n_tbl - 1)]
+            b1 = jnp.clip(ent, blk0[:, None], last[:, None])
+            b2 = jnp.minimum(b1 + 1, last[:, None])
+            b2_ok = ok_h[:, None] & (b2 != b1)
+            b1 = jnp.where(ok_h[:, None], b1, sent[0])
+            b2 = jnp.where(b2_ok, b2, sent[0])
+            i1 = block_impacts[b1]
+            i2 = block_impacts[b2]
+            if not imp_f32:  # bf16 device storage (D8)
+                i1 = i1.astype(jnp.float32)
+                i2 = i2.astype(jnp.float32)
+            return (jnp.where(block_docs[b1] == dc[None, :, None],
+                              i1, 0.0).sum(axis=-1)
+                    + jnp.where(block_docs[b2] == dc[None, :, None],
+                                i2, 0.0).sum(axis=-1))
+
+        L = d.shape[1]
+        Lc = min(L, 32768)
+        n_chunks = -(-L // Lc)
+        if n_chunks > 1:
+            dp = jnp.concatenate(
+                [d[0], jnp.full(n_chunks * Lc - L, sent[1],
+                                dtype=d.dtype)])
+            c = jax.lax.map(lookup, dp.reshape(n_chunks, Lc))
+            c = jnp.moveaxis(c, 1, 0).reshape(tid.shape[0], -1)[:, :L]
+        else:
+            c = lookup(d[0])
+        hv = wh[:, None] * c                             # [H, L]
         overlap = (ok & (hv > 0.0)).sum(axis=1).astype(jnp.int32)
-        score = jnp.where(ok, v + hv, -jnp.inf)
+        score = jnp.where(ok, v + hv.sum(axis=0)[None, :], -jnp.inf)
         ts, tp = jax.lax.top_k(score, k)
         td = jnp.take_along_axis(d, tp, axis=1)
         n_strip = ok.sum(axis=1).astype(jnp.int32)
-        hub = jnp.where(ok_h, wh * maximp[tid], 0.0)
+        hub = jnp.where(ok_h, wh * maximp[tid], 0.0).sum()
         nreal = (ts > -jnp.inf).sum(axis=1)
         theta = jnp.where(nreal >= k, ts[:, k - 1], -jnp.inf)
         sound = (hub <= 0.0) | (theta > hub)

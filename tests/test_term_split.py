@@ -289,6 +289,62 @@ def test_single_query_split_unsound_falls_through(index, monkeypatch):
     assert_same([dense_hits], [split_hits])
 
 
+def test_single_query_split_multi_heavy(index, monkeypatch):
+    """When several over-cap terms can't all fit the strip, the route
+    peels them into point-lookup slots (up to SEARCHLITE_HEAVY_SLOTS)
+    instead of bailing to the dense path. Top-k must still match the
+    dense path exactly (certificate θ > Σ HUBᵢ); the count becomes a
+    LOWER-BOUND estimate — the `total_hits_estimate` contract the
+    pruned tile path already uses (pruned ≤ dense, > 0)."""
+    reader = index.reader()
+    monkeypatch.setenv("SEARCHLITE_SINGLE_SPARSE_MIN_DOCS", "0")
+    # strip cap small enough that the over-cap terms cannot all
+    # ride the strip — multi-heavy is forced, not elective (cap 2
+    # makes every head AND mid term heavy-eligible, so the greedy
+    # peel can always reach a fitting light set)
+    monkeypatch.setenv("SEARCHLITE_SINGLE_SPARSE_BLOCKS", "8")
+    monkeypatch.setenv("SEARCHLITE_HEAVY_TERM_BLOCKS", "2")
+    monkeypatch.setenv("SEARCHLITE_SPLIT_UB_RATIO", "0")  # force try
+    queries = ["head0 head1 w40", "head0 head1 head2 w10 w11",
+               "head1 head2 w3 w120"]
+    for q in queries:
+        monkeypatch.setenv("SEARCHLITE_TERM_SPLIT", "0")
+        dense_hits, dense_cnt = _single(reader, q)
+        monkeypatch.setenv("SEARCHLITE_TERM_SPLIT", "1")
+        split_hits, split_cnt = _single(reader, q)
+        assert 0 < split_cnt <= dense_cnt, \
+            f"{q}: estimate {split_cnt} vs dense {dense_cnt}"
+        assert_same([dense_hits], [split_hits])
+
+
+def test_single_query_split_multi_heavy_engages(index, monkeypatch):
+    """The multi-heavy branch actually runs (≥2 heavy slots) on the
+    forced-small caps — guards against a silent fall-through to the
+    dense path masking the previous test."""
+    reader = index.reader()
+    monkeypatch.setenv("SEARCHLITE_SINGLE_SPARSE_MIN_DOCS", "0")
+    monkeypatch.setenv("SEARCHLITE_SINGLE_SPARSE_BLOCKS", "8")
+    monkeypatch.setenv("SEARCHLITE_HEAVY_TERM_BLOCKS", "2")
+    monkeypatch.setenv("SEARCHLITE_SPLIT_UB_RATIO", "0")
+    monkeypatch.setenv("SEARCHLITE_TERM_SPLIT", "1")
+    seen_h = []
+    orig = type(reader)._sparse_single_split_scorer
+
+    def spy(self):
+        real = orig(self)
+
+        def wrapped(*args, **kw):
+            seen_h.append(int(args[8].shape[1]))  # hvy [2, h_pad]
+            return real(*args, **kw)
+
+        return wrapped
+
+    monkeypatch.setattr(type(reader),
+                        "_sparse_single_split_scorer", spy)
+    _single(reader, "head0 head1 head2 w10 w11")
+    assert seen_h and max(seen_h) >= 2, seen_h
+
+
 def test_heavy_lookup_invariant():
     """Every doc group names a block window of ≤ 2 blocks that covers
     all of the term's postings in the group (the G=128 guarantee and
