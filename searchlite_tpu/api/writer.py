@@ -67,7 +67,34 @@ _MERGE_PENDING: set = set()
 _MERGE_LOCK = _threading.Lock()
 
 
-def _submit_background_merge(index, small_docs: int) -> None:
+def _select_merge_tier(segments, small_docs: int, auto: int,
+                       merging_ids=frozenset()):
+    """Lucene-TieredMergePolicy-flavored selection: bucket the small
+    segments by pow-4 doc-count tier and fold only the most crowded
+    SMALLEST tier. The round-4 policy folded ALL small segments each
+    pass, so every pass re-read and re-wrote the previous fold output
+    until it graduated past ``small_docs`` — ~40x write amplification
+    at 200-doc commit batches (measured as a 305-segment backlog on
+    the async device A/B: the merge drain rate fell below the commit
+    arrival rate and search latency rode the segment count). Tiers
+    make each doc re-merge O(log4) times, which is what keeps the
+    drain rate above any sustainable commit rate. Returns segment ids
+    to fold, or None when no tier is over threshold."""
+    import math
+
+    tiers: dict[int, list] = {}
+    for s in segments:
+        if s.doc_count <= small_docs and s.id not in merging_ids:
+            t = int(math.log(max(s.doc_count, 1), 4))
+            tiers.setdefault(t, []).append(s)
+    for t in sorted(tiers):
+        if len(tiers[t]) > auto:
+            return [s.id for s in tiers[t][:64]]
+    return None
+
+
+def _submit_background_merge(index, small_docs: int,
+                             auto: int) -> None:
     key = id(index)
     with _MERGE_LOCK:
         if key in _MERGE_PENDING:
@@ -76,7 +103,18 @@ def _submit_background_merge(index, small_docs: int) -> None:
 
     def run():
         try:
-            index.merge_segments(max_docs=small_docs)
+            # drain loop: fold tier after tier (cascades included —
+            # four 200-doc folds become an 800-doc tier, and so on)
+            # until no tier is over threshold, so one thread catches
+            # the backlog up without waiting for new commit triggers
+            while True:
+                manifest = index.reload_manifest()
+                sel = _select_merge_tier(manifest.segments,
+                                         small_docs, auto)
+                if sel is None:
+                    break
+                if index.merge_segments(segment_ids=sel) == 0:
+                    break
         except Exception:  # noqa: BLE001 — next commit re-triggers
             logger.exception("background auto-merge failed")
         finally:
@@ -261,6 +299,7 @@ class IndexWriter:
             auto = int(os.environ.get(
                 "SEARCHLITE_AUTO_MERGE",
                 getattr(opts, "auto_merge_segments", 0) or 0))
+            stall_params = None
             if auto > 0:
                 opt_docs = getattr(opts, "auto_merge_docs", None)
                 # HOST_TIER_DOCS=0 means "tier disabled", never "merge
@@ -270,23 +309,70 @@ class IndexWriter:
                 small_docs = int(os.environ.get(
                     "SEARCHLITE_AUTO_MERGE_DOCS",
                     opt_docs if opt_docs is not None else tier_docs))
-                small = [s for s in manifest.segments
-                         if s.doc_count <= small_docs]
-                if len(small) > auto:
-                    if os.environ.get("SEARCHLITE_AUTO_MERGE_ASYNC") \
-                            == "1" or getattr(
-                                opts, "auto_merge_async", False):
-                        # Lucene-ConcurrentMergeScheduler-style: fold
-                        # on a background thread so commit latency
-                        # never pays the merge (at 1M docs a fold is
-                        # tens of seconds). The merge re-selects under
-                        # the writer lock, so racing commits are safe
-                        # and a stale selection folds whatever is
-                        # small by the time it runs.
+                async_merge = (os.environ.get(
+                    "SEARCHLITE_AUTO_MERGE_ASYNC") == "1"
+                    or getattr(opts, "auto_merge_async", False))
+                if async_merge:
+                    # Lucene-ConcurrentMergeScheduler-style: fold on a
+                    # background thread so commit latency never pays
+                    # the merge; the drain loop re-selects tier by
+                    # tier under the writer lock, so racing commits
+                    # are safe. Backpressure (the stall loop below)
+                    # runs AFTER this commit releases the writer lock
+                    # — the background swap needs it.
+                    if _select_merge_tier(manifest.segments,
+                                          small_docs, auto) is not None:
                         _submit_background_merge(self.index,
-                                                 small_docs)
-                    else:
-                        self.index.merge_segments(
-                            segment_ids=[s.id for s in small])
-                        self._generation = \
-                            self.index.manifest.generation
+                                                 small_docs, auto)
+                    stall_params = (small_docs, auto)
+                else:
+                    while True:
+                        sel = _select_merge_tier(
+                            self.index.manifest.segments, small_docs,
+                            auto)
+                        if sel is None:
+                            break
+                        if self.index.merge_segments(
+                                segment_ids=sel) == 0:
+                            break
+                    self._generation = \
+                        self.index.manifest.generation
+        if stall_params is not None:
+            self._stall_for_merges(*stall_params)
+
+    def _stall_for_merges(self, small_docs: int, auto: int) -> None:
+        """Lucene-style merge stall: when async indexing outruns the
+        background merge drain, block the WRITER (never searches)
+        until the small-segment backlog shrinks below the stall cap,
+        so per-search cost — which scales with live segment count —
+        stays bounded. Measured without this on the 1-CPU device A/B:
+        305 live segments mid-run and 113 s search p50. Off by
+        default unless async merge is on; SEARCHLITE_AUTO_MERGE_STALL
+        sets the cap in segments (0 disables)."""
+        import time as _time
+
+        stall = int(os.environ.get("SEARCHLITE_AUTO_MERGE_STALL",
+                                   str(auto * 6)))
+        if stall <= 0:
+            return
+        deadline = _time.monotonic() + 300.0
+        warned = False
+        while _time.monotonic() < deadline:
+            manifest = self.index.reload_manifest()
+            small_n = sum(1 for s in manifest.segments
+                          if s.doc_count <= small_docs)
+            # exit when the backlog is bounded OR as drained as the
+            # tier policy allows (balanced tiers can legitimately hold
+            # ~auto segments per pow-4 tier with nothing foldable —
+            # waiting on that state would spin the full deadline)
+            if small_n <= stall or _select_merge_tier(
+                    manifest.segments, small_docs, auto) is None:
+                return
+            if not warned:
+                logger.debug("merge stall: %d small segments > cap %d",
+                             small_n, stall)
+                warned = True
+            # re-arm in case the drain thread exited between commits
+            _submit_background_merge(self.index, small_docs, auto)
+            _time.sleep(0.05)
+        logger.warning("merge stall timed out after 300s")

@@ -125,7 +125,58 @@ def test_search_batch_many_matches_sequential(index):
     pipelined = reader.search_batch_many(batches, limit=10)
     sequential = [reader.search_batch(batch, limit=10)
                   for batch in batches]
-    assert pipelined == sequential
+    # micro-batch coalescing re-chunks the stream into wider launches,
+    # whose padded shapes reassociate f32 sums (divergence D10) —
+    # compare like the sharded-path test: same docs, scores to 4dp
+    for p_batch, s_batch in zip(pipelined, sequential):
+        for p, s in zip(p_batch, s_batch):
+            assert [(d, round(sc, 4)) for d, sc in p] == \
+                [(d, round(sc, 4)) for d, sc in s]
+
+
+def test_batch_coalescing_matches_uncoalesced(index, monkeypatch):
+    """Micro-batch coalescing (narrow filterless batches re-chunked
+    into wider launches) must return identical results, for both
+    output forms, including multi-group splits and per-query limits."""
+    import numpy as np
+
+    rng = random.Random(31)
+    reader = index.reader()
+    batches = [[" ".join(rng.sample([f"w{i}" for i in range(60)],
+                                    k=rng.randint(1, 4)))
+                for _ in range(6)] for _ in range(5)]
+    monkeypatch.setenv("SEARCHLITE_BATCH_COALESCE", "0")
+    plain_pairs = reader.search_batch_many(batches, limit=10)
+    plain_arr = reader.search_batch_many(batches, limit=10,
+                                         output="arrays")
+    # coalesce=14 with 6-query batches -> groups of 2 (multi-group)
+    monkeypatch.setenv("SEARCHLITE_BATCH_COALESCE", "14")
+    co_pairs = reader.search_batch_many(batches, limit=10)
+    co_arr = reader.search_batch_many(batches, limit=10,
+                                      output="arrays")
+    # wider padded shapes reassociate f32 sums (divergence D10):
+    # same docs and order, scores to 4dp
+    for c_batch, p_batch in zip(co_pairs, plain_pairs):
+        for c, p in zip(c_batch, p_batch):
+            assert [(d, round(s, 4)) for d, s in c] == \
+                [(d, round(s, 4)) for d, s in p]
+    for (ps, pd, pg), (cs, cd, cg) in zip(plain_arr, co_arr):
+        np.testing.assert_array_equal(pd, cd)
+        np.testing.assert_array_equal(pg, cg)
+        np.testing.assert_allclose(ps, cs, rtol=1e-4, atol=1e-4)
+    # per-query limits concatenate losslessly; a batch with a smaller
+    # max limit keeps its own (narrower) column count in arrays form
+    limits = [[3] * 6, [10] * 6, [5] * 6, [10] * 6, [2] * 6]
+    monkeypatch.setenv("SEARCHLITE_BATCH_COALESCE", "0")
+    plain_l = reader.search_batch_many(batches, limit=10,
+                                       limits=limits, output="arrays")
+    monkeypatch.setenv("SEARCHLITE_BATCH_COALESCE", "14")
+    co_l = reader.search_batch_many(batches, limit=10, limits=limits,
+                                    output="arrays")
+    for (ps, pd, pg), (cs, cd, cg) in zip(plain_l, co_l):
+        assert ps.shape == cs.shape
+        np.testing.assert_array_equal(pd, cd)
+        np.testing.assert_allclose(ps, cs, rtol=1e-6)
 
 
 def test_dense_split_path_matches_plain(index, monkeypatch):
