@@ -652,9 +652,12 @@ class IndexReader:
         out["overflow"] = s_pad * dseg.n1 + nb_pad * 128 >= 2**31
         return out
 
-    def _segment_phrase_masks(self, seg: SegmentReader, phrase_specs
-                              ) -> np.ndarray:
-        n1 = seg.doc_count + 1
+    def _segment_phrase_masks(self, seg: SegmentReader, phrase_specs,
+                              n1: Optional[int] = None) -> np.ndarray:
+        # n1 = the DEVICE doc-axis width (dseg.n1, which may be
+        # bucket-padded past doc_count+1); host-only callers omit it
+        if n1 is None:
+            n1 = seg.doc_count + 1
         masks = np.zeros((max(len(phrase_specs), 1), n1), dtype=bool)
         for p_idx, spec in enumerate(phrase_specs):
             for field in spec.fields:
@@ -702,17 +705,20 @@ class IndexReader:
                         masks[p_idx, doc] = True
         return masks
 
-    def _segment_filter_masks(self, seg: SegmentReader, filter_slots
-                              ) -> np.ndarray:
-        n1 = seg.doc_count + 1
+    def _segment_filter_masks(self, seg: SegmentReader, filter_slots,
+                              n1: Optional[int] = None) -> np.ndarray:
+        if n1 is None:
+            n1 = seg.doc_count + 1
         masks = np.zeros((max(len(filter_slots), 1), n1), dtype=bool)
         for i, filters in enumerate(filter_slots):
             masks[i, :seg.doc_count] = compute_filters_mask(
                 seg.fast, list(filters))
         return masks
 
-    def _segment_columns(self, seg: SegmentReader, columns: list[str]):
-        n1 = seg.doc_count + 1
+    def _segment_columns(self, seg: SegmentReader, columns: list[str],
+                         n1: Optional[int] = None):
+        if n1 is None:
+            n1 = seg.doc_count + 1
         vals = np.zeros((max(len(columns), 1), n1), dtype=np.float32)
         has = np.zeros((max(len(columns), 1), n1), dtype=bool)
         for i, field in enumerate(columns):
@@ -998,15 +1004,17 @@ class IndexReader:
             qargs = self._segment_query_args(
                 dseg, qualified, group_keys, compiled.n_leaves,
                 compiled.n_groups)
-            phrase_masks = self._segment_phrase_masks(seg, plan.phrase_specs)
+            phrase_masks = self._segment_phrase_masks(
+                seg, plan.phrase_specs, n1=dseg.n1)
             filter_masks = self._segment_filter_masks(
-                seg, compiled.filter_slots)
-            col_vals, col_has = self._segment_columns(seg, compiled.columns)
+                seg, compiled.filter_slots, n1=dseg.n1)
+            col_vals, col_has = self._segment_columns(
+                seg, compiled.columns, n1=dseg.n1)
             root_mask = np.ones(dseg.n1, dtype=bool)
             if req.filter is not None:
                 root_mask[:seg.doc_count] = compute_filters_mask(
                     seg.fast, [req.filter])
-                root_mask[seg.doc_count] = False
+                root_mask[seg.doc_count:] = False
 
             if use_cursor:
                 cs = float(cursor_key.parts[0])
@@ -4607,10 +4615,12 @@ class IndexReader:
             qargs = self._segment_query_args(
                 dseg, qualified, group_keys, compiled.n_leaves,
                 compiled.n_groups)
-            phrase_masks = self._segment_phrase_masks(seg, plan.phrase_specs)
+            phrase_masks = self._segment_phrase_masks(
+                seg, plan.phrase_specs, n1=dseg.n1)
             filter_masks = self._segment_filter_masks(
-                seg, compiled.filter_slots)
-            col_vals, col_has = self._segment_columns(seg, compiled.columns)
+                seg, compiled.filter_slots, n1=dseg.n1)
+            col_vals, col_has = self._segment_columns(
+                seg, compiled.columns, n1=dseg.n1)
             root_mask = np.ones(dseg.n1, dtype=bool)
             run = compiled.executor()
             (_ts, _ti, _mc, final_mask, adjusted, _cs, _tm) = run(

@@ -31,6 +31,8 @@ reference's per-segment semantics (`api/reader.rs:2985-3002`).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from searchlite_tpu.index.segment import SegmentReader
@@ -53,6 +55,24 @@ class DeviceSegment:
         self.ord = segment_ord
         self.n_docs = reader.doc_count
         self.n1 = self.n_docs + 1  # +1 sentinel slot
+        # Bucket the doc-axis width for small segments: executors
+        # trace per exact shape, so the realtime fold stream (every
+        # fold a slightly different doc count) compiled a fresh
+        # executor per fold — 10-20 s each over the remote-compile
+        # tunnel, measured as 12-35 s search stalls in
+        # bench_realtime (round 5). Padding n1 to the pow-1.5 ladder
+        # makes folds of similar size land in the SAME compiled
+        # bucket; slots n_docs..n1-2 are pure pads (no postings ever
+        # reference them, `deleted` masks them) and the dead/sentinel
+        # slot stays n1-1 as every op assumes. Big corpora keep exact
+        # shapes (one compile per immutable segment is the right
+        # trade there, and the doc axis costs FLOPs on dense paths).
+        pad_max = int(os.environ.get("SEARCHLITE_PAD_DOCS_MAX",
+                                     "262144"))
+        if 0 < self.n1 <= pad_max:
+            from searchlite_tpu.ops.impact import pow15_bucket
+
+            self.n1 = pow15_bucket(self.n1, minimum=384)
         self.k1 = float(k1)
         self.b = float(b)
 
@@ -95,7 +115,7 @@ class DeviceSegment:
         self.avgdl = self._put(avgdl)
 
         deleted = np.zeros(self.n1, dtype=bool)
-        deleted[self.n1 - 1] = True  # sentinel slot never matches
+        deleted[self.n_docs:] = True  # sentinel + doc-axis pad slots
         for d in reader.deleted:
             if 0 <= d < self.n_docs:
                 deleted[d] = True
@@ -128,11 +148,36 @@ class DeviceSegment:
              self.block_max_impact, docs_flat, impacts) = out
         else:
             self.block_docs_np = np.concatenate([
-                np.where(bd < 0, self.n_docs, bd).astype(np.int32),
-                np.full((1, 128), self.n_docs, dtype=np.int32)])
+                np.where(bd < 0, self.n1 - 1, bd).astype(np.int32),
+                np.full((1, 128), self.n1 - 1, dtype=np.int32)])
             self.block_impacts_np = np.zeros((bd.shape[0] + 1, 128),
                                              dtype=np.float32)
             self.block_max_impact = np.zeros(0, dtype=np.float32)
+        # Bucket the block-row axis for small segments (same compile-
+        # shape motivation as the doc-axis pad above): pad rows are
+        # all-sentinel/zero — the existing sentinel-row convention,
+        # just more of them; consumers index rows <= n_block_rows
+        # only. block_tfs pads to the same row count so shared row
+        # indexing (block-scatter/mesh paths) stays in range.
+        if self.n1 != self.n_docs + 1:
+            from searchlite_tpu.ops.impact import pow15_bucket
+
+            rows = self.block_docs_np.shape[0]
+            p_rows = pow15_bucket(rows, minimum=12)
+            if p_rows > rows:
+                self.block_docs_np = np.concatenate([
+                    self.block_docs_np,
+                    np.full((p_rows - rows, 128), self.n1 - 1,
+                            dtype=np.int32)])
+                self.block_impacts_np = np.concatenate([
+                    self.block_impacts_np,
+                    np.zeros((p_rows - rows, 128), dtype=np.float32)])
+            t_rows = self.block_tfs_np.shape[0]
+            if p_rows > t_rows:
+                self.block_tfs_np = np.concatenate([
+                    self.block_tfs_np,
+                    np.zeros((p_rows - t_rows, 128),
+                             dtype=np.float32)])
         self._block_impacts = None
         self._block_impacts_live = None
         self._sparse_sentinels = None
@@ -199,7 +244,7 @@ class DeviceSegment:
         d.reader = reader
         d.ord = ordinal
         deleted = np.zeros(self.n1, dtype=bool)
-        deleted[self.n1 - 1] = True
+        deleted[self.n_docs:] = True  # sentinel + doc-axis pad slots
         for x in reader.deleted:
             if 0 <= x < self.n_docs:
                 deleted[x] = True
@@ -253,7 +298,7 @@ class DeviceSegment:
             bd, n_rows, row_field, bt,
             np.ascontiguousarray(doc_len), doc_len.shape[1],
             np.ascontiguousarray(avgdl), self.k1, self.b,
-            np.int32(self.n_docs), bd_out, bi_out, block_max,
+            np.int32(self.n1 - 1), bd_out, bi_out, block_max,
             docs_flat, impacts)
         if n_flat != n_post:  # pads vs term_df disagree — fall back
             return None
@@ -290,8 +335,8 @@ class DeviceSegment:
             [blocked.reshape(-1, 128),
              np.zeros((1, 128), dtype=np.float32)])
         bd_out = np.concatenate(
-            [np.where(bd < 0, self.n_docs, bd).astype(np.int32),
-             np.full((1, 128), self.n_docs, dtype=np.int32)])
+            [np.where(bd < 0, self.n1 - 1, bd).astype(np.int32),
+             np.full((1, 128), self.n1 - 1, dtype=np.int32)])
         return (bd_out, bi_out, block_max, docs_flat,
                 impacts)
 
