@@ -60,7 +60,7 @@ class DeviceSegment:
         # fold a slightly different doc count) compiled a fresh
         # executor per fold — 10-20 s each over the remote-compile
         # tunnel, measured as 12-35 s search stalls in
-        # bench_realtime (round 5). Padding n1 to the pow-1.5 ladder
+        # bench_realtime (round 5). Padding n1 to the pow-2 ladder
         # makes folds of similar size land in the SAME compiled
         # bucket; slots n_docs..n1-2 are pure pads (no postings ever
         # reference them, `deleted` masks them) and the dead/sentinel
@@ -70,9 +70,14 @@ class DeviceSegment:
         pad_max = int(os.environ.get("SEARCHLITE_PAD_DOCS_MAX",
                                      "262144"))
         if 0 < self.n1 <= pad_max:
-            from searchlite_tpu.ops.impact import pow15_bucket
+            # pow-2 (not pow-1.5): one bucket per octave on BOTH the
+            # doc and block axes keeps the (doc-bucket x block-bucket)
+            # combo count — each combo is one first-crossing compile —
+            # half the pow-1.5 ladder's; the worst-case 2x FLOPs pad
+            # is cheap at these segment sizes
+            from searchlite_tpu.ops.impact import pow2_bucket
 
-            self.n1 = pow15_bucket(self.n1, minimum=384)
+            self.n1 = pow2_bucket(self.n1, minimum=256)
         self.k1 = float(k1)
         self.b = float(b)
 
@@ -160,10 +165,10 @@ class DeviceSegment:
         # only. block_tfs pads to the same row count so shared row
         # indexing (block-scatter/mesh paths) stays in range.
         if self.n1 != self.n_docs + 1:
-            from searchlite_tpu.ops.impact import pow15_bucket
+            from searchlite_tpu.ops.impact import pow2_bucket
 
             rows = self.block_docs_np.shape[0]
-            p_rows = pow15_bucket(rows, minimum=12)
+            p_rows = pow2_bucket(rows, minimum=16)
             if p_rows > rows:
                 self.block_docs_np = np.concatenate([
                     self.block_docs_np,
