@@ -86,14 +86,14 @@ def main() -> None:
 
     idx = Index.open(IndexOptions(path=path, create_if_missing=False))
     reader = idx.reader()
-    # queries from indexed vocabulary (bench_scale synthetic corpus
-    # uses zipf tokens w<i>); mix 2- and 4-term shapes like bench.py
-    rng = np.random.default_rng(17)
-    queries = []
-    for i in range(n_queries):
-        k = 2 if i % 2 else 4
-        terms = [f"w{int(rng.integers(0, 2000))}" for _ in range(k)]
-        queries.append(" ".join(terms))
+    # the exact query protocol the quoted p50 rows use: bench_scale's
+    # rank-skewed generator (one zipf head term + 1-5 uniform
+    # mid/tail), same seed as its p50 loop (queries[:n_queries])
+    from tools.bench_scale import build_queries
+
+    rng = np.random.default_rng(7)
+    vocab = [f"t{i}" for i in range(120_000)]
+    queries = build_queries(rng, max(n_queries, 9), vocab)[:n_queries]
 
     real_get = jax.device_get
     state = {"wait": 0.0, "calls": 0}
